@@ -1,0 +1,119 @@
+"""Per-partition lineage manifests + atomic commit protocol.
+
+The reference's checkpoint is a single JSON snapshot of the whole
+pipeline state (``Canvas.__str__``/``load``,
+/root/reference/agent/canvas.py:128-151, 101-126) — serial and
+driver-held. The engine's scale-out equivalent (SURVEY.md §4) is a
+coordinator-free layout:
+
+    out_dir/
+      extracted/part-{id:05d}.parquet
+      chunks/part-{id:05d}.parquet
+      _manifest/part-{id:05d}.json     <- written LAST; its presence IS the commit
+
+Each partition is written to ``*.tmp`` files, fsync-renamed into place,
+and only then is the manifest written (also via tmp+rename). A resumed
+run lists ``_manifest/`` and skips committed partitions; partial files
+from a crashed run are simply overwritten. No coordinator, no global
+lock — rename is the atom.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raydoc.hashing import md5_hex
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def committed_partitions(out_dir: str) -> set[int]:
+    """Partition ids with a committed manifest (cheap directory listing)."""
+    mdir = manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for name in os.listdir(mdir):
+        if name.startswith("part-") and name.endswith(".json"):
+            try:
+                out.add(int(name[5:-5]))
+            except ValueError:
+                continue
+    return out
+
+
+def load_manifests(out_dir: str) -> list[dict]:
+    mdir = manifest_dir(out_dir)
+    rows = []
+    if not os.path.isdir(mdir):
+        return rows
+    for name in sorted(os.listdir(mdir)):
+        if name.startswith("part-") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                rows.append(json.load(f))
+    return rows
+
+
+def _atomic_write_parquet(table: pa.Table, path: str) -> None:
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, path)
+
+
+def write_partition_atomic(
+    out_dir: str,
+    part_id: int,
+    extracted: pa.Table,
+    chunks: pa.Table,
+) -> dict:
+    """Write one partition's outputs + manifest; returns the manifest row.
+
+    Idempotent: re-running a partition overwrites its files and
+    re-commits — output is byte-identical because extraction is a pure
+    per-row function and rows are sorted by url before write (pinned
+    within-partition order, SURVEY.md §7 hard part 4).
+    """
+    for sub in ("extracted", "chunks", "_manifest"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    name = f"part-{part_id:05d}.parquet"
+
+    sort_idx = pa.compute.sort_indices(extracted.column("url"))
+    extracted = extracted.take(sort_idx)
+    if chunks.num_rows:
+        chunks = chunks.take(
+            pa.compute.sort_indices(
+                chunks, sort_keys=[("url", "ascending"), ("chunk_id", "ascending")]
+            )
+        )
+
+    _atomic_write_parquet(extracted, os.path.join(out_dir, "extracted", name))
+    _atomic_write_parquet(chunks, os.path.join(out_dir, "chunks", name))
+
+    status = extracted.column("status").to_pylist()
+    texts = extracted.column("text").to_pylist()
+    urls = extracted.column("url").to_pylist()
+    checksum = md5_hex("".join(u + "\0" + t + "\1" for u, t in zip(urls, texts)))
+    manifest = {
+        "part_id": int(part_id),
+        "n_docs": extracted.num_rows,
+        "n_ok": sum(1 for s in status if s == "ok"),
+        "n_empty": sum(1 for s in status if s == "empty"),
+        "n_error": sum(1 for s in status if s == "error"),
+        "n_chunks": int(chunks.num_rows),
+        "text_bytes": sum(len(t.encode("utf-8")) for t in texts),
+        "checksum": checksum,
+    }
+    mpath = os.path.join(manifest_dir(out_dir), f"part-{part_id:05d}.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, mpath)
+    return manifest
