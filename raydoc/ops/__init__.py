@@ -1,0 +1,12 @@
+"""Operator library: the engine's re-expression of the reference's
+operator vocabulary (SURVEY.md §2) as composable Ray Data transforms.
+
+Modules:
+  predicates  - Switch's 12-operator predicate algebra (switch.py:90-129)
+  relational  - joins / grouped aggregates / top-k / distinct / union
+  text        - language-ID, quality scoring, token counts, fingerprints
+  dedup       - exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  similarity  - cosine top-k (brute force + LSH-bucketed)
+  window      - event-time tumbling windows, sessionization, as-of join
+  template    - per-row template rendering (template.py:70-139)
+"""

@@ -1,0 +1,333 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference only has exact dedup on content
+(drop_duplicates, /root/reference/agent/component/base.py:474,509); the
+near-dup operators are the scale extensions a training-data pipeline
+needs (SURVEY.md §2.5). All hashes come from raydoc.hashing (process-
+independent); all pipelines follow the same shape:
+
+    map_batches(signature)            # vectorized per-doc signatures
+      -> flat band/bucket rows        # small rows, the only shuffled data
+      -> groupby(bucket).map_groups   # candidate pairs within buckets
+      -> distinct pair + estimate     # verified/estimated similarity
+
+so the all-to-all exchange moves fixed-size signatures, never document
+text. At 100 TB the bucket groupby is the one shuffle and its payload is
+~(bands * 16B + sig) per doc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raydoc.hashing import md5_hex, stable_u64
+from raydoc.ops.text import shingles
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_batch",
+    "simhash_pairs",
+    "ngram_jaccard",
+    "embedding_near_dup_pairs",
+]
+
+_MERSENNE = (1 << 61) - 1
+_MAXU64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep one row per distinct text (minimum id survives) and count
+    copies. Groups on md5(text) so the shuffle comparator is a fixed
+    16-byte key even for megabyte documents.
+
+    Output columns: all input columns of the surviving row + n_copies.
+    """
+
+    def _key(batch: pa.Table) -> pa.Table:
+        keys = [md5_hex(t or "") for t in batch.column(text_col).to_pylist()]
+        return batch.append_column("_dk", pa.array(keys, type=pa.string()))
+
+    def _keep_min(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+        row = group.take(idx.slice(0, 1)).drop_columns(["_dk"])
+        return row.append_column("n_copies", pa.array([group.num_rows], pa.int64()))
+
+    return (
+        ds.map_batches(_key, batch_format="pyarrow")
+        .groupby("_dk")
+        .map_groups(_keep_min, batch_format="pyarrow")
+    )
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _doc_minhash(text: str, a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
+    sh = shingles(text, k)
+    if not sh:
+        return np.full(len(a), _MAXU64, dtype=np.uint64)
+    h = np.fromiter((stable_u64(s) for s in sh), dtype=np.uint64, count=len(sh))
+    # (P, S) permuted hashes -> min over shingles; modular arithmetic in
+    # object-free uint64 with wraparound is fine for min-hashing purposes
+    vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def minhash_signatures(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+):
+    """id + fixed-size minhash signature (list<uint64> of num_perm)."""
+    a, b = _perm_params(num_perm)
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        sigs = [
+            _doc_minhash(t or "", a, b, shingle_k)
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                id_col: ids,
+                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            }
+        )
+
+    return ds.map_batches(_sig, batch_format="pyarrow")
+
+
+def minhash_lsh_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+):
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    shingle -> minhash -> band-hash bucket groupby -> within-bucket pairs
+    -> estimated Jaccard (matching minhash fraction) filtered at
+    ``threshold``; pairs deduped across bands by groupby(id_a, id_b).
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+    a, b = _perm_params(num_perm)
+
+    def _band_rows(batch: pa.Table) -> pa.Table:
+        ids_out, band_keys, sigs_out = [], [], []
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        for i, t in zip(ids, texts):
+            sig = _doc_minhash(t or "", a, b, shingle_k)
+            sl = sig.tolist()
+            for bi in range(bands):
+                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                key = f"{bi}:{md5_hex(chunk.tobytes().hex())}"
+                ids_out.append(i)
+                band_keys.append(key)
+                sigs_out.append(sl)
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(ids_out),
+                "band_key": pa.array(band_keys, pa.string()),
+                "sig": pa.array(sigs_out, pa.list_(pa.uint64())),
+            }
+        )
+
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.Table.from_pydict(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "est_jaccard": pa.array([], pa.float64())}
+            )
+        ids = group.column(id_col).to_pylist()
+        sigs = np.asarray(group.column("sig").to_pylist(), dtype=np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids = [ids[i] for i in order]
+        sigs = sigs[order]
+        ia, ib, est = [], [], []
+        for x in range(n - 1):
+            matches = (sigs[x + 1 :] == sigs[x][None, :]).mean(axis=1)
+            for off, m in enumerate(matches):
+                if m >= threshold and ids[x] != ids[x + 1 + off]:
+                    ia.append(ids[x])
+                    ib.append(ids[x + 1 + off])
+                    est.append(float(m))
+        return pa.Table.from_pydict(
+            {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
+             "est_jaccard": pa.array(est, pa.float64())}
+        )
+
+    def _dedup_pair(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    pairs = (
+        ds.map_batches(_band_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        _dedup_pair, batch_format="pyarrow"
+    )
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append a 64-bit SimHash of whitespace tokens (count-weighted)."""
+    out = []
+    for t in batch.column(text_col).to_pylist():
+        toks = (t or "").lower().split()
+        if not toks:
+            out.append(0)
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        from collections import Counter
+
+        for tok, cnt in Counter(toks).items():
+            h = stable_u64(tok)
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), cnt, -cnt)
+        bitsv = (acc > 0).astype(np.uint64)
+        out.append(int((bitsv << np.arange(64, dtype=np.uint64)).sum()))
+    return batch.append_column("simhash", pa.array(out, pa.uint64()))
+
+
+def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3):
+    """Near-dup pairs by SimHash: band the 64-bit hash into 4 x 16-bit
+    chunks (any pair within hamming<=3 shares at least one chunk), bucket
+    groupby per chunk, verify hamming distance within buckets."""
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        batch = simhash_batch(batch, text_col)
+        ids, keys, hashes = [], [], []
+        for i, h in zip(batch.column(id_col).to_pylist(),
+                        batch.column("simhash").to_pylist()):
+            for bi in range(4):
+                chunk = (h >> (16 * bi)) & 0xFFFF
+                ids.append(i)
+                keys.append(f"{bi}:{chunk}")
+                hashes.append(h)
+        return pa.Table.from_pydict(
+            {id_col: pa.array(ids), "bkey": pa.array(keys, pa.string()),
+             "simhash": pa.array(hashes, pa.uint64())}
+        )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        hs = group.column("simhash").to_pylist()
+        order = np.argsort(ids, kind="stable")
+        ia, ib, dist = [], [], []
+        for xi in range(len(order) - 1):
+            x = order[xi]
+            for yi in range(xi + 1, len(order)):
+                y = order[yi]
+                if ids[x] == ids[y]:
+                    continue
+                d = bin(hs[x] ^ hs[y]).count("1")
+                if d <= max_hamming:
+                    ia.append(ids[x])
+                    ib.append(ids[y])
+                    dist.append(d)
+        return pa.Table.from_pydict(
+            {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
+             "hamming": pa.array(dist, pa.int64())}
+        )
+
+    pairs = (
+        ds.map_batches(_bands, batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(_pairs, batch_format="pyarrow")
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact word-k-gram Jaccard similarity (the verify oracle for the
+    LSH estimates; O(len) per pair — use on candidate pairs only)."""
+    sa, sb = set(shingles(text_a, k)), set(shingles(text_b, k))
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def embedding_near_dup_pairs(
+    ds,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+):
+    """Embedding-cosine near-dup via random-hyperplane bucketing.
+
+    Sign-pattern of ``num_planes`` fixed random projections buckets the
+    vectors (near-identical vectors land in the same bucket with high
+    probability); exact cosine is verified within buckets only. Output:
+    (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    """
+    rng = np.random.RandomState(11)
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        embs = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float64)
+        dim = embs.shape[1] if embs.ndim == 2 else 0
+        if dim not in planes_by_dim:
+            planes_by_dim[dim] = np.random.RandomState(11).standard_normal(
+                (dim, num_planes)
+            )
+        signs = (embs @ planes_by_dim[dim]) > 0
+        keys = ["".join("1" if s else "0" for s in row) for row in signs]
+        return pa.Table.from_pydict(
+            {
+                id_col: batch.column(id_col),
+                "bucket": pa.array(keys, pa.string()),
+                emb_col: batch.column(emb_col),
+            }
+        )
+
+    def _verify(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        embs = np.asarray(group.column(emb_col).to_pylist(), dtype=np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids = [ids[i] for i in order]
+        embs = embs[order]
+        norms = np.linalg.norm(embs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = embs / norms[:, None]
+        sims = unit @ unit.T
+        ia, ib, cs = [], [], []
+        for x in range(len(ids) - 1):
+            for y in range(x + 1, len(ids)):
+                if ids[x] != ids[y] and sims[x, y] >= threshold:
+                    ia.append(ids[x])
+                    ib.append(ids[y])
+                    cs.append(float(sims[x, y]))
+        return pa.Table.from_pydict(
+            {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
+             "cosine": pa.array(cs, pa.float64())}
+        )
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_verify, batch_format="pyarrow")
+    )

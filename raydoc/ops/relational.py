@@ -1,0 +1,247 @@
+"""Relational layer: joins, grouped aggregates, top-k, distinct, union.
+
+The reference has only degenerate forms of these — value-bindings as
+broadcast scalar joins (/root/reference/agent/component/base.py:419-444),
+``pd.concat`` unions (canvas.py:247,277), exact dedup on content
+(base.py:474,509), per-connector top_n limits (SURVEY.md §2.5). The
+engine provides the full vocabulary, scale-first:
+
+* small side  -> broadcast join: ``ray.put`` the lookup table ONCE, every
+  map_batches task reads it zero-copy from the object store — no shuffle.
+* big x big   -> ``Dataset.join`` (Ray's hash-shuffle join) with an
+  explicit partition count.
+* aggregates  -> per-batch partial combine inside map_batches, then a
+  small groupby over (key, partials) — the shuffle moves one row per
+  (batch, key), not one per input row.
+* top-k       -> per-batch local top-k, then a single small sort+limit.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "broadcast_join",
+    "shuffle_join",
+    "grouped_agg",
+    "top_k",
+    "group_top_k",
+    "distinct_on",
+    "union_all",
+]
+
+_AGG_FUNCS = {"sum", "count", "mean", "min", "max"}
+
+
+def broadcast_join(
+    ds,
+    small: pa.Table,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    columns: list[str] | None = None,
+):
+    """Join a Dataset against a SMALL in-memory table without a shuffle.
+
+    The small table is ``ray.put`` once; each task fetches the shared
+    object-store copy (never re-shipped per batch) and builds its
+    per-process hash index lazily. ``how`` in {"inner", "left"}.
+    """
+    import ray
+
+    if columns is not None:
+        keep = [right_on] + [c for c in columns if c != right_on]
+        small = small.select(keep)
+    small_ref = ray.put(small)
+
+    class _Joiner:
+        """Actor-pool joiner: index built once per actor, not per batch."""
+
+        def __init__(self, ref, key: str, how: str) -> None:
+            tbl: pa.Table = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.how = how
+            self.key = key
+            self.tbl = tbl.combine_chunks()
+            keys = self.tbl.column(key).to_pylist()
+            self.index: dict[Any, int] = {}
+            for i, k in enumerate(keys):
+                self.index.setdefault(k, i)
+            self.other_cols = [c for c in self.tbl.column_names if c != key]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            lk = batch.column(left_on).to_pylist()
+            idx = np.fromiter(
+                (self.index.get(k, -1) for k in lk), dtype=np.int64, count=len(lk)
+            )
+            if self.how == "inner":
+                sel = idx >= 0
+                batch = batch.filter(pa.array(sel))
+                idx = idx[sel]
+            take = pa.array(np.where(idx >= 0, idx, 0), type=pa.int64())
+            null_mask = pa.array(idx < 0)
+            for c in self.other_cols:
+                col = self.tbl.column(c).take(take)
+                if self.how == "left":
+                    col = pc.if_else(null_mask, pa.nulls(len(idx), col.type), col)
+                batch = batch.append_column(c, col)
+            return batch
+
+    import ray.data  # noqa: F401  (ensure ray.data registered)
+
+    return ds.map_batches(
+        _Joiner,
+        fn_constructor_args=(small_ref, right_on, how),
+        batch_format="pyarrow",
+        concurrency=(1, _cpu_cap()),
+    )
+
+
+def _cpu_cap() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus - 1)
+
+
+def shuffle_join(
+    left,
+    right,
+    on: str | tuple[str, ...],
+    right_on: str | tuple[str, ...] | None = None,
+    how: str = "inner",
+    num_partitions: int | None = None,
+):
+    """Big x big hash-shuffle join via ``Dataset.join`` with an explicit
+    partition count (defaults to cluster CPU count; at real scale size it
+    to total-bytes / target-partition-bytes)."""
+    if isinstance(on, str):
+        on = (on,)
+    if isinstance(right_on, str):
+        right_on = (right_on,)
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions or _cpu_cap() * 2,
+        on=on,
+        right_on=right_on,
+    )
+
+
+def grouped_agg(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+):
+    """Grouped aggregation with EXPLICIT output names and partial
+    pre-aggregation.
+
+    ``aggs``: out_name -> (fn, column), fn in {sum,count,mean,min,max}.
+    Phase 1 (map_batches) collapses each batch to one row per key with
+    partial sums/counts/mins/maxs; phase 2 shuffles only those partials
+    through ``groupby().map_groups``. mean = final sum/count (exact
+    integer-free division done once at the end).
+    """
+    for name, (fn, _col) in aggs.items():
+        if fn not in _AGG_FUNCS:
+            raise ValueError(f"unsupported agg {fn} for {name}")
+
+    # partial-aggregation spec shared by every batch (dedup'd): pyarrow
+    # names outputs "<col>_<fn>"
+    spec: list[tuple[str, str]] = []
+    seen: set[tuple[str, str]] = set()
+    for _name, (fn, col) in aggs.items():
+        wanted = {"sum": [("sum", col)], "count": [("count", col)],
+                  "mean": [("sum", col), ("count", col)],
+                  "min": [("min", col)], "max": [("max", col)]}[fn]
+        for f, c in wanted:
+            if (f, c) not in seen:
+                spec.append((c, f))
+                seen.add((f, c))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        # works for zero-row batches too (empty table, correct schema)
+        return batch.group_by(keys).aggregate(spec)
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _final(group: pa.Table) -> pa.Table:
+        out: dict[str, list] = {k: [group.column(k)[0].as_py()] for k in keys}
+        for name, (fn, col) in aggs.items():
+            if fn == "sum":
+                v = pc.sum(group.column(f"{col}_sum")).as_py()
+            elif fn == "count":
+                v = pc.sum(group.column(f"{col}_count")).as_py()
+            elif fn == "mean":
+                s = pc.sum(group.column(f"{col}_sum")).as_py()
+                c = pc.sum(group.column(f"{col}_count")).as_py()
+                v = (s / c) if c else None
+            elif fn == "min":
+                v = pc.min(group.column(f"{col}_min")).as_py()
+            else:
+                v = pc.max(group.column(f"{col}_max")).as_py()
+            out[name] = [v]
+        return pa.Table.from_pydict(out)
+
+    return partial.groupby(keys).map_groups(_final, batch_format="pyarrow")
+
+
+def top_k(ds, key: str, k: int, descending: bool = True, tiebreak: str | None = None):
+    """Global top-k without a global sort: each batch keeps its local
+    top-k (vectorized sort+slice), then ONE small final sort+limit over
+    ≤ k*num_batches rows."""
+    order = "descending" if descending else "ascending"
+    sort_keys = [(key, order)] + ([(tiebreak, "ascending")] if tiebreak else [])
+
+    def _local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=sort_keys)
+        return batch.take(idx.slice(0, k))
+
+    pruned = ds.map_batches(_local, batch_format="pyarrow")
+    cols = [key] + ([tiebreak] if tiebreak else [])
+    sorted_ds = pruned.sort(cols, descending=[descending] + [False] * (len(cols) - 1))
+    return sorted_ds.limit(k)
+
+
+def group_top_k(ds, group_key: str, sort_key: str, k: int, descending: bool = True,
+                tiebreak: str | None = None):
+    """Per-group top-k: hash-partition by group, vectorized local sort
+    within each group (the reference's per-query top_n, retrieval.py:100-112)."""
+    order = "descending" if descending else "ascending"
+    sort_keys = [(sort_key, order)] + ([(tiebreak, "ascending")] if tiebreak else [])
+
+    def _head(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=sort_keys)
+        return group.take(idx.slice(0, k))
+
+    return ds.groupby(group_key).map_groups(_head, batch_format="pyarrow")
+
+
+def distinct_on(ds, key: str, keep: str = "min", order_col: str | None = None):
+    """Exact dedup on a key: hash-partition by key, keep one row per
+    group (the reference's drop_duplicates on content, base.py:474,509).
+    ``keep``: which row survives — "min"/"max" of ``order_col`` (defaults
+    to the key itself), pinned so output is deterministic."""
+    oc = order_col or key
+
+    def _first(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(oc, "ascending" if keep == "min" else "descending")]
+        )
+        return group.take(idx.slice(0, 1))
+
+    return ds.groupby(key).map_groups(_first, batch_format="pyarrow")
+
+
+def union_all(*datasets):
+    """Bag union (the reference's pd.concat fan-in, canvas.py:247,277)."""
+    out = datasets[0]
+    for d in datasets[1:]:
+        out = out.union(d)
+    return out

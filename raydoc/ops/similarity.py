@@ -1,0 +1,191 @@
+"""Similarity search over an embedding column (list<float>).
+
+Engine counterpart of the reference's Retrieval top-k vector search
+(/root/reference/agent/component/retrieval.py:100-112), re-expressed
+data-parallel:
+
+* ``knn_brute_force`` — exact cosine top-k: the query matrix is
+  ``ray.put`` ONCE and every batch task does one numpy matmul against
+  the shared copy, keeps its local top-k per query, and a final
+  per-query groupby reduces candidates to the global top-k. The shuffle
+  payload is k rows per (query, batch), never the corpus.
+* ``knn_lsh`` — scale path: random-hyperplane sign buckets prune the
+  corpus; only same-bucket (or near-bucket) vectors are scored. Recall
+  <1 by design; tested against the brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["knn_brute_force", "knn_lsh"]
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return m / norms[:, None]
+
+
+def knn_brute_force(
+    ds,
+    queries: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+):
+    """Exact cosine top-k for each row of ``queries`` (Q x D).
+
+    Output: (query_id, rank, vec_id, cosine), rank 1..k, ties broken by
+    vec_id ascending (deterministic at any partitioning).
+    """
+    import ray
+
+    qmat = _unit(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(qmat)
+    excl = set(exclude_ids or [])
+
+    class _Scorer:
+        def __init__(self, ref) -> None:
+            self.q = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+            embs = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float64)
+            if excl:
+                keep = np.array([i not in excl for i in ids])
+                ids, embs = ids[keep], embs[keep]
+            if len(ids) == 0:
+                return pa.Table.from_pydict(
+                    {"query_id": pa.array([], pa.int64()),
+                     "vec_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
+            sims = self.q @ _unit(embs).T  # (Q, B)
+            kk = min(k, sims.shape[1])
+            # local top-k per query: argpartition then exact sort of the head
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            q_out, v_out, c_out = [], [], []
+            for qi in range(sims.shape[0]):
+                cols = part[qi]
+                q_out.extend([qi] * len(cols))
+                v_out.extend(ids[cols].tolist())
+                c_out.extend(sims[qi, cols].tolist())
+            return pa.Table.from_pydict(
+                {"query_id": pa.array(q_out, pa.int64()),
+                 "vec_id": pa.array(v_out, pa.int64()),
+                 "cosine": pa.array(c_out, pa.float64())}
+            )
+
+    def _final(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("cosine", "descending"), ("vec_id", "ascending")],
+        )
+        top = group.take(idx.slice(0, k))
+        return top.append_column(
+            "rank", pa.array(range(1, top.num_rows + 1), pa.int64())
+        )
+
+    candidates = ds.map_batches(
+        _Scorer,
+        fn_constructor_args=(qref,),
+        batch_format="pyarrow",
+        concurrency=(1, _cpu_cap()),
+    )
+    return candidates.groupby("query_id").map_groups(
+        _final, batch_format="pyarrow"
+    )
+
+
+def _cpu_cap() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus - 1)
+
+
+def knn_lsh(
+    ds,
+    queries: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_planes: int = 8,
+    probe_bits: int = 1,
+):
+    """Approximate cosine top-k: random-hyperplane sign buckets.
+
+    Corpus vectors score only against queries whose bucket is within
+    ``probe_bits`` hamming distance of theirs (multi-probe). Same output
+    schema as ``knn_brute_force``; recall measured in tests.
+    """
+    import itertools
+
+    import ray
+
+    qmat = _unit(np.asarray(queries, dtype=np.float64))
+    dim = qmat.shape[1]
+    planes = np.random.RandomState(23).standard_normal((dim, num_planes))
+    qsig = (qmat @ planes) > 0
+    # query buckets + probes: bucket code -> list of query indices
+    bucket_to_q: dict[int, list[int]] = {}
+    for qi, sig in enumerate(qsig):
+        code = int(sum(1 << b for b in range(num_planes) if sig[b]))
+        codes = {code}
+        for flips in range(1, probe_bits + 1):
+            for combo in itertools.combinations(range(num_planes), flips):
+                c = code
+                for b in combo:
+                    c ^= 1 << b
+                codes.add(c)
+        for c in codes:
+            bucket_to_q.setdefault(c, []).append(qi)
+    shared = ray.put((qmat, planes, bucket_to_q))
+
+    class _Scorer:
+        def __init__(self, ref) -> None:
+            self.q, self.planes, self.b2q = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+            embs = _unit(np.asarray(batch.column(emb_col).to_pylist(), np.float64))
+            sig = (embs @ self.planes) > 0
+            codes = (sig * (1 << np.arange(sig.shape[1]))).sum(axis=1)
+            q_out, v_out, c_out = [], [], []
+            for vi, code in enumerate(codes):
+                for qi in self.b2q.get(int(code), ()):
+                    c = float(self.q[qi] @ embs[vi])
+                    q_out.append(qi)
+                    v_out.append(int(ids[vi]))
+                    c_out.append(c)
+            return pa.Table.from_pydict(
+                {"query_id": pa.array(q_out, pa.int64()),
+                 "vec_id": pa.array(v_out, pa.int64()),
+                 "cosine": pa.array(c_out, pa.float64())}
+            )
+
+    def _final(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("cosine", "descending"), ("vec_id", "ascending")],
+        )
+        top = group.take(idx.slice(0, k))
+        return top.append_column(
+            "rank", pa.array(range(1, top.num_rows + 1), pa.int64())
+        )
+
+    candidates = ds.map_batches(
+        _Scorer,
+        fn_constructor_args=(shared,),
+        batch_format="pyarrow",
+        concurrency=(1, _cpu_cap()),
+    )
+    return candidates.groupby("query_id").map_groups(
+        _final, batch_format="pyarrow"
+    )

@@ -1,0 +1,141 @@
+"""Text analysis over a documents table: language-ID, quality scoring,
+token counting, fingerprinting.
+
+The training-data-pipeline counterpart of the reference's text post-
+processors (regex strips generate.py:227 / keyword.py:66-67, token
+counting via tiktoken relevant.py:68-69, ISO-639 lookup rewrite.py:52-94
+— all in /root/reference/agent/component/). Every function here is a
+pure batch transform: Arrow/numpy kernels or a single compiled-regex
+pass; no per-row Python in the hot loop beyond what string ops require.
+
+Determinism: ratios are (int / int) divisions of exactly-counted
+integers, so they are bit-identical to any oracle computing the same
+counts (no accumulation-order issues).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raydoc.hashing import md5_hex, stable_u64
+
+__all__ = [
+    "token_count_batch",
+    "quality_batch",
+    "langid_batch",
+    "fingerprint_batch",
+    "shingles",
+    "STOPWORDS",
+]
+
+_WS_RE = re.compile(r"\s+")
+# BPE-ish word/number/punct splitter for token counting: words (with
+# apostrophes), numbers, or single non-space symbols.
+_BPE_RE = re.compile(r"[A-Za-z]+(?:'[A-Za-z]+)?|\d+|[^\sA-Za-z\d]")
+
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been for on with as by at "
+    "from it this that these those i you he she we they not no".split()
+)
+
+# Tiny per-language marker sets for the n-gram/stopword language-ID
+# heuristic. Scores = marker-token hit counts; argmax wins, ties broken
+# by language-code order (deterministic).
+_LANG_MARKERS: dict[str, frozenset] = {
+    "en": STOPWORDS,
+    "de": frozenset("der die das und ist nicht ein eine zu mit für auf von den dem ich sie".split()),
+    "fr": frozenset("le la les et de est pas un une pour sur avec dans que qui au du".split()),
+    "es": frozenset("el la los las y de es no un una para sobre con en que por del".split()),
+    "ru": frozenset("и в не на я быть он с что а по это она этот к но они мы".split()),
+    "zh": frozenset("的 是 在 了 和 有 我 他 这 中 大 来 上 国 个 到 数据".split()),
+}
+
+
+def _texts(batch: pa.Table, col: str) -> list[str]:
+    return batch.column(col).to_pylist()
+
+
+def token_count_batch(batch: pa.Table, col: str = "text",
+                      mode: str = "whitespace") -> pa.Table:
+    """Append ``n_tokens``: whitespace tokens (str.split) or BPE-ish
+    regex tokens (words / numbers / single symbols)."""
+    if mode == "whitespace":
+        # vectorized: count space-separated pieces after trim+collapse
+        s = pc.utf8_trim_whitespace(pc.cast(batch.column(col), pa.string()))
+        parts = pc.split_pattern_regex(s, r"\s+")
+        n = pc.list_value_length(parts)
+        n = pc.if_else(pc.equal(s, ""), pa.scalar(0, pa.int32()), n)
+        return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+    counts = [len(_BPE_RE.findall(t or "")) for t in _texts(batch, col)]
+    return batch.append_column("n_tokens", pa.array(counts, type=pa.int64()))
+
+
+def quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append quality features: n_tokens, stopword_ratio, punct_ratio,
+    mean_token_len. Ratios are int/int of exact counts."""
+    n_toks, stop_r, punct_r, mean_len = [], [], [], []
+    for t in _texts(batch, col):
+        t = t or ""
+        toks = t.split()
+        n = len(toks)
+        n_toks.append(n)
+        if n == 0:
+            stop_r.append(0.0)
+            mean_len.append(0.0)
+        else:
+            stop_r.append(sum(1 for w in toks if w.lower() in STOPWORDS) / n)
+            mean_len.append(sum(len(w) for w in toks) / n)
+        nc = len(t)
+        punct_r.append(
+            (sum(1 for ch in t if not ch.isalnum() and not ch.isspace()) / nc)
+            if nc else 0.0
+        )
+    return (
+        batch.append_column("n_tokens", pa.array(n_toks, type=pa.int64()))
+        .append_column("stopword_ratio", pa.array(stop_r, type=pa.float64()))
+        .append_column("punct_ratio", pa.array(punct_r, type=pa.float64()))
+        .append_column("mean_token_len", pa.array(mean_len, type=pa.float64()))
+    )
+
+
+def langid_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append ``lang_pred``: marker-token argmax heuristic; "und" when
+    nothing matches. Ties break by language-code sort order."""
+    preds = []
+    for t in _texts(batch, col):
+        toks = (t or "").lower().split()
+        best, best_n = "und", 0
+        for lang in sorted(_LANG_MARKERS):
+            n = sum(1 for w in toks if w in _LANG_MARKERS[lang])
+            if n > best_n:
+                best, best_n = lang, n
+        preds.append(best)
+    return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+
+
+def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append ``fingerprint`` (md5 hex of the text — matches DuckDB
+    ``md5()``) and ``rolling_sig`` (min of rolling 8-gram stable hashes,
+    a document-shape signature robust to small edits)."""
+    fps, sigs = [], []
+    for t in _texts(batch, col):
+        t = t or ""
+        fps.append(md5_hex(t))
+        grams = shingles(t, 8)
+        sigs.append(min((stable_u64(g) for g in grams), default=0))
+    return batch.append_column(
+        "fingerprint", pa.array(fps, type=pa.string())
+    ).append_column("rolling_sig", pa.array(sigs, type=pa.uint64()))
+
+
+def shingles(text: str, k: int) -> list[str]:
+    """Word k-shingles of a whitespace-collapsed, lower-cased text."""
+    toks = _WS_RE.sub(" ", (text or "").lower()).strip().split(" ")
+    if toks == [""]:
+        return []
+    if len(toks) <= k:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]

@@ -1,0 +1,163 @@
+"""Event-time operators: tumbling windows, sessionization, as-of join.
+
+The reference has no event-time semantics (SURVEY.md §2.5 streaming
+note) — these are the engine's additions for event tables. All three
+follow one partitioning rule: hash-partition by entity key, order by
+timestamp INSIDE each group only (never a global sort).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["stamp_tumbling_window", "sessionize", "asof_join"]
+
+
+def stamp_tumbling_window(batch: pa.Table, ts_col: str, unit: str = "hour",
+                          out_col: str = "window_start") -> pa.Table:
+    """Append the tumbling-window start (floor of the timestamp to
+    ``unit``) — a pure vectorized projection; the windowed aggregate is
+    then an ordinary grouped_agg on ``out_col``."""
+    floored = pc.floor_temporal(batch.column(ts_col), unit=unit)
+    return batch.append_column(out_col, floored)
+
+
+def sessionize(ds, key_col: str, ts_col: str, gap_minutes: float = 30.0,
+               agg_value_col: str | None = None):
+    """Gap-based sessions per key: a new session starts when the time
+    since the previous event of the SAME key exceeds the gap.
+
+    One shuffle (groupby key); within each group a vectorized sort +
+    cumulative sum over gap breaks. Output one row per session:
+    (key, session_id, n_events, start_ts, end_ts[, sum_value]).
+    session_id numbers sessions per key from 1 in time order.
+    """
+    gap_us = int(gap_minutes * 60 * 1e6)
+
+    def _sessions(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
+        g = group.take(idx)
+        ts = g.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        breaks = np.empty(len(ts), dtype=np.int64)
+        breaks[0] = 1
+        if len(ts) > 1:
+            breaks[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(breaks)
+        key = g.column(key_col)[0].as_py()
+        out = {
+            key_col: [], "session_id": [], "n_events": [],
+            "start_ts": [], "end_ts": [],
+        }
+        vals = (
+            g.column(agg_value_col).to_numpy(zero_copy_only=False)
+            if agg_value_col else None
+        )
+        if agg_value_col:
+            out["sum_value"] = []
+        for s in range(1, sid[-1] + 1):
+            m = sid == s
+            out[key_col].append(key)
+            out["session_id"].append(int(s))
+            out["n_events"].append(int(m.sum()))
+            out["start_ts"].append(int(ts[m].min()))
+            out["end_ts"].append(int(ts[m].max()))
+            if agg_value_col:
+                out["sum_value"].append(float(vals[m].sum()))
+        tbl = pa.Table.from_pydict(out)
+        for c in ("start_ts", "end_ts"):
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index(c), c,
+                tbl.column(c).cast(pa.timestamp("us")),
+            )
+        return tbl
+
+    return ds.groupby(key_col).map_groups(_sessions, batch_format="pyarrow")
+
+
+def asof_join(
+    left,
+    right,
+    key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    right_tiebreak: str | None = None,
+):
+    """As-of (most-recent-prior) join: each left row matched to the
+    latest right row with the same key and right_ts <= left_ts; among
+    equal right_ts the row with the LARGEST ``right_tiebreak`` wins
+    (pinned so output is deterministic at any partitioning).
+
+    Ray Data lacks this natively; composition (SURVEY.md custom-operator
+    rule (a)): tag sides -> rename to common schema -> union -> groupby
+    key -> per-group time sort + backward scan (vectorized searchsorted).
+    The one shuffle co-partitions both sides by key.
+
+    Output: all left columns + ``right_cols`` (null when no prior right
+    row exists).
+    """
+    import ray.data  # noqa: F401
+
+    left_schema_cols: list[str] = [f for f in left.schema().names]
+
+    def _tag_left(b: pa.Table) -> pa.Table:
+        b = b.append_column("_side", pa.array(["L"] * b.num_rows, pa.string()))
+        b = b.append_column("_k", b.column(key).cast(pa.int64()))
+        return b.append_column("_ts", b.column(left_ts).cast(pa.int64()))
+
+    def _tag_right(b: pa.Table) -> pa.Table:
+        keep = [right_key, right_ts] + [c for c in right_cols]
+        if right_tiebreak:
+            keep.append(right_tiebreak)
+        b = b.select(list(dict.fromkeys(keep)))
+        b = b.append_column("_side", pa.array(["R"] * b.num_rows, pa.string()))
+        b = b.append_column("_k", b.column(right_key).cast(pa.int64()))
+        return b.append_column("_ts", b.column(right_ts).cast(pa.int64()))
+
+    lt = left.map_batches(_tag_left, batch_format="pyarrow")
+    rt = right.map_batches(_tag_right, batch_format="pyarrow")
+
+    def _merge(group: pa.Table) -> pa.Table:
+        side = np.array(group.column("_side").to_pylist())
+        ts = group.column("_ts").to_numpy(zero_copy_only=False)
+        lmask, rmask = side == "L", side == "R"
+        lrows = group.filter(pa.array(lmask))
+        if lrows.num_rows == 0:
+            return pa.Table.from_pydict(
+                {c: pa.array([], _out_type(c)) for c in left_schema_cols + right_cols}
+            )
+        rrows = group.filter(pa.array(rmask))
+        lts = ts[lmask]
+        out = {c: lrows.column(c) for c in left_schema_cols}
+        if rrows.num_rows == 0:
+            for c in right_cols:
+                out[c] = pa.nulls(lrows.num_rows, _rtype(rrows, c))
+            return pa.Table.from_pydict(out)
+        rts = ts[rmask]
+        if right_tiebreak:
+            tb = rrows.column(right_tiebreak).to_numpy(zero_copy_only=False)
+            rorder = np.lexsort((tb, rts))  # ts asc, tiebreak asc -> last wins
+        else:
+            rorder = np.argsort(rts, kind="stable")
+        rts_sorted = rts[rorder]
+        # index of latest right with rts <= lts
+        pos = np.searchsorted(rts_sorted, lts, side="right") - 1
+        take = np.where(pos >= 0, rorder[np.clip(pos, 0, None)], 0)
+        null_mask = pa.array(pos < 0)
+        for c in right_cols:
+            col = rrows.column(c).take(pa.array(take, pa.int64()))
+            col = pc.if_else(null_mask, pa.nulls(lrows.num_rows, col.type), col)
+            out[c] = col
+        return pa.Table.from_pydict(out)
+
+    def _rtype(rrows: pa.Table, c: str):
+        return rrows.schema.field(c).type
+
+    def _out_type(c: str):  # only hit for fully-empty groups
+        return pa.null()
+
+    merged = lt.union(rt)
+    return merged.groupby("_k").map_groups(_merge, batch_format="pyarrow")

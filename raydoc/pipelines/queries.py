@@ -1,0 +1,816 @@
+"""Operator-level query registry: the driver contract's ``queries()`` /
+``oracle_sql()`` pairs (SURVEY.md §3.4 entry point B).
+
+Every implemented operator family from SURVEY.md §2 is exercised by at
+least one named query over /root/testdata tables; each SQL-expressible
+query carries a DuckDB oracle with IDENTICAL column names. Floats that
+involve order-dependent accumulation (sums of doubles) are rounded
+half-away-from-zero on both sides (ops.numeric.round_half_up == SQL
+round()); ratios/means divide exactly-counted values so they are
+bit-identical without rounding tricks.
+
+Pure registry — no ray.init/shutdown here (driver owns the session).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raydoc.ops.numeric import round_col
+from raydoc.ops.predicates import add_route_column, filter_ds
+from raydoc.ops.relational import (
+    broadcast_join,
+    distinct_on,
+    group_top_k,
+    grouped_agg,
+    shuffle_join,
+    top_k,
+    union_all,
+)
+from raydoc.ops.template import render_op
+from raydoc.ops.text import STOPWORDS
+from raydoc.ops.window import asof_join, sessionize, stamp_tumbling_window
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish relational queries
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered grouped aggregate over lineitem with
+    partial pre-aggregation (SURVEY.md §2.5 aggregations)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+    import datetime as _dt
+
+    cutoff = pa.scalar(_dt.datetime.fromisoformat(Q1_CUTOFF), pa.timestamp("us"))
+
+    def _prep(b: pa.Table) -> pa.Table:
+        mask = pc.less_equal(b.column("l_shipdate"), cutoff)
+        b = b.filter(mask)
+        disc_price = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return b.append_column("disc_price", disc_price)
+
+    agg = grouped_agg(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty": ("sum", "l_quantity"),
+            "sum_base_price": ("sum", "l_extendedprice"),
+            "sum_disc_price": ("sum", "disc_price"),
+            "avg_qty": ("mean", "l_quantity"),
+            "avg_price": ("mean", "l_extendedprice"),
+            "avg_disc": ("mean", "l_discount"),
+            "count_order": ("count", "l_quantity"),
+        },
+    )
+
+    def _round(b: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            b = round_col(b, c, 2)
+        for c in ("avg_qty", "avg_price", "avg_disc"):
+            b = round_col(b, c, 6)
+        return b
+
+    return agg.map_batches(_round, batch_format="pyarrow")
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       round(sum(l_quantity) / count(l_quantity), 6)        AS avg_qty,
+       round(sum(l_extendedprice) / count(l_quantity), 6)   AS avg_price,
+       round(sum(l_discount) / count(l_quantity), 6)        AS avg_disc,
+       count(l_quantity)                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q3_DATE = "1997-06-30"
+
+
+def q3_revenue_topk(sf_dir: str):
+    """TPC-H Q3 shape: broadcast join (small customer side) + shuffle
+    join (orders x lineitem) + grouped revenue + global top-k."""
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+    import datetime as _dt
+
+    cutoff = pa.scalar(_dt.datetime.fromisoformat(Q3_DATE), pa.timestamp("us"))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cutoff)),
+        batch_format="pyarrow",
+    )
+    orders = broadcast_join(orders, cust, "o_custkey", "c_custkey")
+
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def _rev(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_shipdate"), cutoff))
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.Table.from_pydict(
+            {"l_orderkey": b.column("l_orderkey"), "rev": rev}
+        )
+
+    line = line.map_batches(_rev, batch_format="pyarrow")
+    joined = shuffle_join(
+        line, orders.select_columns(["o_orderkey", "o_orderdate"]),
+        on="l_orderkey", right_on="o_orderkey",
+    )
+    agg = grouped_agg(
+        joined,
+        keys=["l_orderkey", "o_orderdate"],
+        aggs={"revenue": ("sum", "rev")},
+    )
+    agg = agg.map_batches(lambda b: round_col(b, "revenue", 2), batch_format="pyarrow")
+    return top_k(agg, "revenue", 10, descending=True, tiebreak="l_orderkey")
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate  > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(sf_dir: str):
+    """Multi-way join: broadcast the small dimension chain
+    (region->nation->customer) once, shuffle-join the two fact tables."""
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, cust, "o_custkey", "c_custkey")
+    orders = broadcast_join(
+        orders, nation.select(["n_nationkey", "n_name"]), "c_nationkey", "n_nationkey"
+    )
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.Table.from_pydict({"l_orderkey": b.column("l_orderkey"), "rev": rev})
+
+    line = line.map_batches(_rev, batch_format="pyarrow")
+    joined = shuffle_join(
+        line, orders.select_columns(["o_orderkey", "n_name"]),
+        on="l_orderkey", right_on="o_orderkey",
+    )
+    agg = grouped_agg(joined, keys=["n_name"], aggs={"revenue": ("sum", "rev")})
+    return agg.map_batches(lambda b: round_col(b, "revenue", 2), batch_format="pyarrow")
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM nation JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey   = c_custkey
+            JOIN lineitem ON l_orderkey  = o_orderkey
+GROUP BY n_name
+"""
+
+
+def switch_route_orders(sf_dir: str):
+    """Switch/Categorize routing as data: first-match-wins route column,
+    then per-route counts (predicate algebra, switch.py:90-129)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    branches = [
+        ("urgent", [{"column": "o_orderpriority", "operator": "contains",
+                     "value": "URGENT"}], "and"),
+        ("big", [{"column": "o_totalprice", "operator": ">", "value": 400000.0}],
+         "and"),
+    ]
+    routed = ds.map_batches(
+        lambda b: add_route_column(b, branches, default="rest"),
+        batch_format="pyarrow",
+    )
+    agg = grouped_agg(
+        routed, keys=["route"],
+        aggs={"n": ("count", "o_orderkey"), "sum_totalprice": ("sum", "o_totalprice")},
+    )
+    return agg.map_batches(
+        lambda b: round_col(b, "sum_totalprice", 2), batch_format="pyarrow"
+    )
+
+
+SWITCH_SQL = """
+SELECT CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 'urgent'
+            WHEN o_totalprice > 400000.0 THEN 'big'
+            ELSE 'rest' END AS route,
+       count(*) AS n, round(sum(o_totalprice), 2) AS sum_totalprice
+FROM orders GROUP BY route
+"""
+
+
+def filter_parts(sf_dir: str):
+    """Predicate-algebra filter: contains + numeric >= + end-with."""
+    ds = _read(sf_dir, "part")
+    return filter_ds(
+        ds,
+        [
+            {"column": "p_type", "operator": "contains", "value": "STANDARD"},
+            {"column": "p_size", "operator": "≥", "value": 20},
+        ],
+        logic="and",
+    )
+
+
+FILTER_PARTS_SQL = """
+SELECT * FROM part WHERE p_type LIKE '%STANDARD%' AND p_size >= 20
+"""
+
+
+def top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return top_k(ds, "o_totalprice", 10, descending=True, tiebreak="o_orderkey")
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def distinct_segments(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return grouped_agg(
+        ds, keys=["c_mktsegment"], aggs={"n_customers": ("count", "c_custkey")}
+    )
+
+
+DISTINCT_SEGMENTS_SQL = """
+SELECT c_mktsegment, count(c_custkey) AS n_customers FROM customer GROUP BY c_mktsegment
+"""
+
+
+def nation_region_join(sf_dir: str):
+    """Broadcast lookup join (the reference's two-step lookups,
+    qweather.py:67-74)."""
+    nation = _read(sf_dir, "nation")
+    region = _read_small(sf_dir, "region")
+    joined = broadcast_join(nation, region, "n_regionkey", "r_regionkey")
+    return joined.select_columns(["n_nationkey", "n_name", "r_name"])
+
+
+NATION_REGION_SQL = """
+SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def union_nation_keys(sf_dir: str):
+    """Union + exact distinct (concat fan-in canvas.py:247 + dedup
+    base.py:474)."""
+    c = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"nationkey": b.column("c_nationkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    s = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"nationkey": b.column("s_nationkey").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct_on(union_all(c, s), "nationkey")
+
+
+UNION_NATION_SQL = """
+SELECT DISTINCT nationkey FROM (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+  UNION ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+"""
+
+
+def template_render_customers(sf_dir: str):
+    """Template op: per-row literal substitution (template.py:70-139)."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    ds = ds.map_batches(
+        render_op("Customer {c_name} in segment {c_mktsegment}", out_col="rendered"),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(["c_custkey", "rendered"])
+
+
+TEMPLATE_SQL = """
+SELECT c_custkey, 'Customer ' || c_name || ' in segment ' || c_mktsegment AS rendered
+FROM customer
+"""
+
+# --------------------------------------------------------------------------
+# events: windows, sessions, as-of, regex extract, per-group top-k
+
+
+def events_by_type(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    agg = grouped_agg(
+        ds, keys=["event_type"],
+        aggs={"n_events": ("count", "event_id"), "sum_value": ("sum", "value"),
+              "avg_value": ("mean", "value")},
+    )
+
+    def _r(b: pa.Table) -> pa.Table:
+        b = round_col(b, "sum_value", 2)
+        return round_col(b, "avg_value", 6)
+
+    return agg.map_batches(_r, batch_format="pyarrow")
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type, count(event_id) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(sum(value) / count(event_id), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: floor event time to the hour, then an
+    ordinary grouped aggregate (no global sort)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+    ds = ds.map_batches(
+        lambda b: stamp_tumbling_window(b, "ts", "hour"), batch_format="pyarrow"
+    )
+    agg = grouped_agg(
+        ds, keys=["window_start"],
+        aggs={"n_events": ("count", "event_id"), "sum_value": ("sum", "value")},
+    )
+    return agg.map_batches(lambda b: round_col(b, "sum_value", 2), batch_format="pyarrow")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, count(event_id) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY window_start
+"""
+
+
+def events_sessionize(sf_dir: str):
+    """Gap-based sessionization (30 min) per user."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return sessionize(ds, "user_id", "ts", gap_minutes=30.0)
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def events_user_topk(sf_dir: str):
+    """Per-group top-k (the reference's per-query top_n,
+    retrieval.py:100-112): top 3 events per user by value."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return group_top_k(ds, "user_id", "value", 3, descending=True,
+                       tiebreak="event_id")
+
+
+EVENTS_USER_TOPK_SQL = """
+SELECT event_id, user_id, value FROM (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rk
+  FROM events) WHERE rk <= 3
+"""
+
+
+def events_extract_k(sf_dir: str):
+    """Regex field extraction (the ExeSQL SQL-extractor pattern,
+    exesql.py:63-76): pull the integer k out of the props JSON."""
+    import re
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    rx = re.compile(r"\d+")
+
+    def _ext(b: pa.Table) -> pa.Table:
+        ks = [int(rx.search(p).group()) if p and rx.search(p) else None
+              for p in b.column("props").to_pylist()]
+        return pa.Table.from_pydict(
+            {"event_id": b.column("event_id"), "k": pa.array(ks, pa.int64())}
+        )
+
+    return ds.map_batches(_ext, batch_format="pyarrow")
+
+
+EVENTS_EXTRACT_SQL = r"""
+SELECT event_id, CAST(regexp_extract(props, '\d+') AS BIGINT) AS k FROM events
+"""
+
+
+def asof_events_orders(sf_dir: str):
+    """As-of join: each event matched to the user's most recent prior
+    order (largest orderkey among same-date ties)."""
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = asof_join(
+        events, orders,
+        key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "o_orderkey",
+                               "o_totalprice"])
+
+
+ASOF_SQL = """
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+FROM events e LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1
+) o ON true
+"""
+
+# --------------------------------------------------------------------------
+# documents: text analysis, dedup, keywords
+
+
+def docs_token_count(sf_dir: str):
+    from raydoc.ops.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(lambda b: token_count_batch(b, "text"), batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens"])
+
+
+DOCS_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+       END AS n_tokens
+FROM documents
+"""
+
+
+def docs_quality(sf_dir: str):
+    from raydoc.ops.text import quality_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(lambda b: quality_batch(b, "text"), batch_format="pyarrow")
+    return ds.select_columns(
+        ["doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "mean_token_len"]
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+DOCS_QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE CAST(len(list_filter(toks, x -> lower(x) IN ({_STOP_SQL}))) AS DOUBLE)
+            / len(toks) END AS stopword_ratio,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g')) AS DOUBLE)
+            / length(text) END AS punct_ratio,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            / len(toks) END AS mean_token_len
+FROM t
+"""
+
+
+def docs_fingerprint(sf_dir: str):
+    from raydoc.ops.text import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(lambda b: fingerprint_batch(b, "text"), batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+DOCS_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+"""
+
+
+def docs_langid(sf_dir: str):
+    """Language-ID heuristic (no SQL oracle — marker-argmax isn't
+    reasonably SQL-expressible; validated in pytest against the lang
+    column instead)."""
+    from raydoc.ops.text import langid_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = ds.map_batches(lambda b: langid_batch(b, "text"), batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def docs_exact_dedup(sf_dir: str):
+    from raydoc.ops.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds, "text", "doc_id")
+    return out.select_columns(["doc_id", "n_copies"])
+
+
+DOCS_EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
+"""
+
+
+def docs_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates (no SQL oracle; pytest validates
+    against planted near-duplicates and exact n-gram Jaccard)."""
+    from raydoc.ops.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+
+
+def docs_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (no SQL oracle; pytest-validated)."""
+    from raydoc.ops.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+
+
+def keyword_topn_global(sf_dir: str):
+    """Global top-20 token frequency: explode (flat_map analog of
+    Iteration, iteration.py:33-45) + partial-agg + top-k."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _explode(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            cnt.update((t or "").split())
+        return pa.Table.from_pydict(
+            {"token": pa.array(list(cnt.keys()), pa.string()),
+             "n": pa.array(list(cnt.values()), pa.int64())}
+        )
+
+    partial = ds.map_batches(_explode, batch_format="pyarrow")
+    total = grouped_agg(partial, keys=["token"], aggs={"n": ("sum", "n")})
+    return top_k(total, "n", 20, descending=True, tiebreak="token")
+
+
+KEYWORD_TOPN_SQL = r"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents WHERE trim(text) <> '')
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
+def keyword_per_doc(sf_dir: str):
+    """Per-doc top-3 tokens by frequency (KeywordExtract's deterministic
+    double, keyword.py:24-72), restricted to doc_id < 50."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = filter_ds(ds, [{"column": "doc_id", "operator": "<", "value": 50}])
+
+    def _tf(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, toks, tfs = [], [], []
+        for i, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            for tok, n in Counter((t or "").split()).items():
+                ids.append(i)
+                toks.append(tok)
+                tfs.append(n)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()), "token": pa.array(toks, pa.string()),
+             "tf": pa.array(tfs, pa.int64())}
+        )
+
+    tf = ds.map_batches(_tf, batch_format="pyarrow")
+    return group_top_k(tf, "doc_id", "tf", 3, descending=True, tiebreak="token")
+
+
+KEYWORD_PER_DOC_SQL = r"""
+SELECT doc_id, token, tf FROM (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY count(*) DESC, token ASC) AS rk
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents WHERE doc_id < 50 AND trim(text) <> '')
+  GROUP BY doc_id, token) WHERE rk <= 3
+"""
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search
+
+
+def embeddings_knn(sf_dir: str):
+    """Exact cosine top-5 for query vectors = embeddings of vec_id 0..4
+    (self excluded). Output ranks only — cosine floats stay internal so
+    accumulation order can't break the value-hash."""
+    from raydoc.ops.similarity import knn_brute_force
+
+    qt = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), 5))
+    idx = pc.sort_indices(qt.column("vec_id"))
+    qt = qt.take(idx)
+    queries = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_brute_force(ds, queries, k=5, exclude_ids=[0, 1, 2, 3, 4])
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
+EMBEDDINGS_KNN_SQL = """
+SELECT q.vec_id AS query_id, CAST(row_number() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                  e.vec_id ASC) AS BIGINT) AS rank,
+       e.vec_id
+FROM embeddings q JOIN embeddings e ON e.vec_id >= 5
+WHERE q.vec_id < 5
+QUALIFY rank <= 5
+"""
+
+
+def embeddings_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs at 0.95 (no SQL oracle at scale;
+    pytest validates on planted duplicates)."""
+    from raydoc.ops.dedup import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(ds, "vec_id", "embedding", threshold=0.95)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+# --------------------------------------------------------------------------
+# flagship extraction (synthetic pages corpus; rows-only driver check)
+
+_FLAGSHIP_CAP = 2000  # cap pages in the correctness path; bench runs full sf
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.001
+
+
+def _flagship_pages_path(sf_dir: str) -> str:
+    """Pages corpus for this scale factor, capped at _FLAGSHIP_CAP rows
+    in the correctness path (bench.py runs the uncapped corpus)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from raydoc.corpus import ensure_pages_parquet, gen_rows, n_pages_for_sf
+
+    sf = _sf_of(sf_dir)
+    n = min(n_pages_for_sf(sf), _FLAGSHIP_CAP)
+    if n >= n_pages_for_sf(sf):
+        return ensure_pages_parquet(sf, seed=42)
+    path = f"/tmp/raydoc_pages/cap{n}"
+    os.makedirs(path, exist_ok=True)
+    f = os.path.join(path, "pages.parquet")
+    if not os.path.exists(f):
+        pq.write_table(gen_rows(0, n), f + ".tmp")
+        os.replace(f + ".tmp", f)
+    return path
+
+
+def flagship_extract(sf_dir: str):
+    """The north-star pipeline over the synthetic pages corpus."""
+    from raydoc.pipelines.extract_pipeline import extract_dataset
+
+    ds = extract_dataset(_flagship_pages_path(sf_dir))
+    return ds.select_columns(["url", "text", "n_chunks", "status"])
+
+
+def flagship_chunks(sf_dir: str):
+    """Chunk table of the flagship pipeline (explode of the nested
+    chunks column)."""
+    from raydoc.pipelines.extract_pipeline import extract_dataset
+    from raydoc.stages.extract_stage import explode_chunks
+
+    ds = extract_dataset(_flagship_pages_path(sf_dir))
+    return ds.map_batches(explode_chunks, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_revenue_topk": q3_revenue_topk,
+    "q5_nation_revenue": q5_nation_revenue,
+    "switch_route_orders": switch_route_orders,
+    "filter_parts": filter_parts,
+    "top_orders": top_orders,
+    "distinct_segments": distinct_segments,
+    "nation_region_join": nation_region_join,
+    "union_nation_keys": union_nation_keys,
+    "template_render_customers": template_render_customers,
+    "events_by_type": events_by_type,
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
+    "events_user_topk": events_user_topk,
+    "events_extract_k": events_extract_k,
+    "asof_events_orders": asof_events_orders,
+    "docs_token_count": docs_token_count,
+    "docs_quality": docs_quality,
+    "docs_fingerprint": docs_fingerprint,
+    "docs_langid": docs_langid,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_minhash_pairs": docs_minhash_pairs,
+    "docs_simhash_pairs": docs_simhash_pairs,
+    "keyword_topn_global": keyword_topn_global,
+    "keyword_per_doc": keyword_per_doc,
+    "embeddings_knn": embeddings_knn,
+    "embeddings_near_dup": embeddings_near_dup,
+    "flagship_extract": flagship_extract,
+    "flagship_chunks": flagship_chunks,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_revenue_topk": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "switch_route_orders": SWITCH_SQL,
+    "filter_parts": FILTER_PARTS_SQL,
+    "top_orders": TOP_ORDERS_SQL,
+    "distinct_segments": DISTINCT_SEGMENTS_SQL,
+    "nation_region_join": NATION_REGION_SQL,
+    "union_nation_keys": UNION_NATION_SQL,
+    "template_render_customers": TEMPLATE_SQL,
+    "events_by_type": EVENTS_BY_TYPE_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_user_topk": EVENTS_USER_TOPK_SQL,
+    "events_extract_k": EVENTS_EXTRACT_SQL,
+    "asof_events_orders": ASOF_SQL,
+    "docs_token_count": DOCS_TOKEN_COUNT_SQL,
+    "docs_quality": DOCS_QUALITY_SQL,
+    "docs_fingerprint": DOCS_FINGERPRINT_SQL,
+    "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
+    "keyword_topn_global": KEYWORD_TOPN_SQL,
+    "keyword_per_doc": KEYWORD_PER_DOC_SQL,
+    "embeddings_knn": EMBEDDINGS_KNN_SQL,
+    # intentionally no oracle (driver does rows-only checks):
+    # docs_langid, docs_minhash_pairs, docs_simhash_pairs,
+    # embeddings_near_dup, flagship_extract, flagship_chunks
+}
