@@ -1,0 +1,189 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline extraction pipeline plus representative operator
+pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1) with
+ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and prints
+ONE JSON line:
+
+    {"metric": "docs_per_sec_extracted", "value": N, "unit": "sec"?,
+     "queries": {...per-query seconds...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the headline pipeline twice in FRESH subprocesses
+(num_cpus=8 then 32) on the same input and reports both throughputs +
+scaling efficiency (sandbox stand-in for the north rule's N vs 4N
+nodes; see BASELINE.md).
+
+This script OWNS its Ray session (unlike __ray_entry__).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_revenue_topk",
+    "q5_nation_revenue",
+    "events_hourly",
+    "events_sessionize",
+    "asof_events_orders",
+    "docs_minhash_pairs",
+    "embeddings_knn",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _consume(res) -> int:
+    """Drain a query result without materializing it on the driver."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, (pd.DataFrame, pa.Table)):
+        return len(res)
+    return 0
+
+
+def run_headline(sf: float, num_cpus: int) -> dict:
+    """Full checkpointed extraction pipeline over the pages corpus for
+    this sf: read -> extract actor pool -> partition groupby -> atomic
+    parquet + manifests. Returns docs/sec and stage details."""
+    from raydoc.corpus import ensure_pages_parquet, n_pages_for_sf
+    from raydoc.pipelines.extract_pipeline import run_extract_pipeline
+
+    pages = ensure_pages_parquet(sf)  # cached after first call
+    out = f"/tmp/raydoc_bench/out_sf{sf}_c{num_cpus}"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    t0 = time.perf_counter()
+    summary = run_extract_pipeline(pages, out)
+    wall = time.perf_counter() - t0
+    n = summary["n_docs"]
+    return {
+        "n_docs": n,
+        "wall_sec": wall,
+        "docs_per_sec": n / wall,
+        "text_mb": summary["text_bytes"] / 1e6,
+        "n_chunks": summary["n_chunks"],
+        "n_parts": summary["num_parts"],
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    if args.scaling:
+        return scaling(sf_dir, sf)
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    head = run_headline(sf, num_cpus)
+
+    queries: dict[str, float] = {}
+    if not args.headline_only:
+        from raydoc.pipelines.queries import QUERIES
+
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            _consume(QUERIES[name](sf_dir))
+            queries[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "docs_per_sec_extracted",
+        "value": round(head["docs_per_sec"], 2),
+        "unit": "docs/sec",
+        "headline": {k: (round(v, 3) if isinstance(v, float) else v)
+                     for k, v in head.items()},
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+    return 0
+
+
+def scaling(sf_dir: str, sf: float) -> int:
+    """Same headline job in fresh processes at 8 and 32 CPUs."""
+    # ensure the corpus is generated once (not billed to either run)
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             logging_level="ERROR")
+    from raydoc.corpus import ensure_pages_parquet
+
+    ensure_pages_parquet(sf)
+    ray.shutdown()
+
+    results = {}
+    for cpus in (8, 32):
+        code = (
+            "import sys, json; sys.path.insert(0, %r)\n"
+            "import ray\n"
+            "ray.init(address='local', num_cpus=%d, include_dashboard=False,"
+            " logging_level='ERROR')\n"
+            "from ray.data import DataContext\n"
+            "DataContext.get_current().enable_progress_bars = False\n"
+            "from bench import run_headline\n"
+            "print('RESULT ' + json.dumps(run_headline(%r, %d)))\n"
+            "ray.shutdown()\n" % (REPO, cpus, sf, cpus)
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            print(json.dumps({"error": f"scaling run cpus={cpus} failed",
+                              "stderr": proc.stderr[-800:]}))
+            return 1
+        results[cpus] = json.loads(line[-1][7:])
+
+    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+    eff = (t32 / t8) / 4.0
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 3),
+        "docs_per_sec_8cpu": round(t8, 2),
+        "docs_per_sec_32cpu": round(t32, 2),
+        "speedup": round(t32 / t8, 3),
+        "sf": sf,
+        "n_docs": results[32]["n_docs"],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

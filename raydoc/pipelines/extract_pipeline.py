@@ -110,6 +110,15 @@ def run_extract_pipeline(
     total_rows = sum(pq.read_metadata(f).num_rows for f in files)
     P = num_parts or parts_for(total_rows)
 
+    # Keyed (hash) repartition requires the hash shuffle strategy, and the
+    # DataContext is captured when the dataset is CREATED — set it before
+    # read_parquet, restore after execution.
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
     done = committed_partitions(out_dir)
     ds = rd.read_parquet(pages_path, columns=["url", "html"])
     ds = ds.map_batches(lambda b: add_part_id(b, P), batch_format="pyarrow")
@@ -125,29 +134,67 @@ def run_extract_pipeline(
 
         ds = ds.map_batches(_not_done, batch_format="pyarrow")
 
-    # part_id survives map_batches only if the stage keeps it; ExtractStage
-    # rebuilds its output table, so re-stamp afterwards (cheap) instead of
-    # widening the stage contract.
+    # Extract WITHOUT chunks: chunking is recomputed after the shuffle in
+    # the write task, so the one all-to-all exchange moves (url, text,
+    # spans, metrics) — not a second nested copy of every text.
     extracted = ds.map_batches(
         ExtractStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        fn_constructor_kwargs={"token_budget": token_budget},
+        fn_constructor_kwargs={"token_budget": token_budget,
+                               "with_chunks": False},
         concurrency=concurrency or default_concurrency(),
     )
-    extracted = extracted.map_batches(lambda b: add_part_id(b, P), batch_format="pyarrow")
-
-    def _write_group(group: pa.Table) -> pa.Table:
-        part_id = int(group.column("part_id")[0].as_py())
-        chunks = explode_chunks(group)
-        ext = group.drop_columns(["chunks", "part_id"])
-        row = write_partition_atomic(out_dir, part_id, ext, chunks)
-        return pa.Table.from_pylist([row])
-
-    manifests_ds = extracted.groupby("part_id").map_groups(
-        _write_group, batch_format="pyarrow"
+    extracted = extracted.map_batches(
+        lambda b: add_part_id(b.drop_columns(["chunks", "n_chunks"]), P),
+        batch_format="pyarrow",
     )
-    new_manifests = manifests_ds.take_all()  # tiny: one row per partition
+
+    # HASH repartition by part_id (no sort): rows of one part_id land in
+    # exactly one output block. This replaced a sort-based
+    # groupby().map_groups() that cost ~10x the extraction time at sf0.1.
+    extracted = extracted.repartition(num_blocks=P, keys=["part_id"], sort=False)
+
+    def _write_block(block: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        from raydoc.extract.chunker import chunk_document as _chunk
+
+        rows_out = []
+        pids = block.column("part_id").to_numpy(zero_copy_only=False)
+        for part_id in sorted(set(pids.tolist())):
+            grp = block.filter(pa.array(pids == part_id))
+            # recompute chunks post-shuffle (pure per-row function)
+            chunk_lists = [
+                _chunk(t, [dict(s) for s in sp], token_budget) if st == "ok" else []
+                for t, sp, st in zip(
+                    grp.column("text").to_pylist(),
+                    grp.column("spans").to_pylist(),
+                    grp.column("status").to_pylist(),
+                )
+            ]
+            from raydoc.stages.extract_stage import _CHUNK_TYPE
+
+            grp = grp.append_column(
+                "chunks", pa.array(chunk_lists, pa.list_(_CHUNK_TYPE))
+            ).append_column(
+                "n_chunks",
+                pa.array([len(c) for c in chunk_lists], pa.int32()),
+            )
+            chunks = explode_chunks(grp)
+            ext = grp.drop_columns(["chunks", "part_id"])
+            rows_out.append(
+                write_partition_atomic(out_dir, int(part_id), ext, chunks)
+            )
+        return pa.Table.from_pylist(rows_out)
+
+    try:
+        manifests_ds = extracted.map_batches(
+            _write_block, batch_format="pyarrow", batch_size=None
+        )
+        new_manifests = manifests_ds.take_all()  # tiny: one row per partition
+    finally:
+        ctx.shuffle_strategy = prev_strategy
 
     all_manifests = load_manifests(out_dir)
     return {

@@ -1,0 +1,232 @@
+"""Spec runner: dict/JSON pipeline spec -> validated operator chain.
+
+The engine's deliberately-thin analogue of the reference's Canvas DSL
+loader (``Canvas.load`` parses component JSON, resolves classes from a
+registry, validates params, /root/reference/agent/canvas.py:101-126,
+component/__init__.py:56-59, base.py:109-161). Differences by design:
+
+* the spec is a LINEAR chain of dataset transforms, not a cyclic graph —
+  Ray Data's streaming executor replaces the frontier scheduler
+  (SURVEY.md §2.1); branch routing is a `route` column + filters.
+* params are validated by the same style of imperative checkers the
+  reference uses (check_* predicates, base.py:226-285) before anything
+  runs.
+
+Spec format:
+
+    {"source": {"op": "read_parquet", "path": ...,
+                "columns": [...optional...]},
+     "stages": [{"op": <name>, ...params...}, ...],
+     "sink":   {"op": "write_parquet", "path": ...} | {"op": "collect"}}
+
+Registered stage ops (each maps to one library operator): filter,
+route, template, extract, chunk_explode, token_count, quality, langid,
+fingerprint, simhash, tumbling_window, grouped_agg, top_k, group_top_k,
+distinct_on, limit, select, broadcast_join_parquet.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+__all__ = ["run_spec", "validate_spec", "STAGE_REGISTRY"]
+
+
+class SpecError(ValueError):
+    pass
+
+
+def _check(cond: bool, msg: str) -> None:
+    if not cond:
+        raise SpecError(msg)
+
+
+def _require(params: dict, *keys: str) -> None:
+    for k in keys:
+        _check(k in params, f"missing required param {k!r}")
+
+
+# op name -> (validator(params), builder(ds, params) -> ds)
+
+
+def _b_filter(ds, p):
+    from raydoc.ops.predicates import filter_ds
+
+    return filter_ds(ds, p["conditions"], p.get("logic", "and"))
+
+
+def _b_route(ds, p):
+    from raydoc.ops.predicates import add_route_column
+
+    branches = [(b["name"], b["conditions"], b.get("logic", "and"))
+                for b in p["branches"]]
+
+    return ds.map_batches(
+        lambda t: add_route_column(t, branches, p.get("default", "default")),
+        batch_format="pyarrow",
+    )
+
+
+def _b_template(ds, p):
+    from raydoc.ops.template import render_op
+
+    return ds.map_batches(
+        render_op(p["template"], p.get("out_col", "rendered")),
+        batch_format="pyarrow",
+    )
+
+
+def _b_extract(ds, p):
+    from raydoc.pipelines.extract_pipeline import default_concurrency
+    from raydoc.stages.extract_stage import ExtractStage
+
+    return ds.map_batches(
+        ExtractStage,
+        batch_format="pyarrow",
+        batch_size=p.get("batch_size", 64),
+        fn_constructor_kwargs={"token_budget": p.get("token_budget", 256)},
+        concurrency=default_concurrency(),
+    )
+
+
+def _b_chunk_explode(ds, p):
+    from raydoc.stages.extract_stage import explode_chunks
+
+    return ds.map_batches(explode_chunks, batch_format="pyarrow")
+
+
+def _map_b(fn_name: str):
+    def build(ds, p):
+        from raydoc.ops import text as t
+
+        fn = getattr(t, fn_name)
+        col = p.get("column", "text")
+        return ds.map_batches(lambda b: fn(b, col), batch_format="pyarrow")
+
+    return build
+
+
+def _b_window(ds, p):
+    from raydoc.ops.window import stamp_tumbling_window
+
+    return ds.map_batches(
+        lambda b: stamp_tumbling_window(
+            b, p["ts_col"], p.get("unit", "hour"), p.get("out_col", "window_start")
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _b_grouped_agg(ds, p):
+    from raydoc.ops.relational import grouped_agg
+
+    aggs = {name: (a["fn"], a["column"]) for name, a in p["aggs"].items()}
+    return grouped_agg(ds, p["keys"], aggs)
+
+
+def _b_top_k(ds, p):
+    from raydoc.ops.relational import top_k
+
+    return top_k(ds, p["key"], p["k"], p.get("descending", True), p.get("tiebreak"))
+
+
+def _b_group_top_k(ds, p):
+    from raydoc.ops.relational import group_top_k
+
+    return group_top_k(ds, p["group_key"], p["sort_key"], p["k"],
+                       p.get("descending", True), p.get("tiebreak"))
+
+
+def _b_distinct(ds, p):
+    from raydoc.ops.relational import distinct_on
+
+    return distinct_on(ds, p["key"], p.get("keep", "min"), p.get("order_col"))
+
+
+def _b_limit(ds, p):
+    return ds.limit(p["n"])
+
+
+def _b_select(ds, p):
+    return ds.select_columns(p["columns"])
+
+
+def _b_bjoin(ds, p):
+    import pyarrow.parquet as pq
+
+    from raydoc.ops.relational import broadcast_join
+
+    small = pq.read_table(p["path"], columns=p.get("columns"))
+    return broadcast_join(ds, small, p["left_on"], p["right_on"],
+                          p.get("how", "inner"))
+
+
+STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
+    "filter": (lambda p: _require(p, "conditions"), _b_filter),
+    "route": (lambda p: _require(p, "branches"), _b_route),
+    "template": (lambda p: _require(p, "template"), _b_template),
+    "extract": (lambda p: None, _b_extract),
+    "chunk_explode": (lambda p: None, _b_chunk_explode),
+    "token_count": (lambda p: None, _map_b("token_count_batch")),
+    "quality": (lambda p: None, _map_b("quality_batch")),
+    "langid": (lambda p: None, _map_b("langid_batch")),
+    "fingerprint": (lambda p: None, _map_b("fingerprint_batch")),
+    "tumbling_window": (lambda p: _require(p, "ts_col"), _b_window),
+    "grouped_agg": (lambda p: _require(p, "keys", "aggs"), _b_grouped_agg),
+    "top_k": (lambda p: _require(p, "key", "k"), _b_top_k),
+    "group_top_k": (lambda p: _require(p, "group_key", "sort_key", "k"),
+                    _b_group_top_k),
+    "distinct_on": (lambda p: _require(p, "key"), _b_distinct),
+    "limit": (lambda p: _require(p, "n"), _b_limit),
+    "select": (lambda p: _require(p, "columns"), _b_select),
+    "broadcast_join_parquet": (
+        lambda p: _require(p, "path", "left_on", "right_on"), _b_bjoin),
+}
+
+_VALID_PREDICATE_OPS = None
+
+
+def validate_spec(spec: dict) -> None:
+    """Fail fast with a readable message BEFORE any execution — the
+    engine's param.check() (base.py:163-173)."""
+    from raydoc.ops.predicates import OPERATORS
+
+    _check(isinstance(spec, dict), "spec must be a dict")
+    _check("source" in spec, "spec needs a 'source'")
+    src = spec["source"]
+    _check(src.get("op") == "read_parquet", "source.op must be 'read_parquet'")
+    _require(src, "path")
+    for i, st in enumerate(spec.get("stages", [])):
+        op = st.get("op")
+        _check(op in STAGE_REGISTRY, f"stage[{i}]: unknown op {op!r}")
+        STAGE_REGISTRY[op][0]({k: v for k, v in st.items() if k != "op"})
+        for cond in st.get("conditions", []) + [
+            c for b in st.get("branches", []) for c in b.get("conditions", [])
+        ]:
+            _check(cond.get("operator") in OPERATORS,
+                   f"stage[{i}]: unknown predicate operator {cond.get('operator')!r}")
+    sink = spec.get("sink", {"op": "collect"})
+    _check(sink.get("op") in ("collect", "write_parquet", "count"),
+           f"unknown sink {sink.get('op')!r}")
+    if sink["op"] == "write_parquet":
+        _require(sink, "path")
+
+
+def run_spec(spec: dict) -> Any:
+    """Validate then execute. Returns a Dataset ('collect'), row count
+    ('count'), or output path ('write_parquet')."""
+    import ray.data as rd
+
+    validate_spec(spec)
+    src = spec["source"]
+    ds = rd.read_parquet(src["path"], columns=src.get("columns"))
+    for st in spec.get("stages", []):
+        params = {k: v for k, v in st.items() if k != "op"}
+        ds = STAGE_REGISTRY[st["op"]][1](ds, params)
+    sink = spec.get("sink", {"op": "collect"})
+    if sink["op"] == "write_parquet":
+        ds.write_parquet(sink["path"])
+        return sink["path"]
+    if sink["op"] == "count":
+        return ds.count()
+    return ds

@@ -1,0 +1,141 @@
+"""Tests for PDF layout parsing (reading order, table structure) and
+the spec runner."""
+
+import pyarrow as pa
+import pytest
+
+from raydoc.extract.layout import LayoutModel, make_fake_pdf
+
+
+class TestLayoutModel:
+    def test_reading_order_matches_golden(self):
+        model = LayoutModel()
+        for doc_id in range(30):
+            payload, golden = make_fake_pdf(doc_id)
+            res = model.extract(payload)
+            assert res["status"] == "ok"
+            assert res["text"] == golden, f"doc {doc_id} reading order wrong"
+
+    def test_spans_index_into_text(self):
+        model = LayoutModel()
+        payload, _ = make_fake_pdf(3)
+        res = model.extract(payload)
+        for sp in res["spans"]:
+            seg = res["text"][sp["start"]:sp["end"]]
+            assert seg and "\n" not in seg or sp["kind"] == "table"
+
+    def test_table_structure_grid(self):
+        model = LayoutModel()
+        cells = [
+            {"bbox": [200, 100, 280, 116], "kind": "cell", "text": "b1"},
+            {"bbox": [36, 100, 120, 116], "kind": "cell", "text": "a1"},
+            {"bbox": [36, 130, 120, 146], "kind": "cell", "text": "a2"},
+            {"bbox": [200, 131, 280, 147], "kind": "cell", "text": "b2"},
+        ]
+        assert model.table_structure(cells) == "a1 | b1\na2 | b2"
+
+    def test_real_codec_boundary(self):
+        with pytest.raises(NotImplementedError):
+            LayoutModel(codec="pdfminer")
+
+    def test_garbage_payload_in_band_error(self):
+        res = LayoutModel().extract(b"\x00\x01junk")
+        assert res["status"] == "error" and res["text"] == ""
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLayoutStage:
+    def test_pdf_stage_and_chunks(self):
+        import ray.data as rd
+
+        from raydoc.stages.layout_stage import PdfExtractStage
+
+        rows = []
+        for i in range(12):
+            payload, golden = make_fake_pdf(i)
+            rows.append({"url": f"pdf://{i}", "payload": payload, "golden": golden})
+        ds = rd.from_items(rows).drop_columns(["golden"])
+        out = ds.map_batches(
+            PdfExtractStage, batch_size=4, concurrency=2, batch_format="pyarrow"
+        ).to_pandas().set_index("url")
+        for r in rows:
+            assert out.loc[r["url"], "text"] == r["golden"]
+            assert out.loc[r["url"], "status"] == "ok"
+
+    def test_mixed_stage_dispatch(self):
+        import ray.data as rd
+
+        from raydoc.corpus import gen_row
+        from raydoc.stages.layout_stage import MixedExtractStage
+
+        pdf_payload, pdf_golden = make_fake_pdf(1)
+        html_row = gen_row(5)
+        ds = rd.from_items([
+            {"url": "pdf://1", "payload": pdf_payload},
+            {"url": html_row["url"], "payload": html_row["html"]},
+        ])
+        out = ds.map_batches(
+            MixedExtractStage, batch_size=2, concurrency=2, batch_format="pyarrow"
+        ).to_pandas().set_index("url")
+        assert out.loc["pdf://1", "text"] == pdf_golden
+        assert out.loc[html_row["url"], "status"] == "ok"
+        assert len(out.loc[html_row["url"], "text"]) > 50
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSpecRunner:
+    def test_validate_rejects_bad_spec(self):
+        from raydoc.pipelines.spec import SpecError, validate_spec
+
+        with pytest.raises(SpecError, match="unknown op"):
+            validate_spec({"source": {"op": "read_parquet", "path": "x"},
+                           "stages": [{"op": "nope"}]})
+        with pytest.raises(SpecError, match="unknown predicate operator"):
+            validate_spec({
+                "source": {"op": "read_parquet", "path": "x"},
+                "stages": [{"op": "filter",
+                            "conditions": [{"column": "a", "operator": "~~"}]}],
+            })
+        with pytest.raises(SpecError, match="missing required param"):
+            validate_spec({"source": {"op": "read_parquet", "path": "x"},
+                           "stages": [{"op": "top_k", "key": "v"}]})
+
+    def test_run_spec_chain(self, sf_dir):
+        from raydoc.pipelines.spec import run_spec
+
+        spec = {
+            "source": {"op": "read_parquet",
+                       "path": f"{sf_dir}/orders.parquet",
+                       "columns": ["o_orderkey", "o_totalprice",
+                                   "o_orderpriority"]},
+            "stages": [
+                {"op": "filter", "conditions": [
+                    {"column": "o_orderpriority", "operator": "contains",
+                     "value": "URGENT"}]},
+                {"op": "top_k", "key": "o_totalprice", "k": 5,
+                 "tiebreak": "o_orderkey"},
+                {"op": "select", "columns": ["o_orderkey", "o_totalprice"]},
+            ],
+            "sink": {"op": "collect"},
+        }
+        out = run_spec(spec).to_pandas()
+        assert len(out) == 5
+        assert list(out["o_totalprice"]) == sorted(out["o_totalprice"], reverse=True)
+
+    def test_run_spec_extract_pipeline(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from raydoc.corpus import gen_rows
+        from raydoc.pipelines.spec import run_spec
+
+        src = str(tmp_path / "pages.parquet")
+        pq.write_table(gen_rows(0, 40), src)
+        spec = {
+            "source": {"op": "read_parquet", "path": src,
+                       "columns": ["url", "html"]},
+            "stages": [{"op": "extract", "batch_size": 16},
+                       {"op": "chunk_explode"}],
+            "sink": {"op": "count"},
+        }
+        n = run_spec(spec)
+        assert n > 40  # more chunks than docs

@@ -1,0 +1,105 @@
+"""End-to-end pipeline tests: golden per-url byte-identity, crash
+resume, partitioning invariance (SURVEY.md §5 items 2 and 4)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from raydoc.corpus import gen_row, gen_rows
+from raydoc.extract.chunker import chunk_document
+from raydoc.extract.html_extract import extract_page
+
+N_GOLDEN = 120  # small corpus; every template variant + pathological strides
+
+
+def _golden():
+    """Single-threaded reference extraction (the oracle)."""
+    out = {}
+    for i in range(N_GOLDEN):
+        row = gen_row(i)
+        res = extract_page(row["html"])
+        out[row["url"]] = res
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGoldenExtraction:
+    @pytest.fixture(scope="class")
+    def pages_file(self, tmp_path_factory):
+        p = tmp_path_factory.mktemp("pages") / "pages.parquet"
+        pq.write_table(gen_rows(0, N_GOLDEN), str(p))
+        return str(p)
+
+    def test_byte_identical_per_url_any_partitioning(self, pages_file):
+        from raydoc.pipelines.extract_pipeline import extract_dataset
+
+        golden = _golden()
+        # two different batch sizes -> different block/batch boundaries
+        for bs in (7, 64):
+            ds = extract_dataset(pages_file, batch_size=bs, concurrency=2)
+            got = {r["url"]: r for r in ds.take_all()}
+            assert set(got) == set(golden)
+            for url, g in golden.items():
+                assert got[url]["text"] == g["text"], f"text differs for {url}"
+                assert got[url]["status"] == g["status"]
+                assert [dict(s) for s in got[url]["spans"]] == g["spans"]
+
+    def test_chunker_consistency(self, pages_file):
+        from raydoc.pipelines.extract_pipeline import extract_dataset
+
+        golden = _golden()
+        ds = extract_dataset(pages_file, batch_size=32, concurrency=2)
+        for r in ds.take_all():
+            g = golden[r["url"]]
+            expect = chunk_document(g["text"], g["spans"], 256)
+            got = [dict(c) for c in r["chunks"]]
+            assert got == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResume:
+    def test_resume_skips_committed_and_matches(self, tmp_path):
+        from raydoc.pipelines.extract_pipeline import run_extract_pipeline
+        from raydoc.state.manifest import committed_partitions
+
+        pages = str(tmp_path / "pages.parquet")
+        pq.write_table(gen_rows(0, 200), pages)
+        out1 = str(tmp_path / "out1")
+        s1 = run_extract_pipeline(pages, out1, num_parts=6, concurrency=2)
+        assert s1["n_docs"] == 200 and s1["n_parts_committed"] == 6
+
+        # simulate a crash: drop half the manifests, corrupt their data
+        for m in sorted(glob.glob(os.path.join(out1, "_manifest", "*.json")))[::2]:
+            pid = m.split("part-")[1].split(".")[0]
+            os.remove(m)
+            with open(os.path.join(out1, "extracted", f"part-{pid}.parquet"), "wb") as f:
+                f.write(b"partial garbage")
+        assert len(committed_partitions(out1)) == 3
+
+        s2 = run_extract_pipeline(pages, out1, num_parts=6, concurrency=2)
+        assert s2["n_parts_skipped_resume"] == 3
+        assert s2["n_parts_written"] == 3
+        assert s2["n_docs"] == 200
+
+        # full rerun from scratch must be byte-identical
+        out2 = str(tmp_path / "out2")
+        run_extract_pipeline(pages, out2, num_parts=6, concurrency=2)
+        det_cols = ["url", "text", "spans", "n_chunks", "status", "error"]
+        t1 = pq.read_table(os.path.join(out1, "extracted"), columns=det_cols).sort_by("url")
+        t2 = pq.read_table(os.path.join(out2, "extracted"), columns=det_cols).sort_by("url")
+        assert t1.equals(t2)
+
+    def test_manifest_checksums_stable(self, tmp_path):
+        from raydoc.pipelines.extract_pipeline import run_extract_pipeline
+        from raydoc.state.manifest import load_manifests
+
+        pages = str(tmp_path / "pages.parquet")
+        pq.write_table(gen_rows(0, 60), pages)
+        outs = []
+        for name in ("a", "b"):
+            out = str(tmp_path / name)
+            run_extract_pipeline(pages, out, num_parts=4, concurrency=2)
+            outs.append({m["part_id"]: m["checksum"] for m in load_manifests(out)})
+        assert outs[0] == outs[1]
