@@ -117,8 +117,13 @@ def shuffle_join(
     num_partitions: int | None = None,
 ):
     """Big x big hash-shuffle join via ``Dataset.join`` with an explicit
-    partition count (defaults to cluster CPU count; at real scale size it
-    to total-bytes / target-partition-bytes)."""
+    partition count.
+
+    Each join partition costs an aggregator actor, so the count must
+    track DATA size, not CPU count (measured at sf0.1/32 CPUs: 8
+    partitions -> 4.7 s, 64 partitions -> 10.9 s for the same join). The
+    default suits up to a few GB; at real scale pass
+    ~total_bytes / 256 MB."""
     if isinstance(on, str):
         on = (on,)
     if isinstance(right_on, str):
@@ -126,7 +131,7 @@ def shuffle_join(
     return left.join(
         right,
         join_type=how,
-        num_partitions=num_partitions or _cpu_cap() * 2,
+        num_partitions=num_partitions or max(4, _cpu_cap() // 4),
         on=on,
         right_on=right_on,
     )

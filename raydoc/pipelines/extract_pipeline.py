@@ -6,16 +6,19 @@ Ray-Data-first layout (SURVEY.md §3.4 entry point A):
       -> filter committed partitions (broadcast set, no shuffle)
       -> map_batches(ExtractStage, actor pool)      # html dropped here
       -> add part_id = crc32(url) % P               # stable, process-independent
-      -> groupby(part_id).map_groups(write_partition_atomic)
+      -> repartition(P, keys=[part_id])             # HASH shuffle, no sort
+      -> map_batches(chunk + write_partition_atomic, whole blocks)
       -> manifest rows (tiny)
 
-The ONE all-to-all exchange is the groupby(part_id) — and it runs on
-post-extraction rows (html already dropped), so the shuffle moves
-extracted text, not raw multi-MB html. Partitioning key is url-hash
-throughout (host skew broken by design: a hot host's pages spread
-uniformly over partitions). At 100 TB the same plan holds: P scales
-with input size (`parts_for`), each partition commits independently,
-and a killed job resumes from the committed-manifest set.
+The ONE all-to-all exchange is the keyed hash repartition — it runs on
+post-extraction rows (html already dropped, chunks not yet computed),
+so the shuffle moves each text exactly once: (url, text, spans,
+metrics). Chunking is recomputed after the shuffle inside the write
+task (pure per-row function, so placement is free). Partitioning key is
+url-hash throughout (host skew broken by design: a hot host's pages
+spread uniformly over partitions). At 100 TB the same plan holds: P
+scales with input size (`parts_for`), each partition commits
+independently, and a killed job resumes from the committed-manifest set.
 """
 
 from __future__ import annotations
@@ -61,7 +64,7 @@ def extract_dataset(
     pages_path: str,
     token_budget: int = 256,
     concurrency: int | None = None,
-    batch_size: int = 64,
+    batch_size: int = 128,
 ):
     """pages parquet -> lazy Dataset of extracted rows (nested chunks).
 
@@ -86,7 +89,7 @@ def run_extract_pipeline(
     out_dir: str,
     num_parts: int | None = None,
     token_budget: int = 256,
-    batch_size: int = 64,
+    batch_size: int = 128,
     concurrency: int | None = None,
 ) -> dict:
     """Checkpointed, resumable flagship run. Returns a summary dict.

@@ -458,6 +458,21 @@ SELECT event_id, CAST(regexp_extract(props, '\d+') AS BIGINT) AS k FROM events
 """
 
 
+def events_sample(sf_dir: str):
+    """Deterministic hash sampling at 10% (seeded-sampling analog of
+    message.py:43's random.choice, made partition-stable)."""
+    from raydoc.ops.sampling import hash_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return hash_sample(ds, "event_id", 10)
+
+
+EVENTS_SAMPLE_SQL = """
+SELECT event_id, event_type, value FROM events
+WHERE ((event_id * 1103515245 + 12345) % 2147483648) % 100 < 10
+"""
+
+
 def asof_events_orders(sf_dir: str):
     """As-of join: each event matched to the user's most recent prior
     order (largest orderkey among same-date ties)."""
@@ -770,6 +785,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_user_topk": events_user_topk,
     "events_extract_k": events_extract_k,
+    "events_sample": events_sample,
     "asof_events_orders": asof_events_orders,
     "docs_token_count": docs_token_count,
     "docs_quality": docs_quality,
@@ -802,6 +818,7 @@ ORACLES = {
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_user_topk": EVENTS_USER_TOPK_SQL,
     "events_extract_k": EVENTS_EXTRACT_SQL,
+    "events_sample": EVENTS_SAMPLE_SQL,
     "asof_events_orders": ASOF_SQL,
     "docs_token_count": DOCS_TOKEN_COUNT_SQL,
     "docs_quality": DOCS_QUALITY_SQL,

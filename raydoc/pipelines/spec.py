@@ -83,7 +83,7 @@ def _b_extract(ds, p):
     return ds.map_batches(
         ExtractStage,
         batch_format="pyarrow",
-        batch_size=p.get("batch_size", 64),
+        batch_size=p.get("batch_size", 128),
         fn_constructor_kwargs={"token_budget": p.get("token_budget", 256)},
         concurrency=default_concurrency(),
     )

@@ -51,9 +51,10 @@ class ExtractStage:
     """pages(url, html, ...) -> extracted(+ nested chunks), html dropped.
 
     Use: ``ds.map_batches(ExtractStage, fn_constructor_kwargs={...},
-    batch_format="pyarrow", batch_size=64, concurrency=N)``.
-    Small batch_size because each input row carries a multi-KB..MB html
-    payload (SURVEY.md §7 hard part 2).
+    batch_format="pyarrow", batch_size=128, concurrency=N)``.
+    batch_size caps batch bytes because each input row carries a
+    multi-KB..MB html payload (SURVEY.md §7 hard part 2); 128 measured
+    best at 32 CPUs (64 within 7%, 32 halves throughput).
     """
 
     def __init__(self, token_budget: int = 256, with_chunks: bool = True) -> None:
