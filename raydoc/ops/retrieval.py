@@ -1,0 +1,105 @@
+"""Hybrid retrieval: keyword + vector scored top-k over a document
+corpus with embeddings.
+
+Engine counterpart of the reference's Retrieval component
+(/root/reference/agent/component/retrieval.py:100-112) and the hybrid
+similarity used for citation insertion (token 0.7 / vector 0.3,
+generate.py:92-125): score(doc) = kw_weight * token_overlap +
+(1 - kw_weight) * cosine(embedding).
+
+Shape: the query set (tokens + unit vectors) is ``ray.put`` once;
+every batch task scores its rows against all queries in one numpy
+matmul + set intersections, keeps a local top-k per query, and one
+small per-query groupby reduces to the global top-k. The corpus is
+never shuffled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["hybrid_retrieve"]
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def hybrid_retrieve(
+    ds,
+    queries: list[dict],
+    top_n: int = 10,
+    kw_weight: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_col: str = "embedding",
+):
+    """queries: [{"query_id", "tokens": set/list, "vector": ndarray}].
+
+    Output: (query_id, rank, doc_id, score) — rank 1..top_n by hybrid
+    score desc, doc_id asc on ties.
+    """
+    import ray
+
+    q_tokens = [set(w.lower() for w in q["tokens"]) for q in queries]
+    q_ids = [int(q["query_id"]) for q in queries]
+    qmat = _unit(np.asarray([q["vector"] for q in queries], dtype=np.float64))
+    shared = ray.put((q_ids, q_tokens, qmat))
+
+    class _Scorer:
+        def __init__(self, ref) -> None:
+            self.q_ids, self.q_tokens, self.qmat = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            embs = _unit(np.asarray(batch.column(emb_col).to_pylist(),
+                                    dtype=np.float64))
+            cos = self.qmat @ embs.T  # (Q, B)
+            doc_tok = [set((t or "").lower().split()) for t in texts]
+            out = {"query_id": [], "doc_id": [], "score": []}
+            for qi, (qid, qt) in enumerate(zip(self.q_ids, self.q_tokens)):
+                qlen = max(len(qt), 1)
+                tok = np.fromiter(
+                    (len(qt & dt) / qlen for dt in doc_tok),
+                    dtype=np.float64, count=len(doc_tok),
+                )
+                score = kw_weight * tok + (1.0 - kw_weight) * cos[qi]
+                kk = min(top_n, len(ids))
+                part = np.argpartition(-score, kk - 1)[:kk] if len(ids) > kk \
+                    else np.arange(len(ids))
+                out["query_id"].extend([qid] * len(part))
+                out["doc_id"].extend([ids[i] for i in part])
+                out["score"].extend(score[part].tolist())
+            return pa.Table.from_pydict(
+                {"query_id": pa.array(out["query_id"], pa.int64()),
+                 "doc_id": pa.array(out["doc_id"], pa.int64()),
+                 "score": pa.array(out["score"], pa.float64())}
+            )
+
+    def _final(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+        )
+        top = group.take(idx.slice(0, top_n))
+        return top.append_column(
+            "rank", pa.array(range(1, top.num_rows + 1), pa.int64())
+        )
+
+    def _cap() -> int:
+        import ray as _r
+
+        c = int(_r.cluster_resources().get("CPU", 8)) if _r.is_initialized() else 8
+        return max(2, c - 1)
+
+    cands = ds.map_batches(
+        _Scorer, fn_constructor_args=(shared,), batch_format="pyarrow",
+        concurrency=(1, _cap()),
+    )
+    return cands.groupby("query_id").map_groups(_final, batch_format="pyarrow")

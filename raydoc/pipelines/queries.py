@@ -670,6 +670,131 @@ SELECT doc_id, token, tf FROM (
   GROUP BY doc_id, token) WHERE rk <= 3
 """
 
+_CAT_KEYWORDS = {
+    "querying": ["query", "filter", "scan"],
+    "storage": ["table", "row", "column"],
+    "compute": ["hash", "merge", "sort"],
+}
+
+
+def categorize_docs(sf_dir: str):
+    """Keyword-count argmax categorizer — the deterministic double of the
+    reference's LLM Categorize (substring-count argmax, fallback = last
+    category, categorize.py:93-107)."""
+    from raydoc.ops.classify import CategorizeStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        CategorizeStage,
+        fn_constructor_kwargs={"categories": _CAT_KEYWORDS},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["doc_id", "category"])
+
+
+def _count_sql(kws: list[str]) -> str:
+    terms = [
+        f"CAST((length(lower(text)) - length(replace(lower(text), '{k}', '')))"
+        f" / {len(k)} AS BIGINT)"
+        for k in kws
+    ]
+    return " + ".join(terms)
+
+
+CATEGORIZE_SQL = f"""
+SELECT doc_id,
+  CASE WHEN s1 >= s2 AND s1 >= s3 AND s1 > 0 THEN 'querying'
+       WHEN s2 >= s3 AND s2 > 0 THEN 'storage'
+       WHEN s3 > 0 THEN 'compute'
+       ELSE 'compute' END AS category
+FROM (SELECT doc_id,
+             {_count_sql(_CAT_KEYWORDS["querying"])} AS s1,
+             {_count_sql(_CAT_KEYWORDS["storage"])} AS s2,
+             {_count_sql(_CAT_KEYWORDS["compute"])} AS s3
+      FROM documents)
+"""
+
+_RELEVANT_QUERY = "vector hash join stream"
+
+
+def relevant_docs(sf_dir: str):
+    """Binary relevance gate (the reference's Relevant yes/no router,
+    relevant.py:24-79): yes iff >=2 query tokens occur in the doc."""
+    from raydoc.ops.classify import RelevantStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        RelevantStage,
+        fn_constructor_kwargs={"query": _RELEVANT_QUERY, "min_overlap": 2},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["doc_id", "relevant"])
+
+
+_REL_TOKS = ", ".join(f"'{w}'" for w in _RELEVANT_QUERY.split())
+RELEVANT_SQL = rf"""
+SELECT doc_id,
+  CASE WHEN trim(text) <> '' AND
+            len(list_filter([{_REL_TOKS}],
+                q -> list_contains(regexp_split_to_array(trim(lower(text)), '\s+'), q))) >= 2
+       THEN 'yes' ELSE 'no' END AS relevant
+FROM documents
+"""
+
+
+def hybrid_retrieval(sf_dir: str):
+    """Hybrid keyword+vector retrieval (retrieval.py:100-112 semantics;
+    0.7 token / 0.3 vector weights from generate.py:92-125): query =
+    document 7's tokens + embedding 7; top-10 docs by hybrid score."""
+    from raydoc.ops.relational import broadcast_join
+    from raydoc.ops.retrieval import hybrid_retrieve
+
+    qdoc = _read_small(sf_dir, "documents", ["doc_id", "text"])
+    qtext = qdoc.filter(pc.equal(qdoc.column("doc_id"), 7)).column("text")[0].as_py()
+    qemb_t = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qvec = np.asarray(
+        qemb_t.filter(pc.equal(qemb_t.column("vec_id"), 7))
+        .column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # map-side broadcast join: Ray's shuffle join rejects list<float>
+    # non-key columns, and the embedding side is the small one here (at
+    # scale embeddings live in the same table as the text)
+    corpus = broadcast_join(docs, qemb_t, "doc_id", "vec_id")
+
+    # distinct tokens, like the SQL oracle's list_distinct
+    out = hybrid_retrieve(
+        corpus,
+        [{"query_id": 7, "tokens": set(qtext.lower().split()),
+          "vector": qvec}],
+        top_n=10,
+    )
+    return out.select_columns(["doc_id", "rank"])
+
+
+HYBRID_SQL = r"""
+WITH q AS (
+  SELECT list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS qtoks,
+         (SELECT embedding FROM embeddings WHERE vec_id = 7) AS qvec
+  FROM documents WHERE doc_id = 7
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY hybrid DESC, doc_id ASC) AS BIGINT) AS rank
+FROM (
+  SELECT d.doc_id,
+         0.7 * (CAST(len(list_filter(q.qtoks,
+                  x -> list_contains(regexp_split_to_array(trim(lower(d.text)), '\s+'), x)))
+                AS DOUBLE) / len(q.qtoks))
+         + 0.3 * list_cosine_similarity(e.embedding, q.qvec) AS hybrid
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id, q
+)
+QUALIFY rank <= 10
+"""
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 
@@ -796,6 +921,9 @@ QUERIES = {
     "docs_simhash_pairs": docs_simhash_pairs,
     "keyword_topn_global": keyword_topn_global,
     "keyword_per_doc": keyword_per_doc,
+    "categorize_docs": categorize_docs,
+    "relevant_docs": relevant_docs,
+    "hybrid_retrieval": hybrid_retrieval,
     "embeddings_knn": embeddings_knn,
     "embeddings_near_dup": embeddings_near_dup,
     "flagship_extract": flagship_extract,
@@ -826,6 +954,9 @@ ORACLES = {
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "keyword_topn_global": KEYWORD_TOPN_SQL,
     "keyword_per_doc": KEYWORD_PER_DOC_SQL,
+    "categorize_docs": CATEGORIZE_SQL,
+    "relevant_docs": RELEVANT_SQL,
+    "hybrid_retrieval": HYBRID_SQL,
     "embeddings_knn": EMBEDDINGS_KNN_SQL,
     # intentionally no oracle (driver does rows-only checks):
     # docs_langid, docs_minhash_pairs, docs_simhash_pairs,
