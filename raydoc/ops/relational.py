@@ -27,13 +27,14 @@ __all__ = [
     "broadcast_join",
     "shuffle_join",
     "grouped_agg",
+    "grouped_quantile",
     "top_k",
     "group_top_k",
     "distinct_on",
     "union_all",
 ]
 
-_AGG_FUNCS = {"sum", "count", "mean", "min", "max"}
+_AGG_FUNCS = {"sum", "count", "mean", "min", "max", "std"}
 
 
 def broadcast_join(
@@ -159,10 +160,15 @@ def grouped_agg(
     # names outputs "<col>_<fn>"
     spec: list[tuple[str, str]] = []
     seen: set[tuple[str, str]] = set()
+    sq_cols: set[str] = set()  # std needs a sum-of-squares partial
     for _name, (fn, col) in aggs.items():
         wanted = {"sum": [("sum", col)], "count": [("count", col)],
                   "mean": [("sum", col), ("count", col)],
-                  "min": [("min", col)], "max": [("max", col)]}[fn]
+                  "min": [("min", col)], "max": [("max", col)],
+                  "std": [("sum", col), ("count", col),
+                          ("sum", f"{col}__sq")]}[fn]
+        if fn == "std":
+            sq_cols.add(col)
         for f, c in wanted:
             if (f, c) not in seen:
                 spec.append((c, f))
@@ -170,6 +176,10 @@ def grouped_agg(
 
     def _partial(batch: pa.Table) -> pa.Table:
         # works for zero-row batches too (empty table, correct schema)
+        for c in sq_cols:
+            batch = batch.append_column(
+                f"{c}__sq", pc.multiply(batch.column(c), batch.column(c))
+            )
         return batch.group_by(keys).aggregate(spec)
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
@@ -187,12 +197,45 @@ def grouped_agg(
                 v = (s / c) if c else None
             elif fn == "min":
                 v = pc.min(group.column(f"{col}_min")).as_py()
+            elif fn == "std":
+                import math
+
+                s = pc.sum(group.column(f"{col}_sum")).as_py()
+                sq = pc.sum(group.column(f"{col}__sq_sum")).as_py()
+                c2 = pc.sum(group.column(f"{col}_count")).as_py()
+                v = math.sqrt(max(sq / c2 - (s / c2) ** 2, 0.0)) if c2 else None
             else:
                 v = pc.max(group.column(f"{col}_max")).as_py()
             out[name] = [v]
         return pa.Table.from_pydict(out)
 
     return partial.groupby(keys).map_groups(_final, batch_format="pyarrow")
+
+
+def grouped_quantile(ds, keys: list[str], col: str, qs: dict[str, float]):
+    """Exact per-group continuous quantiles (linear interpolation at
+    rank q*(n-1) — DuckDB's quantile_cont semantics). Quantiles aren't
+    partial-aggregable exactly, so this is the one aggregate that
+    shuffles full groups; use the partial-agg path for everything else.
+    ``qs``: out_name -> quantile in [0, 1]."""
+    import numpy as np
+
+    def _q(group: pa.Table) -> pa.Table:
+        vals = np.sort(group.column(col).to_numpy(zero_copy_only=False))
+        out: dict[str, list] = {k: [group.column(k)[0].as_py()] for k in keys}
+        n = len(vals)
+        for name, q in qs.items():
+            if n == 0:
+                out[name] = [None]
+                continue
+            pos = q * (n - 1)
+            lo = int(pos)
+            hi = min(lo + 1, n - 1)
+            frac = pos - lo
+            out[name] = [float(vals[lo] + (vals[hi] - vals[lo]) * frac)]
+        return pa.Table.from_pydict(out)
+
+    return ds.groupby(keys).map_groups(_q, batch_format="pyarrow")
 
 
 def top_k(ds, key: str, k: int, descending: bool = True, tiebreak: str | None = None):

@@ -458,6 +458,48 @@ SELECT event_id, CAST(regexp_extract(props, '\d+') AS BIGINT) AS k FROM events
 """
 
 
+def events_value_std(sf_dir: str):
+    """Population stddev per event_type via partial aggregation
+    (sum/sumsq/count partials — no full-group shuffle)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    agg = grouped_agg(ds, keys=["event_type"],
+                      aggs={"std_value": ("std", "value")})
+    return agg.map_batches(lambda b: round_col(b, "std_value", 6),
+                           batch_format="pyarrow")
+
+
+EVENTS_STD_SQL = """
+SELECT event_type,
+       round(sqrt(sum(value * value) / count(value)
+                  - (sum(value) / count(value)) * (sum(value) / count(value))), 6)
+       AS std_value
+FROM events GROUP BY event_type
+"""
+
+
+def events_value_quantiles(sf_dir: str):
+    """Exact per-group p50/p90 (quantile_cont interpolation)."""
+    from raydoc.ops.relational import grouped_quantile
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = grouped_quantile(ds, ["event_type"], "value",
+                           {"p50_value": 0.5, "p90_value": 0.9})
+
+    def _r(b: pa.Table) -> pa.Table:
+        b = round_col(b, "p50_value", 6)
+        return round_col(b, "p90_value", 6)
+
+    return out.map_batches(_r, batch_format="pyarrow")
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50_value,
+       round(quantile_cont(value, 0.9), 6) AS p90_value
+FROM events GROUP BY event_type
+"""
+
+
 def events_sample(sf_dir: str):
     """Deterministic hash sampling at 10% (seeded-sampling analog of
     message.py:43's random.choice, made partition-stable)."""
@@ -911,6 +953,8 @@ QUERIES = {
     "events_user_topk": events_user_topk,
     "events_extract_k": events_extract_k,
     "events_sample": events_sample,
+    "events_value_std": events_value_std,
+    "events_value_quantiles": events_value_quantiles,
     "asof_events_orders": asof_events_orders,
     "docs_token_count": docs_token_count,
     "docs_quality": docs_quality,
@@ -947,6 +991,8 @@ ORACLES = {
     "events_user_topk": EVENTS_USER_TOPK_SQL,
     "events_extract_k": EVENTS_EXTRACT_SQL,
     "events_sample": EVENTS_SAMPLE_SQL,
+    "events_value_std": EVENTS_STD_SQL,
+    "events_value_quantiles": EVENTS_QUANTILES_SQL,
     "asof_events_orders": ASOF_SQL,
     "docs_token_count": DOCS_TOKEN_COUNT_SQL,
     "docs_quality": DOCS_QUALITY_SQL,
