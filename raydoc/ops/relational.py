@@ -26,6 +26,8 @@ import pyarrow.compute as pc
 __all__ = [
     "broadcast_join",
     "shuffle_join",
+    "broadcast_semi_join",
+    "shuffle_semi_join",
     "grouped_agg",
     "grouped_quantile",
     "top_k",
@@ -136,6 +138,93 @@ def shuffle_join(
         on=on,
         right_on=right_on,
     )
+
+
+def broadcast_semi_join(
+    ds,
+    keys: pa.Table,
+    left_on: str,
+    right_on: str,
+    anti: bool = False,
+):
+    """Semi/anti join against a SMALL key table without a shuffle
+    (EXISTS / NOT EXISTS — the relational form of the reference's
+    value-binding lookups, base.py:419-444).
+
+    The DISTINCT key set is ``ray.put`` once and each task filters its
+    batch by membership — no row multiplication, no all-to-all.
+    Assumption: the deduped key set fits in a worker's heap; use
+    ``shuffle_semi_join`` when it doesn't.
+    """
+    import ray
+
+    keys = keys.select([right_on])
+    keys_ref = ray.put(keys)
+
+    class _Member:
+        """Membership set built once per actor, not per batch."""
+
+        def __init__(self, ref) -> None:
+            tbl: pa.Table = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.keys = set(tbl.column(right_on).to_pylist())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lk = batch.column(left_on).to_pylist()
+            mask = pa.array([(k in self.keys) != anti for k in lk])
+            return batch.filter(mask)
+
+    return ds.map_batches(
+        _Member,
+        fn_constructor_args=(keys_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, _cpu_cap()),
+    )
+
+
+def shuffle_semi_join(
+    left,
+    right,
+    left_on: str,
+    right_on: str,
+    anti: bool = False,
+    num_partitions: int | None = None,
+):
+    """Big x big semi/anti join: dedup the right side to its DISTINCT
+    keys (so the shuffle moves one row per key and the join cannot
+    multiply left rows), stamp a presence marker, left-outer
+    ``Dataset.join``, then keep matched (semi) or unmatched (anti) rows.
+    """
+    import numpy as np
+
+    left_cols = list(left.schema().names)
+
+    def _mark(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                right_on: batch.column(right_on),
+                "__present": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int8), pa.int8()
+                ),
+            }
+        )
+
+    keys = distinct_on(
+        right.select_columns([right_on]), right_on
+    ).map_batches(_mark, batch_format="pyarrow")
+    joined = left.join(
+        keys,
+        join_type="left_outer",
+        num_partitions=num_partitions or max(4, _cpu_cap() // 4),
+        on=(left_on,),
+        right_on=(right_on,),
+    )
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        present = pc.is_valid(batch.column("__present"))
+        mask = pc.invert(present) if anti else present
+        return batch.filter(mask).select(left_cols)
+
+    return joined.map_batches(_keep, batch_format="pyarrow")
 
 
 def grouped_agg(

@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["knn_brute_force", "knn_lsh"]
+__all__ = ["knn_brute_force", "knn_lsh", "cosine_pairs_exact"]
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -106,6 +106,57 @@ def _cpu_cap() -> int:
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return max(2, cpus - 1)
+
+
+def cosine_pairs_exact(
+    ds,
+    corpus: pa.Table,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """EXACT all-pairs cosine >= threshold (the brute-force baseline the
+    LSH near-dup path in ops.dedup is measured against).
+
+    The normalized corpus matrix is ``ray.put`` once; each streaming
+    batch does one (B x N) matmul against the shared copy and keeps
+    pairs with id_a < id_b, so every unordered pair is emitted exactly
+    once and the result needs no dedup shuffle. Assumption: the corpus
+    matrix fits the object store (N x D x 8 bytes) — at 100 TB use
+    ``ops.dedup.embedding_near_dup_pairs`` (LSH) instead.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b.
+    """
+    import ray
+
+    ids = np.asarray(corpus.column(id_col).to_pylist(), dtype=np.int64)
+    mat = _unit(np.asarray(corpus.column(emb_col).to_pylist(), dtype=np.float64))
+    shared = ray.put((ids, mat))
+
+    class _Pairs:
+        def __init__(self, ref) -> None:
+            self.ids, self.mat = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+            bemb = _unit(np.asarray(batch.column(emb_col).to_pylist(), np.float64))
+            sims = bemb @ self.mat.T  # (B, N)
+            hit = (sims >= threshold) & (bids[:, None] < self.ids[None, :])
+            bi, ci = np.nonzero(hit)
+            return pa.Table.from_pydict(
+                {"id_a": pa.array(bids[bi], pa.int64()),
+                 "id_b": pa.array(self.ids[ci], pa.int64()),
+                 "cosine": pa.array(sims[bi, ci], pa.float64())}
+            )
+
+    return ds.map_batches(
+        _Pairs,
+        fn_constructor_args=(shared,),
+        batch_format="pyarrow",
+        concurrency=(1, _cpu_cap()),
+    )
 
 
 def knn_lsh(

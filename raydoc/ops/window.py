@@ -12,7 +12,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["stamp_tumbling_window", "sessionize", "asof_join"]
+__all__ = [
+    "stamp_tumbling_window",
+    "sessionize",
+    "asof_join",
+    "running_agg",
+    "lag_delta",
+    "group_rank",
+]
 
 
 def stamp_tumbling_window(batch: pa.Table, ts_col: str, unit: str = "hour",
@@ -74,6 +81,82 @@ def sessionize(ds, key_col: str, ts_col: str, gap_minutes: float = 30.0,
         return tbl
 
     return ds.groupby(key_col).map_groups(_sessions, batch_format="pyarrow")
+
+
+def _group_sorted(group: pa.Table, order_cols: list[str]) -> pa.Table:
+    idx = pc.sort_indices(group, sort_keys=[(c, "ascending") for c in order_cols])
+    return group.take(idx)
+
+
+def running_agg(ds, key_col: str, order_cols: list[str], val_col: str,
+                out_col: str = "run_sum", fn: str = "sum"):
+    """Per-key running aggregate in ``order_cols`` order — the SQL
+    window ``fn(val) OVER (PARTITION BY key ORDER BY order_cols)`` with
+    a default cumulative frame. ``fn`` in {sum, count, min, max}.
+
+    One shuffle (groupby key); vectorized sort + cumulative kernel per
+    group. Output: all input columns + ``out_col``. Partitioning
+    assumption: one key's full history fits a worker (range-partition
+    the order column and carry per-partition carry-in sums for
+    pathological keys).
+    """
+    kernels = {
+        "sum": np.cumsum,
+        "count": lambda v: np.arange(1, len(v) + 1, dtype=np.int64),
+        "min": np.minimum.accumulate,
+        "max": np.maximum.accumulate,
+    }
+    if fn not in kernels:
+        raise ValueError(f"unsupported running fn {fn}")
+
+    def _run(group: pa.Table) -> pa.Table:
+        g = _group_sorted(group, order_cols)
+        vals = g.column(val_col).to_numpy(zero_copy_only=False)
+        return g.append_column(out_col, pa.array(kernels[fn](vals)))
+
+    return ds.groupby(key_col).map_groups(_run, batch_format="pyarrow")
+
+
+def lag_delta(ds, key_col: str, order_cols: list[str], val_col: str,
+              out_col: str = "delta"):
+    """``val - lag(val)`` per key in ``order_cols`` order (null for each
+    key's first row) — SQL ``val - LAG(val) OVER (PARTITION BY key ORDER
+    BY order_cols)``. Same partitioning contract as ``running_agg``."""
+
+    def _delta(group: pa.Table) -> pa.Table:
+        g = _group_sorted(group, order_cols)
+        vals = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        delta = np.empty(len(vals), dtype=np.float64)
+        delta[0] = np.nan
+        if len(vals) > 1:
+            delta[1:] = vals[1:] - vals[:-1]
+        col = pa.array(delta, pa.float64(), from_pandas=True)  # NaN -> null
+        return g.append_column(out_col, col)
+
+    return ds.groupby(key_col).map_groups(_delta, batch_format="pyarrow")
+
+
+def group_rank(ds, key_col: str, sort_col: str, out_col: str = "rn",
+               descending: bool = True, tiebreak: str | None = None,
+               k: int | None = None):
+    """``row_number() OVER (PARTITION BY key ORDER BY sort_col [DESC],
+    tiebreak)`` with an optional ``rn <= k`` filter (per-group top-k
+    that KEEPS the rank column, unlike relational.group_top_k)."""
+    order = "descending" if descending else "ascending"
+    sort_keys = [(sort_col, order)] + (
+        [(tiebreak, "ascending")] if tiebreak else []
+    )
+
+    def _rank(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=sort_keys)
+        g = group.take(idx)
+        if k is not None:
+            g = g.slice(0, k)
+        return g.append_column(
+            out_col, pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64))
+        )
+
+    return ds.groupby(key_col).map_groups(_rank, batch_format="pyarrow")
 
 
 def asof_join(

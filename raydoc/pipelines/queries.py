@@ -218,6 +218,207 @@ GROUP BY n_name
 """
 
 
+def _ts(iso: str):
+    import datetime as _dt
+
+    return pa.scalar(_dt.datetime.fromisoformat(iso), pa.timestamp("us"))
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: pure filter + global sum — the pruned-read
+    fast path (only 4 columns leave the parquet reader)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo, hi = _ts("1996-01-01"), _ts("1997-01-01")
+
+    def _rev(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), lo),
+                pc.less(b.column("l_shipdate"), hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(b.column("l_discount"), pa.scalar(0.04)),
+                    pc.less_equal(b.column("l_discount"), pa.scalar(0.06)),
+                ),
+                pc.less(b.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        b = b.filter(mask)
+        rev = pc.multiply(b.column("l_extendedprice"), b.column("l_discount"))
+        return pa.Table.from_pydict(
+            {"k": pa.array([0] * b.num_rows, pa.int64()), "rev": rev}
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(_rev, batch_format="pyarrow"), keys=["k"],
+        aggs={"revenue": ("sum", "rev")},
+    )
+    agg = agg.map_batches(lambda b: round_col(b, "revenue", 2), batch_format="pyarrow")
+    return agg.select_columns(["revenue"])
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape: EXISTS semi-join (orders with at least one
+    deep-discount lineitem) via the shuffle semi-join — the right side
+    is deduped to distinct keys before the exchange so the join cannot
+    multiply rows."""
+    from raydoc.ops.relational import shuffle_semi_join
+
+    lo, hi = _ts("1996-01-01"), _ts("1997-01-01")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), lo),
+                pc.less(b.column("o_orderdate"), hi),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_discount"])
+    line = line.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("l_discount"), pa.scalar(0.09))),
+        batch_format="pyarrow",
+    )
+    semi = shuffle_semi_join(orders, line, "o_orderkey", "l_orderkey")
+    return grouped_agg(
+        semi, keys=["o_orderpriority"], aggs={"order_count": ("count", "o_orderkey")}
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
+GROUP BY o_orderpriority
+"""
+
+
+def q10_returned_topk(sf_dir: str):
+    """TPC-H Q10 shape: returned-item revenue per customer, global
+    top-20 — broadcast customer dimension, shuffle orders x lineitem."""
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def _rev(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.Table.from_pydict({"l_orderkey": b.column("l_orderkey"), "rev": rev})
+
+    line = line.map_batches(_rev, batch_format="pyarrow")
+    joined = shuffle_join(line, orders, on="l_orderkey", right_on="o_orderkey")
+    agg = grouped_agg(joined, keys=["o_custkey"], aggs={"revenue": ("sum", "rev")})
+    agg = broadcast_join(agg, cust, "o_custkey", "c_custkey")
+    agg = agg.map_batches(lambda b: round_col(b, "revenue", 2), batch_format="pyarrow")
+    top = top_k(agg, "revenue", 20, descending=True, tiebreak="o_custkey")
+    return top.select_columns(["o_custkey", "c_name", "revenue"])
+
+
+Q10_SQL = """
+SELECT o_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY o_custkey, c_name
+ORDER BY revenue DESC, o_custkey ASC
+LIMIT 20
+"""
+
+
+def q12_priority_class(sf_dir: str):
+    """TPC-H Q12 shape: CASE-conditional counts after a fact-fact
+    shuffle join, grouped by linestatus."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus"])
+    joined = shuffle_join(line, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def _classify(b: pa.Table) -> pa.Table:
+        prio = b.column("o_orderpriority")
+        high = pc.or_(pc.equal(prio, "1-URGENT"), pc.equal(prio, "2-HIGH"))
+        return pa.Table.from_pydict(
+            {
+                "l_linestatus": b.column("l_linestatus"),
+                "high": pc.cast(high, pa.int64()),
+                "low": pc.cast(pc.invert(high), pa.int64()),
+            }
+        )
+
+    classified = joined.map_batches(_classify, batch_format="pyarrow")
+    return grouped_agg(
+        classified, keys=["l_linestatus"],
+        aggs={"high_line_count": ("sum", "high"), "low_line_count": ("sum", "low")},
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+
+def anti_customers_inactive(sf_dir: str):
+    """NOT EXISTS anti-join (customers with no order in the final
+    window) via broadcast key-set membership — the key set is deduped
+    order customers, ray.put once."""
+    from raydoc.ops.relational import broadcast_semi_join
+
+    cutoff = _ts("2001-01-01")
+    recent = _read_small(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    recent = recent.filter(
+        pc.greater_equal(recent.column("o_orderdate"), cutoff)
+    ).select(["o_custkey"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    inactive = broadcast_semi_join(cust, recent, "c_custkey", "o_custkey", anti=True)
+    agg = grouped_agg(
+        inactive, keys=["c_mktsegment"],
+        aggs={"n": ("count", "c_custkey"), "sum_acctbal": ("sum", "c_acctbal")},
+    )
+    return agg.map_batches(
+        lambda b: round_col(b, "sum_acctbal", 2), batch_format="pyarrow"
+    )
+
+
+ANTI_CUSTOMERS_SQL = """
+SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
 def switch_route_orders(sf_dir: str):
     """Switch/Categorize routing as data: first-match-wins route column,
     then per-route counts (predicate algebra, switch.py:90-129)."""
@@ -543,6 +744,66 @@ FROM events e LEFT JOIN LATERAL (
 
 # --------------------------------------------------------------------------
 # documents: text analysis, dedup, keywords
+
+
+def events_running_sum(sf_dir: str):
+    """Window function: cumulative sum per user in event-time order
+    (ops.window.running_agg — one shuffle, vectorized cumsum)."""
+    from raydoc.ops.window import running_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = running_agg(ds, "user_id", ["ts", "event_id"], "value", out_col="run_sum")
+    out = out.map_batches(lambda b: round_col(b, "run_sum", 6), batch_format="pyarrow")
+    return out.select_columns(["event_id", "user_id", "run_sum"])
+
+
+EVENTS_RUNNING_SUM_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+         AS run_sum
+FROM events
+"""
+
+
+def events_lag_delta(sf_dir: str):
+    """Window function: value - lag(value) per user (null first event);
+    exact double subtraction, no rounding needed."""
+    from raydoc.ops.window import lag_delta
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = lag_delta(ds, "user_id", ["ts", "event_id"], "value", out_col="delta")
+    return out.select_columns(["event_id", "user_id", "delta"])
+
+
+EVENTS_LAG_DELTA_SQL = """
+SELECT event_id, user_id,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS delta
+FROM events
+"""
+
+
+def orders_rank_in_cust(sf_dir: str):
+    """Window function: row_number per customer by totalprice desc,
+    kept as a column (top-3 per customer with explicit ranks)."""
+    from raydoc.ops.window import group_rank
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = group_rank(
+        ds, "o_custkey", "o_totalprice", out_col="rn",
+        descending=True, tiebreak="o_orderkey", k=3,
+    )
+    return out.select_columns(["o_custkey", "o_orderkey", "rn"])
+
+
+ORDERS_RANK_SQL = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 3
+"""
 
 
 def docs_token_count(sf_dir: str):
@@ -880,6 +1141,29 @@ def embeddings_near_dup(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def embeddings_cosine_pairs(sf_dir: str):
+    """EXACT all-pairs cosine >= 0.4 (oracle-checked brute-force
+    baseline for the LSH near-dup path; threshold margin vs the sf0.01
+    and sf0.1 corpora is >= 1e-5, far above float noise)."""
+    from raydoc.ops.similarity import cosine_pairs_exact
+
+    corpus = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_pairs_exact(ds, corpus, threshold=0.4)
+    return pairs.map_batches(lambda b: round_col(b, "cosine", 6),
+                             batch_format="pyarrow")
+
+
+EMBEDDINGS_COSINE_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
 # --------------------------------------------------------------------------
 # flagship extraction (synthetic pages corpus; rows-only driver check)
 
@@ -940,6 +1224,11 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_revenue_topk": q3_revenue_topk,
     "q5_nation_revenue": q5_nation_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
+    "q10_returned_topk": q10_returned_topk,
+    "q12_priority_class": q12_priority_class,
+    "anti_customers_inactive": anti_customers_inactive,
     "switch_route_orders": switch_route_orders,
     "filter_parts": filter_parts,
     "top_orders": top_orders,
@@ -956,6 +1245,9 @@ QUERIES = {
     "events_value_std": events_value_std,
     "events_value_quantiles": events_value_quantiles,
     "asof_events_orders": asof_events_orders,
+    "events_running_sum": events_running_sum,
+    "events_lag_delta": events_lag_delta,
+    "orders_rank_in_cust": orders_rank_in_cust,
     "docs_token_count": docs_token_count,
     "docs_quality": docs_quality,
     "docs_fingerprint": docs_fingerprint,
@@ -970,6 +1262,7 @@ QUERIES = {
     "hybrid_retrieval": hybrid_retrieval,
     "embeddings_knn": embeddings_knn,
     "embeddings_near_dup": embeddings_near_dup,
+    "embeddings_cosine_pairs": embeddings_cosine_pairs,
     "flagship_extract": flagship_extract,
     "flagship_chunks": flagship_chunks,
 }
@@ -978,6 +1271,11 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_revenue_topk": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q10_returned_topk": Q10_SQL,
+    "q12_priority_class": Q12_SQL,
+    "anti_customers_inactive": ANTI_CUSTOMERS_SQL,
     "switch_route_orders": SWITCH_SQL,
     "filter_parts": FILTER_PARTS_SQL,
     "top_orders": TOP_ORDERS_SQL,
@@ -994,6 +1292,9 @@ ORACLES = {
     "events_value_std": EVENTS_STD_SQL,
     "events_value_quantiles": EVENTS_QUANTILES_SQL,
     "asof_events_orders": ASOF_SQL,
+    "events_running_sum": EVENTS_RUNNING_SUM_SQL,
+    "events_lag_delta": EVENTS_LAG_DELTA_SQL,
+    "orders_rank_in_cust": ORDERS_RANK_SQL,
     "docs_token_count": DOCS_TOKEN_COUNT_SQL,
     "docs_quality": DOCS_QUALITY_SQL,
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
@@ -1004,6 +1305,7 @@ ORACLES = {
     "relevant_docs": RELEVANT_SQL,
     "hybrid_retrieval": HYBRID_SQL,
     "embeddings_knn": EMBEDDINGS_KNN_SQL,
+    "embeddings_cosine_pairs": EMBEDDINGS_COSINE_PAIRS_SQL,
     # intentionally no oracle (driver does rows-only checks):
     # docs_langid, docs_minhash_pairs, docs_simhash_pairs,
     # embeddings_near_dup, flagship_extract, flagship_chunks

@@ -351,3 +351,92 @@ class TestMultimodal:
         )
         # media 0: 24 frames -> 2 samples at every_n=12
         assert len(out[out["media_id"] == 0]) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemiAntiJoin:
+    def test_broadcast_semi_and_anti(self):
+        import ray.data as rd
+
+        from raydoc.ops.relational import broadcast_semi_join
+
+        left = rd.from_arrow(_t(k=[1, 2, 3, 4], x=["a", "b", "c", "d"]))
+        keys = _t(rk=[2, 4, 4, 9])  # dup + miss in the key set
+        semi = broadcast_semi_join(left, keys, "k", "rk").to_pandas()
+        assert sorted(semi["k"]) == [2, 4]
+        anti = broadcast_semi_join(left, keys, "k", "rk", anti=True).to_pandas()
+        assert sorted(anti["k"]) == [1, 3]
+
+    def test_shuffle_semi_no_row_multiplication(self):
+        import ray.data as rd
+
+        from raydoc.ops.relational import shuffle_semi_join
+
+        left = rd.from_arrow(_t(k=[1, 1, 2, 3], x=["a", "a2", "b", "c"]))
+        right = rd.from_arrow(_t(rk=[1, 1, 1, 3], y=[0, 0, 0, 0]))
+        semi = shuffle_semi_join(left, right, "k", "rk").to_pandas()
+        # duplicate right keys must NOT multiply left rows
+        assert sorted(semi["k"]) == [1, 1, 3]
+        assert sorted(semi.columns) == ["k", "x"]
+        anti = shuffle_semi_join(left, right, "k", "rk", anti=True).to_pandas()
+        assert sorted(anti["k"]) == [2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWindowFunctions:
+    def test_running_sum_and_count(self):
+        import ray.data as rd
+
+        from raydoc.ops.window import running_agg
+
+        ds = rd.from_arrow(
+            _t(u=[1, 1, 1, 2], t=[3, 1, 2, 1], v=[10.0, 1.0, 2.0, 5.0])
+        )
+        out = running_agg(ds, "u", ["t"], "v", out_col="rs").to_pandas()
+        u1 = out[out["u"] == 1].sort_values("t")
+        assert list(u1["rs"]) == [1.0, 3.0, 13.0]
+        cnt = running_agg(ds, "u", ["t"], "v", out_col="c", fn="count").to_pandas()
+        assert sorted(cnt[cnt["u"] == 1]["c"]) == [1, 2, 3]
+
+    def test_lag_delta_null_first(self):
+        import ray.data as rd
+
+        from raydoc.ops.window import lag_delta
+
+        ds = rd.from_arrow(_t(u=[1, 1, 2], t=[1, 2, 1], v=[3.0, 7.5, 1.0]))
+        out = lag_delta(ds, "u", ["t"], "v").to_pandas().sort_values(["u", "t"])
+        vals = out["delta"].tolist()
+        assert vals[0] != vals[0] and vals[1] == 4.5  # NaN, exact delta
+        assert vals[2] != vals[2]
+
+    def test_group_rank_topk(self):
+        import ray.data as rd
+
+        from raydoc.ops.window import group_rank
+
+        ds = rd.from_arrow(
+            _t(g=["a", "a", "a", "b"], i=[1, 2, 3, 4], v=[5.0, 9.0, 9.0, 1.0])
+        )
+        out = group_rank(ds, "g", "v", tiebreak="i", k=2).to_pandas()
+        a = out[out["g"] == "a"].sort_values("rn")
+        assert list(a["i"]) == [2, 3] and list(a["rn"]) == [1, 2]
+        assert len(out[out["g"] == "b"]) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCosinePairs:
+    def test_exact_pairs_threshold(self):
+        import ray.data as rd
+
+        from raydoc.ops.similarity import cosine_pairs_exact
+
+        corpus = _t(
+            vec_id=[1, 2, 3, 4],
+            embedding=[[1.0, 0.0], [1.0, 0.01], [0.0, 1.0], [-1.0, 0.0]],
+        )
+        ds = rd.from_arrow(corpus)
+        out = cosine_pairs_exact(ds, corpus, threshold=0.9).to_pandas()
+        # only (1,2) is near-identical; each unordered pair exactly once
+        assert len(out) == 1
+        assert (out.iloc[0]["id_a"], out.iloc[0]["id_b"]) == (1, 2)
+        assert out.iloc[0]["cosine"] > 0.99
