@@ -22,7 +22,8 @@ Spec format:
 Registered stage ops (each maps to one library operator): filter,
 route, template, extract, chunk_explode, token_count, quality, langid,
 fingerprint, simhash, tumbling_window, grouped_agg, top_k, group_top_k,
-distinct_on, limit, select, broadcast_join_parquet.
+distinct_on, limit, select, broadcast_join_parquet, semi_join_parquet,
+running_agg, lag_delta, group_rank.
 """
 
 from __future__ import annotations
@@ -161,6 +162,37 @@ def _b_bjoin(ds, p):
                           p.get("how", "inner"))
 
 
+def _b_semi_join(ds, p):
+    import pyarrow.parquet as pq
+
+    from raydoc.ops.relational import broadcast_semi_join
+
+    keys = pq.read_table(p["path"], columns=[p["right_on"]])
+    return broadcast_semi_join(ds, keys, p["left_on"], p["right_on"],
+                               anti=p.get("anti", False))
+
+
+def _b_running_agg(ds, p):
+    from raydoc.ops.window import running_agg
+
+    return running_agg(ds, p["key_col"], p["order_cols"], p["val_col"],
+                       p.get("out_col", "run_sum"), p.get("fn", "sum"))
+
+
+def _b_lag_delta(ds, p):
+    from raydoc.ops.window import lag_delta
+
+    return lag_delta(ds, p["key_col"], p["order_cols"], p["val_col"],
+                     p.get("out_col", "delta"))
+
+
+def _b_group_rank(ds, p):
+    from raydoc.ops.window import group_rank
+
+    return group_rank(ds, p["key_col"], p["sort_col"], p.get("out_col", "rn"),
+                      p.get("descending", True), p.get("tiebreak"), p.get("k"))
+
+
 STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
     "filter": (lambda p: _require(p, "conditions"), _b_filter),
     "route": (lambda p: _require(p, "branches"), _b_route),
@@ -181,6 +213,13 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
     "select": (lambda p: _require(p, "columns"), _b_select),
     "broadcast_join_parquet": (
         lambda p: _require(p, "path", "left_on", "right_on"), _b_bjoin),
+    "semi_join_parquet": (
+        lambda p: _require(p, "path", "left_on", "right_on"), _b_semi_join),
+    "running_agg": (
+        lambda p: _require(p, "key_col", "order_cols", "val_col"), _b_running_agg),
+    "lag_delta": (
+        lambda p: _require(p, "key_col", "order_cols", "val_col"), _b_lag_delta),
+    "group_rank": (lambda p: _require(p, "key_col", "sort_col"), _b_group_rank),
 }
 
 _VALID_PREDICATE_OPS = None

@@ -139,3 +139,26 @@ class TestSpecRunner:
         }
         n = run_spec(spec)
         assert n > 40  # more chunks than docs
+
+    def test_run_spec_window_and_semi_join(self, sf_dir):
+        from raydoc.pipelines.spec import run_spec
+
+        spec = {
+            "source": {"op": "read_parquet",
+                       "path": f"{sf_dir}/events.parquet",
+                       "columns": ["event_id", "ts", "user_id", "value"]},
+            "stages": [
+                {"op": "running_agg", "key_col": "user_id",
+                 "order_cols": ["ts", "event_id"], "val_col": "value"},
+                {"op": "semi_join_parquet",
+                 "path": f"{sf_dir}/events.parquet",
+                 "left_on": "event_id", "right_on": "event_id"},
+                {"op": "group_rank", "key_col": "user_id",
+                 "sort_col": "run_sum", "tiebreak": "event_id", "k": 1},
+            ],
+            "sink": {"op": "collect"},
+        }
+        out = run_spec(spec).to_pandas()
+        # one top-ranked row per user; run_sum is that user's max cumsum
+        assert out["user_id"].is_unique
+        assert (out["rn"] == 1).all()
