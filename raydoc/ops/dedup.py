@@ -33,6 +33,7 @@ __all__ = [
     "simhash_batch",
     "simhash_pairs",
     "ngram_jaccard",
+    "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
 ]
 
@@ -268,6 +269,95 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
         return 1.0
     inter = len(sa & sb)
     return inter / (len(sa) + len(sb) - inter)
+
+
+def ngram_jaccard_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    candidate_threshold: float = 0.35,
+    shingle_k: int = 5,
+):
+    """EXACT n-gram Jaccard near-dup pairs, LSH-pruned.
+
+    Phase 1: MinHash+LSH candidates at a LOWER estimated threshold (so
+    near-threshold pairs aren't lost to estimation noise). Phase 2:
+    attach each side's text via a hash-partitioned groupby on the id
+    (tag-union-map_groups, the same co-partition pattern as
+    ops.window.asof_join — Ray's Dataset.join emits schemaless empty
+    blocks that break chained joins) and verify exact word-k-gram
+    Jaccard. The shuffle payload is candidate rows + one pass of the
+    doc texts per side, never all-pairs. Output: (id_a, id_b, jaccard)
+    with id_a < id_b, jaccard >= threshold.
+    """
+    candidates = minhash_lsh_pairs(
+        ds, text_col, id_col, shingle_k=shingle_k,
+        threshold=candidate_threshold,
+    )
+
+    txt_t = pa.large_string()
+
+    def _attach(pairs, side: str, carry: list[str]):
+        """Set ``text_<side>`` on each pair row by co-partitioning pair
+        rows and doc rows on that side's id."""
+        out_col = f"text_{side}"
+        key = f"id_{side}"
+        cols = ["id_a", "id_b", *carry]
+
+        def _tag_pairs(b: pa.Table) -> pa.Table:
+            d = {c: b.column(c) for c in cols}
+            d["_k"] = b.column(key)
+            d["_txt"] = pa.nulls(b.num_rows, txt_t)
+            d["_is_doc"] = pa.array([False] * b.num_rows, pa.bool_())
+            return pa.Table.from_pydict(d)
+
+        def _tag_docs(b: pa.Table) -> pa.Table:
+            d = {c: pa.nulls(b.num_rows, pa.int64() if c.startswith("id_")
+                             else txt_t) for c in cols}
+            d["_k"] = b.column(id_col)
+            d["_txt"] = b.column(text_col).cast(txt_t)
+            d["_is_doc"] = pa.array([True] * b.num_rows, pa.bool_())
+            return pa.Table.from_pydict(d)
+
+        tagged = pairs.map_batches(_tag_pairs, batch_format="pyarrow").union(
+            ds.map_batches(_tag_docs, batch_format="pyarrow")
+        )
+
+        def _merge(group: pa.Table) -> pa.Table:
+            is_doc = group.column("_is_doc").to_numpy(zero_copy_only=False)
+            prows = group.filter(pa.array(~is_doc))
+            out = {c: prows.column(c) for c in cols}
+            docs = group.filter(pa.array(is_doc))
+            txt = docs.column("_txt")[0] if docs.num_rows else None
+            out[out_col] = (
+                pa.array([txt.as_py()] * prows.num_rows, txt_t)
+                if txt is not None else pa.nulls(prows.num_rows, txt_t)
+            )
+            return pa.Table.from_pydict(out)
+
+        return tagged.groupby("_k").map_groups(_merge, batch_format="pyarrow")
+
+    withA = _attach(candidates, "a", carry=[])
+    withB = _attach(withA, "b", carry=["text_a"])
+
+    def _verify(b: pa.Table) -> pa.Table:
+        ia, ib, js = [], [], []
+        for a, bb, ta, tb in zip(
+            b.column("id_a").to_pylist(), b.column("id_b").to_pylist(),
+            b.column("text_a").to_pylist(), b.column("text_b").to_pylist(),
+        ):
+            j = ngram_jaccard(ta or "", tb or "", k=shingle_k)
+            if j >= threshold:
+                ia.append(a)
+                ib.append(bb)
+                js.append(j)
+        return pa.Table.from_pydict(
+            {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
+             "jaccard": pa.array(js, pa.float64())}
+        )
+
+    return withB.map_batches(_verify, batch_format="pyarrow")
 
 
 def embedding_near_dup_pairs(

@@ -126,7 +126,15 @@ def shuffle_join(
     track DATA size, not CPU count (measured at sf0.1/32 CPUs: 8
     partitions -> 4.7 s, 64 partitions -> 10.9 s for the same join). The
     default suits up to a few GB; at real scale pass
-    ~total_bytes / 256 MB."""
+    ~total_bytes / 256 MB.
+
+    Pitfall (Ray 2.49): join output contains SCHEMALESS empty blocks
+    for empty partitions, and map_batches skips empty blocks, so
+    feeding one join's output into another join's key resolution can
+    fail. Chain at most one Dataset.join per branch; for multi-hop
+    attach use the tag-union-groupby pattern (ops.dedup
+    ngram_jaccard_pairs, ops.window.asof_join). grouped_agg/groupby
+    consumers are unaffected."""
     if isinstance(on, str):
         on = (on,)
     if isinstance(right_on, str):

@@ -902,6 +902,16 @@ def docs_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
 
 
+def docs_jaccard_pairs(sf_dir: str):
+    """Exact n-gram-Jaccard near-dup pairs, LSH-pruned (no SQL oracle —
+    all-pairs Jaccard is infeasible in SQL; pytest validates planted
+    near-duplicates)."""
+    from raydoc.ops.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.5)
+
+
 def docs_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (no SQL oracle; pytest-validated)."""
     from raydoc.ops.dedup import simhash_pairs
@@ -1254,6 +1264,7 @@ QUERIES = {
     "docs_langid": docs_langid,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_minhash_pairs": docs_minhash_pairs,
+    "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_simhash_pairs": docs_simhash_pairs,
     "keyword_topn_global": keyword_topn_global,
     "keyword_per_doc": keyword_per_doc,

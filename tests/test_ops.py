@@ -440,3 +440,22 @@ class TestCosinePairs:
         assert len(out) == 1
         assert (out.iloc[0]["id_a"], out.iloc[0]["id_b"]) == (1, 2)
         assert out.iloc[0]["cosine"] > 0.99
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNgramJaccardPairs:
+    def test_exact_jaccard_verifies_candidates(self):
+        import ray.data as rd
+
+        from raydoc.ops.dedup import ngram_jaccard, ngram_jaccard_pairs
+
+        base = ("the quick brown fox jumps over the lazy dog and runs far "
+                "away into the deep dark forest tonight while stars shine") * 3
+        near = base.replace("lazy", "sleepy")
+        other = "completely different words about ray data pipelines " * 6
+        ds = rd.from_arrow(_t(doc_id=[0, 1, 2], text=[base, near, other]))
+        pairs = ngram_jaccard_pairs(ds, threshold=0.4).to_pandas()
+        assert set(zip(pairs["id_a"], pairs["id_b"])) == {(0, 1)}
+        # the emitted similarity is the EXACT jaccard, not the estimate
+        got = pairs.iloc[0]["jaccard"]
+        assert abs(got - ngram_jaccard(base, near)) < 1e-12
