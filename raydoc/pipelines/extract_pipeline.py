@@ -132,16 +132,17 @@ def run_extract_pipeline(
 
     done = committed_partitions(out_dir)
     ds = rd.read_parquet(pages_path, columns=["url", "html"])
-    ds = ds.map_batches(lambda b: add_part_id(b, P), batch_format="pyarrow")
     if done:
-        done_arr = pa.array(sorted(done), type=pa.int64())
+        # compute the part id inline for the resume filter only — a fresh
+        # run never pays a pass over the html-heavy blocks
+        done_set = frozenset(done)
 
         def _not_done(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return b.filter(
-                pc.invert(pc.is_in(b.column("part_id"), value_set=done_arr))
-            )
+            keep = [
+                crc32_str(u) % P not in done_set
+                for u in b.column("url").to_pylist()
+            ]
+            return b.filter(pa.array(keep))
 
         ds = ds.map_batches(_not_done, batch_format="pyarrow")
 

@@ -95,3 +95,31 @@ def test_html_to_text_keeps_everything():
     html = b"<html><body><nav>navtext</nav><p>body text</p></body></html>"
     t = html_to_text(html)
     assert "navtext" in t and "body text" in t
+
+
+def test_scanner_tag_recovery():
+    """Tokenizer semantics pinned: quoted '>', comments, CDATA marked
+    sections, bogus end tags, stray '<', and malformed-at-EOF tails."""
+    from raydoc.extract.html_extract import extract_page
+
+    # '>' inside a quoted attribute does not end the tag
+    assert extract_page('<body><div title="a>b"><p>hello world</p></div></body>')[
+        "text"] == "hello world"
+    # comments (incl. markup inside) are discarded
+    assert extract_page("<body><!-- <p>no</p> --><p>yes</p></body>")["text"] == "yes"
+    # CDATA marked section skipped to ']]>'
+    assert extract_page("<body><![CDATA[ raw <x> ]]><p>t</p></body>")["text"] == "t"
+    # bogus end tag '</ p>' is discarded, not emitted as text
+    assert extract_page("<body><p>one</ p><p>two</p></body>")["text"] == "one\ntwo"
+    # stray '<' in text is literal data
+    assert extract_page("<body><p>3 < 5 and 7 > 2</p></body>")["text"] == "3 < 5 and 7 > 2"
+    # script/style content is raw text until the real close tag
+    assert extract_page(
+        '<body><script>if(a<b&&c>d){"</div>"}</script><p>text</p></body>'
+    )["text"] == "text"
+    # malformed tails at EOF (unterminated tag/comment) are dropped
+    assert extract_page('<body><p>ok</p><div class="x')["text"] == "ok"
+    assert extract_page("<body><p>before</p><!-- oops <p>gone")["text"] == "before"
+    # entities unescaped in text runs
+    assert extract_page("<body><p>a &amp; b &lt;x&gt; &#65;</p></body>")[
+        "text"] == "a & b <x> A"
