@@ -19,6 +19,7 @@ __all__ = [
     "running_agg",
     "lag_delta",
     "group_rank",
+    "rolling_agg",
 ]
 
 
@@ -134,6 +135,42 @@ def lag_delta(ds, key_col: str, order_cols: list[str], val_col: str,
         return g.append_column(out_col, col)
 
     return ds.groupby(key_col).map_groups(_delta, batch_format="pyarrow")
+
+
+def rolling_agg(ds, key_col: str, order_cols: list[str], val_col: str,
+                window: int, out_col: str = "roll", fn: str = "mean"):
+    """Per-key rolling aggregate over the last ``window`` rows — SQL
+    ``fn(val) OVER (PARTITION BY key ORDER BY order_cols ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)``. ``fn`` in {mean, sum, min,
+    max}. Leading rows use their shorter actual frame (SQL semantics).
+    Vectorized via a zero-padded sliding window per group; same
+    partitioning contract as ``running_agg``."""
+    if fn not in ("mean", "sum", "min", "max"):
+        raise ValueError(f"unsupported rolling fn {fn}")
+
+    def _roll(group: pa.Table) -> pa.Table:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        g = _group_sorted(group, order_cols)
+        vals = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(vals)
+        k = min(window, n) if n else 1
+        if fn in ("min", "max"):
+            fill = np.inf if fn == "min" else -np.inf
+            pad = np.concatenate([np.full(k - 1, fill), vals])
+            win = sliding_window_view(pad, k)
+            out = win.min(axis=1) if fn == "min" else win.max(axis=1)
+        else:
+            pad = np.concatenate([np.zeros(k - 1), vals])
+            sums = sliding_window_view(pad, k).sum(axis=1)
+            if fn == "sum":
+                out = sums
+            else:
+                counts = np.minimum(np.arange(n) + 1, k)
+                out = sums / counts
+        return g.append_column(out_col, pa.array(out, pa.float64()))
+
+    return ds.groupby(key_col).map_groups(_roll, batch_format="pyarrow")
 
 
 def group_rank(ds, key_col: str, sort_col: str, out_col: str = "rn",

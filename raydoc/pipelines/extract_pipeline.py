@@ -99,6 +99,7 @@ def run_extract_pipeline(
     token_budget: int = 256,
     batch_size: int = 128,
     concurrency: int | None = None,
+    rows_per_part: int = 4000,
 ) -> dict:
     """Checkpointed, resumable flagship run. Returns a summary dict.
 
@@ -119,7 +120,7 @@ def run_extract_pipeline(
         else [pages_path]
     )
     total_rows = sum(pq.read_metadata(f).num_rows for f in files)
-    P = num_parts or parts_for(total_rows)
+    P = num_parts or parts_for(total_rows, rows_per_part=rows_per_part)
 
     # Keyed (hash) repartition requires the hash shuffle strategy, and the
     # DataContext is captured when the dataset is CREATED — set it before

@@ -783,6 +783,28 @@ FROM events
 """
 
 
+def events_rolling_mean(sf_dir: str):
+    """Window function: 3-row rolling mean per user in event-time order
+    (ops.window.rolling_agg — zero-padded sliding window per group)."""
+    from raydoc.ops.window import rolling_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = rolling_agg(ds, "user_id", ["ts", "event_id"], "value",
+                      window=3, out_col="roll_mean", fn="mean")
+    out = out.map_batches(lambda b: round_col(b, "roll_mean", 6),
+                          batch_format="pyarrow")
+    return out.select_columns(["event_id", "user_id", "roll_mean"])
+
+
+EVENTS_ROLLING_MEAN_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS roll_mean
+FROM events
+"""
+
+
 def orders_rank_in_cust(sf_dir: str):
     """Window function: row_number per customer by totalprice desc,
     kept as a column (top-3 per customer with explicit ranks)."""
@@ -1257,6 +1279,7 @@ QUERIES = {
     "asof_events_orders": asof_events_orders,
     "events_running_sum": events_running_sum,
     "events_lag_delta": events_lag_delta,
+    "events_rolling_mean": events_rolling_mean,
     "orders_rank_in_cust": orders_rank_in_cust,
     "docs_token_count": docs_token_count,
     "docs_quality": docs_quality,
@@ -1305,6 +1328,7 @@ ORACLES = {
     "asof_events_orders": ASOF_SQL,
     "events_running_sum": EVENTS_RUNNING_SUM_SQL,
     "events_lag_delta": EVENTS_LAG_DELTA_SQL,
+    "events_rolling_mean": EVENTS_ROLLING_MEAN_SQL,
     "orders_rank_in_cust": ORDERS_RANK_SQL,
     "docs_token_count": DOCS_TOKEN_COUNT_SQL,
     "docs_quality": DOCS_QUALITY_SQL,

@@ -23,7 +23,7 @@ Registered stage ops (each maps to one library operator): filter,
 route, template, extract, chunk_explode, token_count, quality, langid,
 fingerprint, simhash, tumbling_window, grouped_agg, top_k, group_top_k,
 distinct_on, limit, select, broadcast_join_parquet, semi_join_parquet,
-running_agg, lag_delta, group_rank.
+running_agg, lag_delta, group_rank, rolling_agg.
 """
 
 from __future__ import annotations
@@ -186,6 +186,14 @@ def _b_lag_delta(ds, p):
                      p.get("out_col", "delta"))
 
 
+def _b_rolling_agg(ds, p):
+    from raydoc.ops.window import rolling_agg
+
+    return rolling_agg(ds, p["key_col"], p["order_cols"], p["val_col"],
+                       p["window"], p.get("out_col", "roll"),
+                       p.get("fn", "mean"))
+
+
 def _b_group_rank(ds, p):
     from raydoc.ops.window import group_rank
 
@@ -220,6 +228,9 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
     "lag_delta": (
         lambda p: _require(p, "key_col", "order_cols", "val_col"), _b_lag_delta),
     "group_rank": (lambda p: _require(p, "key_col", "sort_col"), _b_group_rank),
+    "rolling_agg": (
+        lambda p: _require(p, "key_col", "order_cols", "val_col", "window"),
+        _b_rolling_agg),
 }
 
 _VALID_PREDICATE_OPS = None

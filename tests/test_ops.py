@@ -459,3 +459,34 @@ class TestNgramJaccardPairs:
         # the emitted similarity is the EXACT jaccard, not the estimate
         got = pairs.iloc[0]["jaccard"]
         assert abs(got - ngram_jaccard(base, near)) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollingAgg:
+    def test_rolling_mean_short_leading_frames(self):
+        import ray.data as rd
+
+        from raydoc.ops.window import rolling_agg
+
+        ds = rd.from_arrow(
+            _t(u=[1, 1, 1, 1, 2], t=[1, 2, 3, 4, 1],
+               v=[2.0, 4.0, 6.0, 8.0, 10.0])
+        )
+        out = rolling_agg(ds, "u", ["t"], "v", window=3,
+                          out_col="m").to_pandas()
+        u1 = out[out["u"] == 1].sort_values("t")
+        assert list(u1["m"]) == [2.0, 3.0, 4.0, 6.0]
+        assert list(out[out["u"] == 2]["m"]) == [10.0]
+
+    def test_rolling_min_and_sum(self):
+        import ray.data as rd
+
+        from raydoc.ops.window import rolling_agg
+
+        ds = rd.from_arrow(_t(u=[1] * 4, t=[1, 2, 3, 4], v=[5.0, 1.0, 7.0, 2.0]))
+        mn = rolling_agg(ds, "u", ["t"], "v", window=2, out_col="o",
+                         fn="min").to_pandas().sort_values("t")
+        assert list(mn["o"]) == [5.0, 1.0, 1.0, 2.0]
+        sm = rolling_agg(ds, "u", ["t"], "v", window=2, out_col="o",
+                         fn="sum").to_pandas().sort_values("t")
+        assert list(sm["o"]) == [5.0, 6.0, 8.0, 9.0]
