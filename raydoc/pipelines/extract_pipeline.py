@@ -59,6 +59,42 @@ def default_concurrency() -> tuple[int, int]:
     return (1, max(2, cpus - 1))
 
 
+def batch_rows_for_bytes(
+    pages_path: str,
+    target_batch_bytes: int = 32 << 20,
+    lo: int = 8,
+    hi: int = 512,
+) -> int:
+    """Rows per extract batch sized by DATA, not a fixed row count.
+
+    Ray's ``batch_size`` counts rows, but what bounds worker memory is
+    bytes x concurrency: 128 rows of 5 MB Common-Crawl pages is a
+    640 MB batch. Average row bytes come free from parquet metadata
+    (no data read); clamp keeps tiny docs from producing huge batches
+    and giant docs from starving the pipeline of parallelism.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(_glob.glob(_os.path.join(pages_path, "*.parquet")))
+        if _os.path.isdir(pages_path)
+        else [pages_path]
+    )
+    rows = bytes_ = 0
+    for f in files[:16]:  # metadata sample is enough for an average
+        md = pq.read_metadata(f)
+        rows += md.num_rows
+        bytes_ += sum(
+            md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+        )
+    if rows == 0 or bytes_ == 0:
+        return 128
+    return int(min(hi, max(lo, target_batch_bytes // max(1, bytes_ // rows))))
+
+
 def add_part_id(batch: pa.Table, num_parts: int) -> pa.Table:
     part = np.fromiter(
         (crc32_str(u) % num_parts for u in batch.column("url").to_pylist()),
@@ -72,13 +108,14 @@ def extract_dataset(
     pages_path: str,
     token_budget: int = 256,
     concurrency: int | None = None,
-    batch_size: int = 128,
+    batch_size: int | None = None,
 ):
     """pages parquet -> lazy Dataset of extracted rows (nested chunks).
 
     No shuffle, no materialization — the streaming executor pipelines
     read -> extract. Used by entry()/queries() and as the front half of
-    the checkpointed pipeline.
+    the checkpointed pipeline. batch_size defaults to a byte-derived
+    row count (``batch_rows_for_bytes``).
     """
     import ray.data as rd
 
@@ -86,7 +123,7 @@ def extract_dataset(
     return ds.map_batches(
         ExtractStage,
         batch_format="pyarrow",
-        batch_size=batch_size,
+        batch_size=batch_size or batch_rows_for_bytes(pages_path),
         fn_constructor_kwargs={"token_budget": token_budget},
         concurrency=concurrency or default_concurrency(),
     )
@@ -97,7 +134,7 @@ def run_extract_pipeline(
     out_dir: str,
     num_parts: int | None = None,
     token_budget: int = 256,
-    batch_size: int = 128,
+    batch_size: int | None = None,
     concurrency: int | None = None,
     rows_per_part: int = 4000,
 ) -> dict:
@@ -153,7 +190,7 @@ def run_extract_pipeline(
     extracted = ds.map_batches(
         ExtractStage,
         batch_format="pyarrow",
-        batch_size=batch_size,
+        batch_size=batch_size or batch_rows_for_bytes(pages_path),
         fn_constructor_kwargs={"token_budget": token_budget,
                                "with_chunks": False},
         concurrency=concurrency or default_concurrency(),

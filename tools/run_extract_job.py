@@ -40,7 +40,9 @@ def main() -> int:
                     help="partition sizing when --num-parts is unset; at "
                          "real scale pick ~100-500 MB of extracted text")
     ap.add_argument("--token-budget", type=int, default=256)
-    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="rows per extract batch; default derives from "
+                         "average row bytes in the parquet metadata")
     args = ap.parse_args()
     if bool(args.pages) == bool(args.sf is not None):
         ap.error("exactly one of --pages / --sf is required")
