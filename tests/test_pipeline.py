@@ -103,3 +103,43 @@ class TestResume:
             run_extract_pipeline(pages, out, num_parts=4, concurrency=2)
             outs.append({m["part_id"]: m["checksum"] for m in load_manifests(out)})
         assert outs[0] == outs[1]
+
+
+class TestPartitioningScale:
+    def test_url_hash_breaks_host_skew(self):
+        """A hot host (80% of urls on one domain) must spread uniformly
+        across partitions — the explicit skew-handling contract of the
+        url-hash repartition (north rule)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from raydoc.pipelines.extract_pipeline import add_part_id
+
+        urls = [f"https://hot-host.example/page/{i}" for i in range(8000)]
+        urls += [f"https://site-{i}.example/x" for i in range(2000)]
+        P = 32
+        out = add_part_id(pa.table({"url": urls}), P)
+        counts = np.bincount(out.column("part_id").to_numpy(), minlength=P)
+        mean = len(urls) / P
+        # every partition within 25% of the mean: no partition owns the host
+        assert counts.min() > mean * 0.75 and counts.max() < mean * 1.25
+
+    def test_batch_rows_for_bytes_clamps(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raydoc.pipelines.extract_pipeline import batch_rows_for_bytes
+
+        # tiny rows -> hi clamp; multi-MB rows -> small batches >= lo
+        small = tmp_path / "small.parquet"
+        pq.write_table(pa.table({"url": ["u"] * 100, "html": [b"x" * 100] * 100}),
+                       str(small))
+        assert batch_rows_for_bytes(str(small)) == 512
+        big = tmp_path / "big.parquet"
+        payloads = [i.to_bytes(4, "big") * (1 << 20) for i in range(8)]  # 4 MB each
+        pq.write_table(
+            pa.table({"url": ["u"] * 8, "html": payloads}),
+            str(big), compression="none", use_dictionary=False,
+        )
+        bs = batch_rows_for_bytes(str(big))
+        assert 8 <= bs <= 16  # ~32 MB target / 4 MB rows
