@@ -59,11 +59,16 @@ _CANDIDATES = frozenset("body main article div section td blockquote".split())
 
 
 class _Node:
-    __slots__ = ("tag", "children")
+    # tl/ll/np = subtree text len, link text len, <p> count — accumulated
+    # during parsing as nodes close (saves a full post-order re-walk)
+    __slots__ = ("tag", "children", "tl", "ll", "np")
 
     def __init__(self, tag: str) -> None:
         self.tag = tag
         self.children: list = []  # str | _Node
+        self.tl = 0
+        self.ll = 0
+        self.np = 0
 
 
 def _collapse(s: str) -> str:
@@ -87,6 +92,20 @@ class _TreeBuilder:
         self.stack = [self.root]
         self.dropped = 0  # depth inside a _DROP subtree
 
+    def _pop(self) -> None:
+        """Close the top node: fold its finished stats into its parent."""
+        stack = self.stack
+        child = stack.pop()
+        parent = stack[-1]
+        parent.tl += child.tl
+        parent.ll += child.tl if child.tag == "a" else child.ll
+        parent.np += child.np + (1 if child.tag == "p" else 0)
+
+    def close_all(self) -> None:
+        """EOF: fold every still-open node up to the root."""
+        while len(self.stack) > 1:
+            self._pop()
+
     def handle_starttag(self, tag, attrs):
         if self.dropped:
             if tag in _DROP and tag not in _VOID:
@@ -104,17 +123,17 @@ class _TreeBuilder:
         # <td>/<th>/<tr> by their table siblings
         top = self.stack[-1].tag
         if top == "p" and tag in _P_CLOSERS:
-            self.stack.pop()
+            self._pop()
         elif tag == "li" and top == "li":
-            self.stack.pop()
+            self._pop()
         elif tag in ("td", "th") and top in ("td", "th"):
-            self.stack.pop()
+            self._pop()
         elif tag == "tr" and self.stack[-1].tag in ("td", "th"):
-            self.stack.pop()
+            self._pop()
             if self.stack[-1].tag == "tr" and len(self.stack) > 1:
-                self.stack.pop()
+                self._pop()
         elif tag == "tr" and top == "tr":
-            self.stack.pop()
+            self._pop()
         node = _Node(tag)
         self.stack[-1].children.append(node)
         self.stack.append(node)
@@ -130,16 +149,20 @@ class _TreeBuilder:
                 self.dropped -= 1
             return
         # pop to the matching open tag if present; else ignore stray end tag
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                del self.stack[i:]
+        stack = self.stack
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i].tag == tag:
+                while len(stack) > i:
+                    self._pop()
                 return
 
     def handle_data(self, data):
         if self.dropped or not data:
             return
         if not data.isspace():
-            self.stack[-1].children.append(data)
+            top = self.stack[-1]
+            top.children.append(data)
+            top.tl += len(" ".join(data.split()))
         elif self.stack[-1].children:
             # preserve a word boundary between adjacent inline elements
             self.stack[-1].children.append(" ")
@@ -229,6 +252,7 @@ def parse_html(html: bytes | str) -> _Node:
         html = bytes(html).decode("utf-8", errors="replace")
     p = _TreeBuilder()
     _scan(html, p)
+    p.close_all()
     return p.root
 
 
@@ -256,43 +280,17 @@ def _gather_text(node: _Node, skip_tags: frozenset = frozenset()) -> str:
     return _collapse(_nfc("".join(parts)))
 
 
-def _compute_stats(root: _Node) -> dict[int, tuple[int, int, int]]:
-    """Iterative post-order: id(node) -> (text_len, link_text_len, n_p)."""
-    stats: dict[int, tuple[int, int, int]] = {}
-    stack: list[tuple[_Node, bool]] = [(root, False)]
-    while stack:
-        node, done = stack.pop()
-        if not done:
-            stack.append((node, True))
-            for c in node.children:
-                if isinstance(c, _Node):
-                    stack.append((c, False))
-        else:
-            tl = ll = np_ = 0
-            for c in node.children:
-                if isinstance(c, str):
-                    tl += len(_collapse(c))
-                else:
-                    ctl, cll, cnp = stats[id(c)]
-                    tl += ctl
-                    np_ += cnp + (1 if c.tag == "p" else 0)
-                    # everything under an anchor counts as link text
-                    ll += ctl if c.tag == "a" else cll
-            stats[id(node)] = (tl, ll, np_)
-    return stats
-
-
 def _select_main(root: _Node) -> _Node:
     """Text-density / link-density argmax over candidate containers.
 
     score = text_len * (1 - link_density)^2 * (1 + 0.1 * min(n_p, 30))
     where link_density = link_text_len / text_len; the squared term makes
     a clean subtree beat any ancestor that also contains link boilerplate.
-    Ties broken by first-in-document-order. Falls back to <body> (or the
-    whole tree) when nothing scores above zero.
+    Per-subtree stats (tl/ll/np) were accumulated while parsing, as
+    nodes closed. Ties broken by first-in-document-order. Falls back to
+    <body> (or the whole tree) when nothing scores above zero.
     """
     body = _find_first(root, "body") or root
-    stats = _compute_stats(body)
     best, best_score = body, -1.0
     stack = [body]
     while stack:
@@ -305,7 +303,7 @@ def _select_main(root: _Node) -> _Node:
             if isinstance(c, _Node):
                 stack.append(c)
         if n.tag in _CANDIDATES and n.tag not in _SKIP_EMIT:
-            tl, ll, np_ = stats[id(n)]
+            tl, ll, np_ = n.tl, n.ll, n.np
             if tl == 0:
                 continue
             clean = 1.0 - (ll / tl)
