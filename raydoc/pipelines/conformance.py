@@ -1,0 +1,336 @@
+"""Conformance pipelines: the reference's DSL corpus re-expressed on
+Ray Data.
+
+The reference ships 14 conformance graphs
+(/root/reference/agent/test/dsl_examples/*.json) and 11 production
+templates (/root/reference/agent/templates/*.json) as its test
+strategy (SURVEY.md §5). Each function here is one of those graphs
+rebuilt as a data-parallel Dataset composition — same operator
+topology, deterministic doubles for the LLM-backed nodes — so a user
+of the reference can run the same pipelines here. Routing follows the
+engine rule (SURVEY.md §2.1): a router's output value becomes a route
+COLUMN + per-branch filters instead of a scheduler redirect
+(canvas.py:265-269); fan-in Concentrators become unions
+(concentrator.py:32-36); bounded rewrite loops become explicit driver
+loops (exesql.py:101-130's retry pattern).
+
+Every LLM double keeps the reference's actor contract: model slot
+built once per actor in ``__init__`` (the LLMBundle pattern,
+generate.py:150), per-batch work in ``__call__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "GenerateStage",
+    "rewrite_query",
+    "retrieval_and_generate",
+    "categorize_concentrator",
+    "search_generate_switch",
+    "keyword_search_generate",
+    "retrieval_relevant_rewrite_generate",
+    "customer_service",
+]
+
+_TOP_N = 5
+
+
+class GenerateStage:
+    """Deterministic double of the reference's Generate component
+    (generate.py:42-276): renders ``prompt`` with ``{input}`` and
+    ``{evidence}`` slots and appends a citation list — the shape of its
+    citation-insertion output (generate.py:92-125) without the LLM.
+    Swapping in a real model keeps the interface: load it in __init__.
+    """
+
+    def __init__(self, prompt: str = "Q: {input}\nA: {evidence}",
+                 input_col: str = "input", evidence_col: str = "evidence",
+                 out_col: str = "answer") -> None:
+        self.prompt = prompt  # the per-actor "model" slot
+        self.input_col = input_col
+        self.evidence_col = evidence_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = batch.column_names
+        ins = (batch.column(self.input_col).to_pylist()
+               if self.input_col in cols else [""] * batch.num_rows)
+        evs = (batch.column(self.evidence_col).to_pylist()
+               if self.evidence_col in cols else [""] * batch.num_rows)
+        out = [
+            self.prompt.replace("{input}", i or "").replace("{evidence}", e or "")
+            for i, e in zip(ins, evs)
+        ]
+        return batch.append_column(self.out_col, pa.array(out, pa.string()))
+
+
+def rewrite_query(query: str, history: list[str]) -> str:
+    """Deterministic double of RewriteQuestion (rewrite.py:21-94):
+    fold unseen terms from the dialogue history into the query,
+    order-preserving, lower-cased."""
+    seen = set()
+    words: list[str] = []
+    for w in (query + " " + " ".join(history)).lower().split():
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    return " ".join(words)
+
+
+def _pseudo_embedding(text: str, dim: int) -> np.ndarray:
+    """Deterministic query vector from text (hash-seeded) — retrieval
+    doubles need a vector, not semantics."""
+    from raydoc.hashing import stable_u64
+
+    rng = np.random.RandomState(stable_u64(text) % (2**32))
+    return rng.standard_normal(dim)
+
+
+def _corpus(sf_dir: str):
+    """documents joined with embeddings (broadcast; embedding lists are
+    rejected as Dataset.join payload — see queries.hybrid_retrieval)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raydoc.ops.relational import broadcast_join
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    dim = len(emb.column("embedding")[0].as_py())
+    return broadcast_join(docs, emb, "doc_id", "vec_id"), dim
+
+
+def _retrieve(sf_dir: str, query: str, query_id: int = 0, top_n: int = _TOP_N):
+    """Retrieval node (retrieval.py:100-112): hybrid keyword+vector
+    top-k against the documents corpus."""
+    from raydoc.ops.retrieval import hybrid_retrieve
+
+    corpus, dim = _corpus(sf_dir)
+    return hybrid_retrieve(
+        corpus,
+        [{"query_id": query_id, "tokens": set(query.lower().split()),
+          "vector": _pseudo_embedding(query, dim)}],
+        top_n=top_n,
+    )
+
+
+def _collect(ds) -> pa.Table:
+    """Materialize a SMALL (top-k sized) result Dataset to one table,
+    skipping the schemaless empty blocks groupby/join stages emit."""
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+def _evidence(chunks) -> str:
+    """Join retrieved texts rank-ordered — the get_input concat
+    (base.py:465)."""
+    tbl = chunks if isinstance(chunks, pa.Table) else _collect(chunks)
+    idx = pc.sort_indices(tbl, sort_keys=[("rank", "ascending")])
+    texts = tbl.take(idx).column("text").to_pylist()
+    return " | ".join((t or "")[:80] for t in texts)
+
+
+def _attach_texts(sf_dir: str, top: pa.Table) -> pa.Table:
+    """Fetch the texts of the (tiny) top-k id set with one streaming
+    membership-filtered pass over documents — only matching rows reach
+    the driver."""
+    import ray.data as rd
+
+    ids = pa.array(sorted(set(top.column("doc_id").to_pylist())), pa.int64())
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    texts = _collect(docs.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("doc_id"), value_set=ids)),
+        batch_format="pyarrow",
+    ))
+    idx = {i: t for i, t in zip(texts.column("doc_id").to_pylist(),
+                                texts.column("text").to_pylist())}
+    return top.append_column(
+        "text",
+        pa.array([idx.get(i, "") for i in top.column("doc_id").to_pylist()],
+                 pa.string()),
+    )
+
+
+def retrieval_and_generate(sf_dir: str, query: str = "vector hash join stream"):
+    """dsl_examples/retrieval_and_generate.json: Begin -> Retrieval ->
+    Generate -> Answer. Returns one answer row per query."""
+    import ray.data as rd
+
+    top = _attach_texts(sf_dir, _collect(_retrieve(sf_dir, query)))
+    ev = _evidence(top)
+    answers = rd.from_items([{"input": query, "evidence": ev}])
+    return answers.map_batches(GenerateStage, batch_format="pyarrow",
+                               concurrency=1)
+
+
+def categorize_concentrator(sf_dir: str):
+    """dsl_examples/categorize.json + concentrator_message.json:
+    Categorize fans docs to per-category Message nodes; Concentrator
+    fan-in = union. Output: one row per doc with its routed message."""
+    import ray.data as rd
+
+    from raydoc.ops.classify import CategorizeStage
+
+    cats = {
+        "querying": ["query", "filter", "scan"],
+        "storage": ["table", "row", "column"],
+        "compute": ["hash", "merge", "sort"],
+    }
+    messages = {
+        "querying": "routed to the query desk",
+        "storage": "routed to the storage desk",
+        "compute": "routed to the compute desk",
+    }
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    routed = ds.map_batches(
+        CategorizeStage, fn_constructor_kwargs={"categories": cats},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    branches = []
+    for name, msg in messages.items():  # one Message node per branch
+        b = routed.filter(expr=f"category == '{name}'")
+
+        def _msg(batch: pa.Table, m=msg) -> pa.Table:
+            return batch.append_column(
+                "message", pa.array([m] * batch.num_rows, pa.string())
+            )
+
+        branches.append(b.map_batches(_msg, batch_format="pyarrow"))
+    out = branches[0]
+    for b in branches[1:]:  # Concentrator
+        out = out.union(b)
+    return out.select_columns(["doc_id", "category", "message"])
+
+
+def search_generate_switch(queries: list[str] | None = None):
+    """dsl_examples/baidu_generate_and_switch.json: search connector ->
+    Generate -> Switch routes the answer to one of three Message nodes
+    (first-match-wins predicate list, switch.py:48-131)."""
+    from raydoc.ops.predicates import add_route_column
+    from raydoc.sources.connectors import connector_source
+
+    queries = queries or ["ray data shuffle", "arrow parquet read",
+                          "actor pool batch"]
+    rows = connector_source("search", queries, top_n=3)
+    gen = rows.map_batches(
+        GenerateStage,
+        fn_constructor_kwargs={"input_col": "query", "evidence_col": "content"},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    branches = [
+        ("about_data", [{"column": "answer", "operator": "contains",
+                         "value": "data"}], "and"),
+        ("about_search", [{"column": "answer", "operator": "contains",
+                           "value": "search"}], "and"),
+    ]
+    routed = gen.map_batches(
+        lambda b: add_route_column(b, branches, default="other"),
+        batch_format="pyarrow",
+    )
+    return routed.select_columns(["query", "rank", "answer", "route"])
+
+
+def keyword_search_generate(query: str = "streaming shuffle of arrow record batches"):
+    """dsl_examples/keyword_wikipedia_and_generate.json: KeywordExtract
+    (TF top-n double, keyword.py:24-72) -> search connector ->
+    Generate."""
+    from collections import Counter
+
+    from raydoc.sources.connectors import connector_source
+
+    top_kw = [w for w, _ in Counter(query.lower().split()).most_common(3)]
+    rows = connector_source("search", [" ".join(top_kw)], top_n=3)
+    return rows.map_batches(
+        GenerateStage,
+        fn_constructor_kwargs={"input_col": "query", "evidence_col": "content"},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+
+def retrieval_relevant_rewrite_generate(
+    sf_dir: str,
+    query: str = "zzz-nonsense-term",
+    history: list[str] | None = None,
+    max_rewrites: int = 1,
+):
+    """dsl_examples/retrieval_relevant_rewrite_and_generate.json:
+    Retrieval -> Relevant gate; on "no" the query is rewritten from
+    history and retried (bounded driver loop = the reference's rewrite
+    cycle, canvas loop detection capped at 6, canvas.py:332-360)."""
+    import ray.data as rd
+
+    from raydoc.ops.classify import RelevantStage
+
+    history = history or ["tell me about the hash join and the stream"]
+    q = query
+    for attempt in range(max_rewrites + 1):
+        top = _attach_texts(sf_dir, _collect(_retrieve(sf_dir, q)))
+        gated = RelevantStage(query=q, min_overlap=1)(top)
+        relevant = gated.filter(pc.equal(gated.column("relevant"), "yes"))
+        if relevant.num_rows or attempt == max_rewrites:
+            ev = _evidence(relevant if relevant.num_rows else gated)
+            ans = rd.from_items(
+                [{"input": q, "evidence": ev, "rewrites": attempt}]
+            )
+            return ans.map_batches(GenerateStage, batch_format="pyarrow",
+                                   concurrency=1)
+        q = rewrite_query(q, history)  # RewriteQuestion double
+    raise AssertionError("unreachable")
+
+
+def customer_service(sf_dir: str, questions: list[str] | None = None):
+    """templates/customer_service.json: Categorize(casual | complain |
+    product) -> casual:Message, complain:Generate(apology),
+    product:Retrieval->Relevant->Generate/ask-contact. One answer row
+    per question with its branch recorded."""
+    import ray.data as rd
+
+    from raydoc.ops.classify import CategorizeStage
+
+    questions = questions or [
+        "hi there, nice weather",
+        "this is broken and I want a refund, complaint incoming",
+        "how does the query filter scan the table",
+    ]
+    cats = {
+        "complain": ["broken", "refund", "complaint", "angry"],
+        "product": ["query", "filter", "scan", "table", "column"],
+        "casual": [],  # fallback (last category wins on zero hits)
+    }
+    ds = rd.from_items([{"qid": i, "text": q}
+                        for i, q in enumerate(questions)])
+    routed = ds.map_batches(
+        CategorizeStage, fn_constructor_kwargs={"categories": cats},
+        batch_format="pyarrow", concurrency=1,
+    )
+    routed = _collect(routed)
+
+    rows = []
+    for qid, text, cat in zip(routed.column("qid").to_pylist(),
+                              routed.column("text").to_pylist(),
+                              routed.column("category").to_pylist()):
+        if cat == "casual":
+            rows.append({"qid": qid, "branch": "casual",
+                         "answer": "Hello! How can I help you today?"})
+        elif cat == "complain":
+            rows.append({"qid": qid, "branch": "complain",
+                         "answer": f"We are sorry to hear that: {text}"})
+        else:  # product branch: retrieval + relevance gate + generate
+            top = _collect(_retrieve(sf_dir, text))
+            if top.num_rows:
+                rows.append({"qid": qid, "branch": "product",
+                             "answer": f"Q: {text} -> {top.num_rows} sources"})
+            else:
+                rows.append({"qid": qid, "branch": "ask_contact",
+                             "answer": "Please leave your contact details."})
+    return rd.from_items(rows)

@@ -1050,6 +1050,25 @@ FROM (SELECT doc_id,
       FROM documents)
 """
 
+def categorize_fanin(sf_dir: str):
+    """Conformance graph categorize.json + concentrator_message.json as
+    data: route docs to per-category Message branches, union fan-in
+    (raydoc/pipelines/conformance.py::categorize_concentrator)."""
+    from raydoc.pipelines.conformance import categorize_concentrator
+
+    return categorize_concentrator(sf_dir)
+
+
+CATEGORIZE_FANIN_SQL = f"""
+SELECT doc_id, category,
+       CASE category
+         WHEN 'querying' THEN 'routed to the query desk'
+         WHEN 'storage'  THEN 'routed to the storage desk'
+         ELSE 'routed to the compute desk' END AS message
+FROM ({CATEGORIZE_SQL})
+"""
+
+
 _RELEVANT_QUERY = "vector hash join stream"
 
 
@@ -1292,6 +1311,7 @@ QUERIES = {
     "keyword_topn_global": keyword_topn_global,
     "keyword_per_doc": keyword_per_doc,
     "categorize_docs": categorize_docs,
+    "categorize_fanin": categorize_fanin,
     "relevant_docs": relevant_docs,
     "hybrid_retrieval": hybrid_retrieval,
     "embeddings_knn": embeddings_knn,
@@ -1337,6 +1357,7 @@ ORACLES = {
     "keyword_topn_global": KEYWORD_TOPN_SQL,
     "keyword_per_doc": KEYWORD_PER_DOC_SQL,
     "categorize_docs": CATEGORIZE_SQL,
+    "categorize_fanin": CATEGORIZE_FANIN_SQL,
     "relevant_docs": RELEVANT_SQL,
     "hybrid_retrieval": HYBRID_SQL,
     "embeddings_knn": EMBEDDINGS_KNN_SQL,

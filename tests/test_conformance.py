@@ -1,0 +1,76 @@
+"""Conformance: the reference's DSL graphs re-expressed on Ray Data
+(raydoc/pipelines/conformance.py vs
+/root/reference/agent/test/dsl_examples/*.json topologies)."""
+
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConformancePipelines:
+    def test_retrieval_and_generate(self, sf_dir):
+        from raydoc.pipelines.conformance import retrieval_and_generate
+
+        out = retrieval_and_generate(sf_dir).to_pandas()
+        assert len(out) == 1
+        ans = out.iloc[0]["answer"]
+        assert ans.startswith("Q: vector hash join stream") and "A: " in ans
+        # deterministic: second run bit-identical
+        again = retrieval_and_generate(sf_dir).to_pandas()
+        assert again.iloc[0]["answer"] == ans
+
+    def test_categorize_concentrator_routes_all_docs(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        from raydoc.pipelines.conformance import categorize_concentrator
+
+        out = categorize_concentrator(sf_dir).to_pandas()
+        n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        # fan-out + concentrator fan-in loses no rows
+        assert len(out) == n_docs and out["doc_id"].is_unique
+        assert set(out["category"]) <= {"querying", "storage", "compute"}
+        for cat, msg in out.groupby("category")["message"].first().items():
+            assert cat.split("ing")[0][:5] in msg or cat in msg.replace(" desk", "")
+
+    def test_search_generate_switch_first_match_wins(self):
+        from raydoc.pipelines.conformance import search_generate_switch
+
+        out = search_generate_switch().to_pandas()
+        assert len(out) == 9  # 3 queries x top_n 3
+        assert set(out["route"]) <= {"about_data", "about_search", "other"}
+        # route must agree with the predicate order on the answer text
+        for _, r in out.iterrows():
+            expected = ("about_data" if "data" in r["answer"]
+                        else "about_search" if "search" in r["answer"]
+                        else "other")
+            assert r["route"] == expected
+
+    def test_keyword_search_generate(self):
+        from raydoc.pipelines.conformance import keyword_search_generate
+
+        out = keyword_search_generate().to_pandas()
+        assert len(out) == 3 and out["answer"].str.contains("A: ").all()
+
+    def test_rewrite_loop_recovers_relevance(self, sf_dir):
+        from raydoc.pipelines.conformance import (
+            retrieval_relevant_rewrite_generate,
+            rewrite_query,
+        )
+
+        out = retrieval_relevant_rewrite_generate(
+            sf_dir, query="zzz-nonsense-term",
+            history=["tell me about the hash join and the stream"],
+        ).to_pandas()
+        assert len(out) == 1
+        # nonsense query fails the gate; one rewrite folds history terms in
+        assert out.iloc[0]["rewrites"] == 1
+        assert "hash" in out.iloc[0]["input"]
+        # the rewrite double is order-preserving and dedups
+        assert rewrite_query("a b", ["b c c d"]) == "a b c d"
+
+    def test_customer_service_branches(self, sf_dir):
+        from raydoc.pipelines.conformance import customer_service
+
+        out = customer_service(sf_dir).to_pandas().sort_values("qid")
+        assert list(out["branch"]) == ["casual", "complain", "product"]
+        assert out.iloc[1]["answer"].startswith("We are sorry")
+        assert "sources" in out.iloc[2]["answer"]
