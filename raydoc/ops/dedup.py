@@ -287,13 +287,29 @@ def ngram_jaccard_pairs(
     (tag-union-map_groups, the same co-partition pattern as
     ops.window.asof_join — Ray's Dataset.join emits schemaless empty
     blocks that break chained joins) and verify exact word-k-gram
-    Jaccard. The shuffle payload is candidate rows + one pass of the
-    doc texts per side, never all-pairs. Output: (id_a, id_b, jaccard)
+    Jaccard. Only CANDIDATE documents' texts enter the attach shuffle:
+    the candidate id set (tiny by LSH design) is collected once and
+    broadcast as a membership filter over the corpus, so the exchange
+    never moves the full text corpus. Output: (id_a, id_b, jaccard)
     with id_a < id_b, jaccard >= threshold.
     """
+    import ray
+
     candidates = minhash_lsh_pairs(
         ds, text_col, id_col, shingle_k=shingle_k,
         threshold=candidate_threshold,
+    ).materialize()  # small; reused for the id set and both attach passes
+
+    id_tbls = [t for t in ray.get(candidates.select_columns(
+        ["id_a", "id_b"]).to_arrow_refs()) if t.num_rows]
+    cand_ids: set = set()
+    for t in id_tbls:
+        cand_ids.update(t.column("id_a").to_pylist())
+        cand_ids.update(t.column("id_b").to_pylist())
+    ids_arr = pa.array(sorted(cand_ids), pa.int64())
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column(id_col), value_set=ids_arr)),
+        batch_format="pyarrow",
     )
 
     txt_t = pa.large_string()
