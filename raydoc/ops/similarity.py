@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["knn_brute_force", "knn_lsh", "cosine_pairs_exact"]
+__all__ = ["knn_brute_force", "knn_lsh", "knn_ivf", "cosine_pairs_exact"]
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -106,6 +106,96 @@ def _cpu_cap() -> int:
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return max(2, cpus - 1)
+
+
+def knn_ivf(
+    ds,
+    queries: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_sample: np.ndarray | None = None,
+    seed: int = 31,
+):
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    Centroids come from a few Lloyd iterations over ``train_sample``
+    (or the queries themselves as a fallback) on the DRIVER — at scale
+    pass a ``ds.random_sample`` collected once; training cost is
+    O(sample x cells), independent of corpus size. Each corpus batch
+    assigns its vectors to their nearest centroid and scores them only
+    against queries probing that cell (each query probes its
+    ``n_probe`` nearest cells). Same output schema as
+    ``knn_brute_force``; recall < 1 by design, measured in tests.
+    """
+    import ray
+
+    qmat = _unit(np.asarray(queries, dtype=np.float64))
+    train = _unit(np.asarray(train_sample, dtype=np.float64)) \
+        if train_sample is not None else qmat
+    rng = np.random.RandomState(seed)
+    n_cells = min(n_cells, len(train))
+    centroids = train[rng.choice(len(train), size=n_cells, replace=False)]
+    for _ in range(5):  # Lloyd iterations on the small sample
+        assign = (train @ centroids.T).argmax(axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                centroids[c] = train[m].mean(axis=0)
+        centroids = _unit(centroids)
+
+    # query -> probed cells; cell -> probing query indices
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi, cells in enumerate(probes):
+        for c in cells:
+            cell_to_q.setdefault(int(c), []).append(qi)
+    shared = ray.put((qmat, centroids, cell_to_q))
+
+    class _Scorer:
+        def __init__(self, ref) -> None:
+            self.q, self.centroids, self.c2q = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+            embs = _unit(np.asarray(batch.column(emb_col).to_pylist(),
+                                    np.float64))
+            cells = (embs @ self.centroids.T).argmax(axis=1)
+            q_out, v_out, c_out = [], [], []
+            for vi, cell in enumerate(cells):
+                for qi in self.c2q.get(int(cell), ()):
+                    q_out.append(qi)
+                    v_out.append(int(ids[vi]))
+                    c_out.append(float(self.q[qi] @ embs[vi]))
+            return pa.Table.from_pydict(
+                {"query_id": pa.array(q_out, pa.int64()),
+                 "vec_id": pa.array(v_out, pa.int64()),
+                 "cosine": pa.array(c_out, pa.float64())}
+            )
+
+    def _final(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("cosine", "descending"), ("vec_id", "ascending")],
+        )
+        top = group.take(idx.slice(0, k))
+        return top.append_column(
+            "rank", pa.array(range(1, top.num_rows + 1), pa.int64())
+        )
+
+    candidates = ds.map_batches(
+        _Scorer,
+        fn_constructor_args=(shared,),
+        batch_format="pyarrow",
+        concurrency=(1, _cpu_cap()),
+    )
+    return candidates.groupby("query_id").map_groups(
+        _final, batch_format="pyarrow"
+    )
 
 
 def cosine_pairs_exact(

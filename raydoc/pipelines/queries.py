@@ -1192,6 +1192,23 @@ def embeddings_near_dup(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def embeddings_knn_ivf(sf_dir: str):
+    """IVF approximate kNN (no SQL oracle — approximate by design;
+    recall vs brute force validated in pytest). Same output shape as
+    embeddings_knn."""
+    from raydoc.ops.similarity import knn_ivf
+
+    emb = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = np.asarray(emb.column("embedding").to_pylist()[::5],
+                        dtype=np.float64)
+    queries = np.asarray(emb.column("embedding").to_pylist()[:3],
+                         dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_ivf(ds, queries, k=5, n_cells=16, n_probe=4,
+                  train_sample=sample)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
 def embeddings_cosine_pairs(sf_dir: str):
     """EXACT all-pairs cosine >= 0.4 (oracle-checked brute-force
     baseline for the LSH near-dup path; threshold margin vs the sf0.01
@@ -1315,6 +1332,7 @@ QUERIES = {
     "relevant_docs": relevant_docs,
     "hybrid_retrieval": hybrid_retrieval,
     "embeddings_knn": embeddings_knn,
+    "embeddings_knn_ivf": embeddings_knn_ivf,
     "embeddings_near_dup": embeddings_near_dup,
     "embeddings_cosine_pairs": embeddings_cosine_pairs,
     "flagship_extract": flagship_extract,

@@ -51,10 +51,12 @@ class ExtractStage:
     """pages(url, html, ...) -> extracted(+ nested chunks), html dropped.
 
     Use: ``ds.map_batches(ExtractStage, fn_constructor_kwargs={...},
-    batch_format="pyarrow", batch_size=128, concurrency=N)``.
-    batch_size caps batch bytes because each input row carries a
-    multi-KB..MB html payload (SURVEY.md §7 hard part 2); 128 measured
-    best at 32 CPUs (64 within 7%, 32 halves throughput).
+    batch_format="pyarrow", batch_size=B, concurrency=N)``.
+    batch_size caps batch BYTES because each input row carries a
+    multi-KB..MB html payload (SURVEY.md §7 hard part 2) — derive it
+    from average row bytes via
+    ``extract_pipeline.batch_rows_for_bytes`` (64-512 rows are
+    equivalent within noise on ~6 KB rows; multi-MB rows need <=16).
     """
 
     def __init__(self, token_budget: int = 256, with_chunks: bool = True) -> None:

@@ -490,3 +490,44 @@ class TestRollingAgg:
         sm = rolling_agg(ds, "u", ["t"], "v", window=2, out_col="o",
                          fn="sum").to_pandas().sort_values("t")
         assert list(sm["o"]) == [5.0, 6.0, 8.0, 9.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnIvf:
+    def test_ivf_recall_with_training_sample(self):
+        import ray.data as rd
+
+        from raydoc.ops.similarity import knn_brute_force, knn_ivf
+
+        rng = np.random.RandomState(9)
+        mat = rng.standard_normal((400, 16))
+        q = mat[:5]
+        ds = rd.from_arrow(
+            _t(vec_id=list(range(len(mat))), embedding=[r.tolist() for r in mat])
+        )
+        bf = knn_brute_force(ds, q, k=5, exclude_ids=list(range(5))).to_pandas()
+        ap = knn_ivf(ds, q, k=5, n_cells=8, n_probe=4,
+                     train_sample=mat[::4]).to_pandas()
+        hits = tot = 0
+        for qi in range(5):
+            truth = set(bf[bf["query_id"] == qi]["vec_id"])
+            approx = set(ap[ap["query_id"] == qi]["vec_id"]) - {qi}
+            hits += len(truth & approx)
+            tot += len(truth)
+        assert hits / tot >= 0.4  # approximate by design; sanity floor
+
+    def test_ivf_deterministic(self):
+        import ray.data as rd
+
+        from raydoc.ops.similarity import knn_ivf
+
+        rng = np.random.RandomState(5)
+        mat = rng.standard_normal((100, 8))
+        ds = rd.from_arrow(
+            _t(vec_id=list(range(len(mat))), embedding=[r.tolist() for r in mat])
+        )
+        a = knn_ivf(ds, mat[:2], k=3).to_pandas().sort_values(
+            ["query_id", "rank"]).reset_index(drop=True)
+        b = knn_ivf(ds, mat[:2], k=3).to_pandas().sort_values(
+            ["query_id", "rank"]).reset_index(drop=True)
+        assert a.equals(b)
