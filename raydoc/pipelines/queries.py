@@ -845,6 +845,26 @@ FROM documents
 """
 
 
+def docs_token_count_bpe(sf_dir: str):
+    """BPE-ish regex token count (words / numbers / single symbols) —
+    the tiktoken-style counting slot (relevant.py:68-69)."""
+    from raydoc.ops.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(lambda b: token_count_batch(b, "text", mode="bpe"),
+                        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens"])
+
+
+DOCS_TOKEN_COUNT_BPE_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+(?:''[A-Za-z]+)?|\d+|[^\sA-Za-z\d]')) AS BIGINT)
+         AS n_tokens
+FROM documents
+"""
+
+
 def docs_quality(sf_dir: str):
     from raydoc.ops.text import quality_batch
 
@@ -1318,6 +1338,7 @@ QUERIES = {
     "events_rolling_mean": events_rolling_mean,
     "orders_rank_in_cust": orders_rank_in_cust,
     "docs_token_count": docs_token_count,
+    "docs_token_count_bpe": docs_token_count_bpe,
     "docs_quality": docs_quality,
     "docs_fingerprint": docs_fingerprint,
     "docs_langid": docs_langid,
@@ -1369,6 +1390,7 @@ ORACLES = {
     "events_rolling_mean": EVENTS_ROLLING_MEAN_SQL,
     "orders_rank_in_cust": ORDERS_RANK_SQL,
     "docs_token_count": DOCS_TOKEN_COUNT_SQL,
+    "docs_token_count_bpe": DOCS_TOKEN_COUNT_BPE_SQL,
     "docs_quality": DOCS_QUALITY_SQL,
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
