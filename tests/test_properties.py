@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just the corpus — extractor totality/determinism, chunker
+budget/coverage rules, predicate algebra consistency."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raydoc.extract.chunker import chunk_document
+from raydoc.extract.html_extract import extract_page, html_to_text
+
+# HTML-ish soup: chars plus whole-fragment tokens joined together
+# (tags, comments, entities, broken pieces, control chars)
+_soup = st.lists(
+    st.sampled_from(
+        list("abcdefghij <>/=\"'&;!-?\n\tπ✓\x00") + ["<p>", "</p>", "<div",
+        "<!--", "-->", "&amp;", "<script>", "</script>", "<![CDATA[", "]]>"]
+    ),
+    max_size=120,
+).map("".join)
+
+
+class TestExtractorProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(_soup)
+    def test_never_raises_and_deterministic(self, s):
+        a = extract_page(s)
+        b = extract_page(s)
+        assert a == b
+        assert a["status"] in ("ok", "empty", "error")
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(max_size=300))
+    def test_arbitrary_bytes_total(self, raw):
+        res = extract_page(raw)
+        assert res["status"] in ("ok", "empty", "error")
+        assert isinstance(html_to_text(raw), str)
+
+    @settings(max_examples=100, deadline=None)
+    @given(_soup)
+    def test_spans_index_into_text(self, s):
+        res = extract_page(s)
+        text = res["text"]
+        for sp in res["spans"]:
+            assert 0 <= sp["start"] <= sp["end"] <= len(text)
+            assert sp["kind"] in ("title", "para", "table", "list")
+            # spans cover non-empty segments and are joined by single \n
+            assert text[sp["start"]:sp["end"]] != ""
+
+
+_span_kind = st.sampled_from(["title", "para", "table", "list"])
+
+
+@st.composite
+def _doc(draw):
+    """A synthetic (text, spans) pair in the extractor's output shape."""
+    blocks = draw(st.lists(
+        st.tuples(_span_kind,
+                  st.integers(1, 6),
+                  st.text(alphabet="ab c", min_size=1, max_size=120)),
+        min_size=0, max_size=12,
+    ))
+    parts, spans, pos = [], [], 0
+    for kind, level, raw in blocks:
+        t = " ".join(raw.split())
+        if not t:
+            continue
+        parts.append(t)
+        spans.append({"start": pos, "end": pos + len(t), "kind": kind,
+                      "level": level if kind == "title" else 0})
+        pos += len(t) + 1
+    return "\n".join(parts), spans
+
+
+class TestChunkerProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(_doc(), st.integers(2, 64))
+    def test_budget_and_coverage(self, doc, budget):
+        text, spans = doc
+        chunks = chunk_document(text, spans, token_budget=budget, min_tokens=2)
+        body_tokens = sum(
+            len(text[s["start"]:s["end"]].split())
+            for s in spans if s["kind"] != "title"
+        )
+        # every non-title token lands in exactly one chunk
+        assert sum(c["token_count"] for c in chunks) == body_tokens
+        for c in chunks:
+            # token_count is truthful and within budget (+runt merge slack)
+            assert c["token_count"] == len(c["text"].split())
+            assert c["token_count"] <= budget
+        # ids are dense 0..n-1
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+
+    @settings(max_examples=100, deadline=None)
+    @given(_doc())
+    def test_title_path_reflects_hierarchy(self, doc):
+        text, spans = doc
+        chunks = chunk_document(text, spans, token_budget=16)
+        titles = [text[s["start"]:s["end"]] for s in spans if s["kind"] == "title"]
+        for c in chunks:
+            for t in c["title_path"]:
+                assert t in titles
+
+
+class TestPredicateProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                              width=32), min_size=1, max_size=20),
+           st.floats(allow_nan=False, allow_infinity=False, width=32))
+    def test_numeric_operators_match_python(self, xs, v):
+        import pyarrow as pa
+
+        from raydoc.ops.predicates import OPERATORS
+
+        col = pa.array(xs, pa.float64())
+        for op, fn in (("=", lambda a, b: a == b), (">", lambda a, b: a > b),
+                       ("<", lambda a, b: a < b), ("≥", lambda a, b: a >= b),
+                       ("≤", lambda a, b: a <= b), ("≠", lambda a, b: a != b)):
+            got = OPERATORS[op](col, v).to_pylist()
+            assert got == [fn(x, float(v)) for x in xs]
