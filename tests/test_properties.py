@@ -40,11 +40,17 @@ class TestExtractorProperties:
     def test_spans_index_into_text(self, s):
         res = extract_page(s)
         text = res["text"]
-        for sp in res["spans"]:
+        spans = res["spans"]
+        for sp in spans:
             assert 0 <= sp["start"] <= sp["end"] <= len(text)
             assert sp["kind"] in ("title", "para", "table", "list")
-            # spans cover non-empty segments and are joined by single \n
             assert text[sp["start"]:sp["end"]] != ""
+        # spans tile the text contiguously, joined by exactly one "\n"
+        if spans:
+            assert spans[0]["start"] == 0 and spans[-1]["end"] == len(text)
+        for a, b in zip(spans, spans[1:]):
+            assert b["start"] == a["end"] + 1
+            assert text[a["end"]] == "\n"
 
 
 _span_kind = st.sampled_from(["title", "para", "table", "list"])
@@ -77,14 +83,16 @@ class TestChunkerProperties:
     def test_budget_and_coverage(self, doc, budget):
         text, spans = doc
         chunks = chunk_document(text, spans, token_budget=budget, min_tokens=2)
-        body_tokens = sum(
-            len(text[s["start"]:s["end"]].split())
-            for s in spans if s["kind"] != "title"
-        )
-        # every non-title token lands in exactly one chunk
-        assert sum(c["token_count"] for c in chunks) == body_tokens
+        body_seq = [
+            tok for s in spans if s["kind"] != "title"
+            for tok in text[s["start"]:s["end"]].split()
+        ]
+        # every non-title token lands in exactly one chunk, IN ORDER
+        chunk_seq = [tok for c in chunks for tok in c["text"].split()]
+        assert chunk_seq == body_seq
         for c in chunks:
-            # token_count is truthful and within budget (+runt merge slack)
+            # token_count is truthful; the runt merge is gated on the
+            # combined count fitting, so the budget is a hard cap
             assert c["token_count"] == len(c["text"].split())
             assert c["token_count"] <= budget
         # ids are dense 0..n-1
@@ -95,10 +103,25 @@ class TestChunkerProperties:
     def test_title_path_reflects_hierarchy(self, doc):
         text, spans = doc
         chunks = chunk_document(text, spans, token_budget=16)
-        titles = [text[s["start"]:s["end"]] for s in spans if s["kind"] == "title"]
+        # replay the pinned stack rule: level L pops all levels >= L
+        stack: list[tuple[int, str]] = []
+        expected_path: list[str] = []
+        path_at_token: list[list[str]] = []
+        for s in spans:
+            seg = text[s["start"]:s["end"]]
+            if s["kind"] == "title":
+                lvl = s["level"] or 1
+                while stack and stack[-1][0] >= lvl:
+                    stack.pop()
+                stack.append((lvl, seg))
+                expected_path = [t for _, t in stack]
+            else:
+                path_at_token.extend([list(expected_path)] * len(seg.split()))
+        pos = 0
         for c in chunks:
-            for t in c["title_path"]:
-                assert t in titles
+            for _ in c["text"].split():
+                assert c["title_path"] == path_at_token[pos]
+                pos += 1
 
 
 class TestPredicateProperties:
@@ -117,3 +140,22 @@ class TestPredicateProperties:
                        ("≤", lambda a, b: a <= b), ("≠", lambda a, b: a != b)):
             got = OPERATORS[op](col, v).to_pylist()
             assert got == [fn(x, float(v)) for x in xs]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(alphabet="abc ", max_size=6), min_size=1,
+                    max_size=20),
+           st.text(alphabet="abc ", max_size=6))
+    def test_string_operators_match_python(self, xs, v):
+        import pyarrow as pa
+
+        from raydoc.ops.predicates import OPERATORS
+
+        col = pa.array(xs, pa.string())
+        assert OPERATORS["contains"](col, v).to_pylist() == [v in x for x in xs]
+        assert OPERATORS["start with"](col, v).to_pylist() == [
+            x.startswith(v) for x in xs]
+        assert OPERATORS["end with"](col, v).to_pylist() == [
+            x.endswith(v) for x in xs]
+        # non-numeric strings take the string-compare fallback
+        assert OPERATORS["="](col, v).to_pylist() == [x == v for x in xs]
+        assert OPERATORS["≠"](col, v).to_pylist() == [x != v for x in xs]
