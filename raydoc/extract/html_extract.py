@@ -235,8 +235,13 @@ def _scan(html: str, tb: _TreeBuilder) -> None:
             tb.handle_endtag(name)
             continue
         if attrs and attrs.rstrip().endswith("/"):
-            tb.handle_startendtag(name, ())
-            continue
+            # '/' is self-closing only after whitespace, a quoted value,
+            # or the bare tag name — an unquoted value like
+            # href=http://x/ keeps its trailing '/' (html.parser/HTML5)
+            before = attrs.rstrip()[:-1]
+            if not before or before[-1] in " \t\n\r\"'":
+                tb.handle_startendtag(name, ())
+                continue
         tb.handle_starttag(name, ())
         cdata = _CDATA_CLOSE.get(name)
         if cdata is not None:

@@ -109,6 +109,47 @@ def minhash_signatures(
     return ds.map_batches(_sig, batch_format="pyarrow")
 
 
+def _attach_pair_values(pairs, vals_ds, id_col: str, val_col: str, side: str,
+                        carry: dict, val_type: pa.DataType):
+    """Set ``<val_col>_<side>`` on each (id_a, id_b, *carry) pair row by
+    co-partitioning pair rows and (id, value) rows on that side's id —
+    the tag-union-``groupby.map_groups`` pattern (Ray's Dataset.join
+    emits schemaless empty blocks that break chained joins; see
+    relational.shuffle_join's pitfall note)."""
+    out_col = f"{val_col}_{side}"
+    key = f"id_{side}"
+    cols = {"id_a": pa.int64(), "id_b": pa.int64(), **carry}
+
+    def _tag_pairs(b: pa.Table) -> pa.Table:
+        d = {c: b.column(c) for c in cols}
+        d["_k"] = b.column(key)
+        d["_v"] = pa.nulls(b.num_rows, val_type)
+        d["_is_val"] = pa.array([False] * b.num_rows, pa.bool_())
+        return pa.Table.from_pydict(d)
+
+    def _tag_vals(b: pa.Table) -> pa.Table:
+        d = {c: pa.nulls(b.num_rows, t) for c, t in cols.items()}
+        d["_k"] = b.column(id_col)
+        d["_v"] = b.column(val_col).cast(val_type)
+        d["_is_val"] = pa.array([True] * b.num_rows, pa.bool_())
+        return pa.Table.from_pydict(d)
+
+    tagged = pairs.map_batches(_tag_pairs, batch_format="pyarrow").union(
+        vals_ds.map_batches(_tag_vals, batch_format="pyarrow")
+    )
+
+    def _merge(group: pa.Table) -> pa.Table:
+        is_val = group.column("_is_val").to_numpy(zero_copy_only=False)
+        prows = group.filter(pa.array(~is_val))
+        out = {c: prows.column(c) for c in cols}
+        vrows = group.filter(pa.array(is_val))
+        val = vrows.column("_v")[0].as_py() if vrows.num_rows else None
+        out[out_col] = pa.array([val] * prows.num_rows, val_type)
+        return pa.Table.from_pydict(out)
+
+    return tagged.groupby("_k").map_groups(_merge, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     ds,
     text_col: str = "text",
@@ -120,73 +161,103 @@ def minhash_lsh_pairs(
 ):
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
-    shingle -> minhash -> band-hash bucket groupby -> within-bucket pairs
-    -> estimated Jaccard (matching minhash fraction) filtered at
-    ``threshold``; pairs deduped across bands by groupby(id_a, id_b).
-    Output: (id_a, id_b, est_jaccard) with id_a < id_b.
+    shingle -> minhash -> band-hash bucket groupby -> within-bucket
+    candidate pairs -> signatures attached to the CANDIDATE set only ->
+    estimated Jaccard (matching minhash fraction) filtered at
+    ``threshold``. Band rows carry (id, band_key) only — the bucket
+    shuffle moves ~bands x 24 B per doc, never the full signature; the
+    num_perm x 8 B signatures are recomputed just for candidate docs
+    (tiny by LSH design) and co-partitioned onto the pairs. Documents
+    with no shingles (empty/whitespace text) are excluded — they are
+    not near-duplicates by this method (exact_dedup handles them) and
+    would otherwise collapse into one O(n^2) bucket. Output:
+    (id_a, id_b, est_jaccard) with id_a < id_b.
     """
+    import ray
+
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
     a, b = _perm_params(num_perm)
 
     def _band_rows(batch: pa.Table) -> pa.Table:
-        ids_out, band_keys, sigs_out = [], [], []
+        ids_out, band_keys = [], []
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         for i, t in zip(ids, texts):
+            if not shingles(t or "", shingle_k):
+                continue  # empty doc: no signature, no bucket
             sig = _doc_minhash(t or "", a, b, shingle_k)
-            sl = sig.tolist()
             for bi in range(bands):
                 chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                key = f"{bi}:{md5_hex(chunk.tobytes().hex())}"
                 ids_out.append(i)
-                band_keys.append(key)
-                sigs_out.append(sl)
+                band_keys.append(f"{bi}:{md5_hex(chunk.tobytes().hex())}")
         return pa.Table.from_pydict(
             {
-                id_col: pa.array(ids_out),
+                id_col: pa.array(ids_out, pa.int64()),
                 "band_key": pa.array(band_keys, pa.string()),
-                "sig": pa.array(sigs_out, pa.list_(pa.uint64())),
             }
         )
 
     def _bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2:
-            return pa.Table.from_pydict(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "est_jaccard": pa.array([], pa.float64())}
-            )
-        ids = group.column(id_col).to_pylist()
-        sigs = np.asarray(group.column("sig").to_pylist(), dtype=np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids = [ids[i] for i in order]
-        sigs = sigs[order]
+        ids = sorted(set(group.column(id_col).to_pylist()))
+        ia, ib = [], []
+        for x in range(len(ids) - 1):
+            for y in range(x + 1, len(ids)):
+                ia.append(ids[x])
+                ib.append(ids[y])
+        return pa.Table.from_pydict(
+            {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64())}
+        )
+
+    candidates = (
+        ds.map_batches(_band_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()  # small; reused for the id set and the attach
+    )
+
+    cand_ids: set = set()
+    for t in ray.get(candidates.to_arrow_refs()):
+        if t.num_rows:
+            cand_ids.update(t.column("id_a").to_pylist())
+            cand_ids.update(t.column("id_b").to_pylist())
+    ids_arr = pa.array(sorted(cand_ids), pa.int64())
+
+    sigs = minhash_signatures(
+        ds.map_batches(
+            lambda bt: bt.filter(pc.is_in(bt.column(id_col), value_set=ids_arr)),
+            batch_format="pyarrow",
+        ),
+        text_col, id_col, num_perm=num_perm, shingle_k=shingle_k,
+    )
+    sig_t = pa.list_(pa.uint64())
+    withA = _attach_pair_values(candidates, sigs, id_col, "sig", "a", {}, sig_t)
+    withB = _attach_pair_values(withA, sigs, id_col, "sig", "b",
+                                {"sig_a": sig_t}, sig_t)
+
+    def _estimate(bt: pa.Table) -> pa.Table:
         ia, ib, est = [], [], []
-        for x in range(n - 1):
-            matches = (sigs[x + 1 :] == sigs[x][None, :]).mean(axis=1)
-            for off, m in enumerate(matches):
-                if m >= threshold and ids[x] != ids[x + 1 + off]:
-                    ia.append(ids[x])
-                    ib.append(ids[x + 1 + off])
-                    est.append(float(m))
+        for x, y, sa, sb in zip(
+            bt.column("id_a").to_pylist(), bt.column("id_b").to_pylist(),
+            bt.column("sig_a").to_pylist(), bt.column("sig_b").to_pylist(),
+        ):
+            if sa is None or sb is None:
+                continue
+            m = float(np.mean(np.asarray(sa, np.uint64)
+                              == np.asarray(sb, np.uint64)))
+            if m >= threshold:
+                ia.append(x)
+                ib.append(y)
+                est.append(m)
         return pa.Table.from_pydict(
             {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
              "est_jaccard": pa.array(est, pa.float64())}
         )
 
-    def _dedup_pair(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    pairs = (
-        ds.map_batches(_band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
-    )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        _dedup_pair, batch_format="pyarrow"
-    )
+    return withB.map_batches(_estimate, batch_format="pyarrow")
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -307,61 +378,23 @@ def ngram_jaccard_pairs(
         cand_ids.update(t.column("id_a").to_pylist())
         cand_ids.update(t.column("id_b").to_pylist())
     ids_arr = pa.array(sorted(cand_ids), pa.int64())
-    ds = ds.map_batches(
+    docs = ds.map_batches(
         lambda b: b.filter(pc.is_in(b.column(id_col), value_set=ids_arr)),
         batch_format="pyarrow",
     )
 
     txt_t = pa.large_string()
-
-    def _attach(pairs, side: str, carry: list[str]):
-        """Set ``text_<side>`` on each pair row by co-partitioning pair
-        rows and doc rows on that side's id."""
-        out_col = f"text_{side}"
-        key = f"id_{side}"
-        cols = ["id_a", "id_b", *carry]
-
-        def _tag_pairs(b: pa.Table) -> pa.Table:
-            d = {c: b.column(c) for c in cols}
-            d["_k"] = b.column(key)
-            d["_txt"] = pa.nulls(b.num_rows, txt_t)
-            d["_is_doc"] = pa.array([False] * b.num_rows, pa.bool_())
-            return pa.Table.from_pydict(d)
-
-        def _tag_docs(b: pa.Table) -> pa.Table:
-            d = {c: pa.nulls(b.num_rows, pa.int64() if c.startswith("id_")
-                             else txt_t) for c in cols}
-            d["_k"] = b.column(id_col)
-            d["_txt"] = b.column(text_col).cast(txt_t)
-            d["_is_doc"] = pa.array([True] * b.num_rows, pa.bool_())
-            return pa.Table.from_pydict(d)
-
-        tagged = pairs.map_batches(_tag_pairs, batch_format="pyarrow").union(
-            ds.map_batches(_tag_docs, batch_format="pyarrow")
-        )
-
-        def _merge(group: pa.Table) -> pa.Table:
-            is_doc = group.column("_is_doc").to_numpy(zero_copy_only=False)
-            prows = group.filter(pa.array(~is_doc))
-            out = {c: prows.column(c) for c in cols}
-            docs = group.filter(pa.array(is_doc))
-            txt = docs.column("_txt")[0] if docs.num_rows else None
-            out[out_col] = (
-                pa.array([txt.as_py()] * prows.num_rows, txt_t)
-                if txt is not None else pa.nulls(prows.num_rows, txt_t)
-            )
-            return pa.Table.from_pydict(out)
-
-        return tagged.groupby("_k").map_groups(_merge, batch_format="pyarrow")
-
-    withA = _attach(candidates, "a", carry=[])
-    withB = _attach(withA, "b", carry=["text_a"])
+    cand = candidates.select_columns(["id_a", "id_b"])
+    withA = _attach_pair_values(cand, docs, id_col, text_col, "a", {}, txt_t)
+    withB = _attach_pair_values(withA, docs, id_col, text_col, "b",
+                                {f"{text_col}_a": txt_t}, txt_t)
 
     def _verify(b: pa.Table) -> pa.Table:
         ia, ib, js = [], [], []
         for a, bb, ta, tb in zip(
             b.column("id_a").to_pylist(), b.column("id_b").to_pylist(),
-            b.column("text_a").to_pylist(), b.column("text_b").to_pylist(),
+            b.column(f"{text_col}_a").to_pylist(),
+            b.column(f"{text_col}_b").to_pylist(),
         ):
             j = ngram_jaccard(ta or "", tb or "", k=shingle_k)
             if j >= threshold:

@@ -61,7 +61,9 @@ def broadcast_join(
     small_ref = ray.put(small)
 
     class _Joiner:
-        """Actor-pool joiner: index built once per actor, not per batch."""
+        """Actor-pool joiner: index built once per actor, not per batch.
+        Duplicate right keys multiply matching left rows (SQL join
+        semantics); the unique-key case keeps the vectorized fast path."""
 
         def __init__(self, ref, key: str, how: str) -> None:
             tbl: pa.Table = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
@@ -69,22 +71,50 @@ def broadcast_join(
             self.key = key
             self.tbl = tbl.combine_chunks()
             keys = self.tbl.column(key).to_pylist()
-            self.index: dict[Any, int] = {}
+            self.index: dict[Any, Any] = {}
+            self.has_dups = False
             for i, k in enumerate(keys):
-                self.index.setdefault(k, i)
+                prev = self.index.get(k)
+                if prev is None:
+                    self.index[k] = i
+                elif isinstance(prev, list):
+                    prev.append(i)
+                    self.has_dups = True
+                else:
+                    self.index[k] = [prev, i]
+                    self.has_dups = True
             self.other_cols = [c for c in self.tbl.column_names if c != key]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             import numpy as np
 
             lk = batch.column(left_on).to_pylist()
-            idx = np.fromiter(
-                (self.index.get(k, -1) for k in lk), dtype=np.int64, count=len(lk)
-            )
-            if self.how == "inner":
-                sel = idx >= 0
-                batch = batch.filter(pa.array(sel))
-                idx = idx[sel]
+            if self.has_dups:
+                left_take: list[int] = []
+                right_take: list[int] = []
+                for i, k in enumerate(lk):
+                    rows = self.index.get(k)
+                    if rows is None:
+                        if self.how == "left":
+                            left_take.append(i)
+                            right_take.append(-1)
+                    elif isinstance(rows, list):
+                        left_take.extend([i] * len(rows))
+                        right_take.extend(rows)
+                    else:
+                        left_take.append(i)
+                        right_take.append(rows)
+                batch = batch.take(pa.array(left_take, pa.int64()))
+                idx = np.asarray(right_take, dtype=np.int64)
+            else:
+                idx = np.fromiter(
+                    (self.index.get(k, -1) for k in lk),
+                    dtype=np.int64, count=len(lk),
+                )
+                if self.how == "inner":
+                    sel = idx >= 0
+                    batch = batch.filter(pa.array(sel))
+                    idx = idx[sel]
             take = pa.array(np.where(idx >= 0, idx, 0), type=pa.int64())
             null_mask = pa.array(idx < 0)
             for c in self.other_cols:
@@ -105,10 +135,9 @@ def broadcast_join(
 
 
 def _cpu_cap() -> int:
-    import ray
+    from raydoc.util import cpu_cap
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(2, cpus - 1)
+    return cpu_cap()
 
 
 def shuffle_join(
@@ -318,7 +347,8 @@ def grouped_quantile(ds, keys: list[str], col: str, qs: dict[str, float]):
     import numpy as np
 
     def _q(group: pa.Table) -> pa.Table:
-        vals = np.sort(group.column(col).to_numpy(zero_copy_only=False))
+        vals = group.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = np.sort(vals[~np.isnan(vals)])  # nulls ignored, like quantile_cont
         out: dict[str, list] = {k: [group.column(k)[0].as_py()] for k in keys}
         n = len(vals)
         for name, q in qs.items():

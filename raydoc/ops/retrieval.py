@@ -93,10 +93,9 @@ def hybrid_retrieve(
         )
 
     def _cap() -> int:
-        import ray as _r
+        from raydoc.util import cpu_cap
 
-        c = int(_r.cluster_resources().get("CPU", 8)) if _r.is_initialized() else 8
-        return max(2, c - 1)
+        return cpu_cap()
 
     cands = ds.map_batches(
         _Scorer, fn_constructor_args=(shared,), batch_format="pyarrow",

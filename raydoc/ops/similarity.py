@@ -102,10 +102,9 @@ def knn_brute_force(
 
 
 def _cpu_cap() -> int:
-    import ray
+    from raydoc.util import cpu_cap
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(2, cpus - 1)
+    return cpu_cap()
 
 
 def knn_ivf(

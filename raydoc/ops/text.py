@@ -36,6 +36,13 @@ _WS_RE = re.compile(r"\s+")
 # apostrophes), numbers, or single non-space symbols.
 _BPE_RE = re.compile(r"[A-Za-z]+(?:'[A-Za-z]+)?|\d+|[^\sA-Za-z\d]")
 
+# ASCII printable punctuation — the exact [!-/:-@[-`{-~] class the
+# DOCS_QUALITY_SQL oracle counts, so punct_ratio stays bit-identical on
+# non-ASCII corpora too (unicode symbols are deliberately NOT counted)
+import string as _string
+
+_ASCII_PUNCT = frozenset(_string.punctuation)
+
 STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been for on with as by at "
     "from it this that these those i you he she we they not no".split()
@@ -90,8 +97,7 @@ def quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
             mean_len.append(sum(len(w) for w in toks) / n)
         nc = len(t)
         punct_r.append(
-            (sum(1 for ch in t if not ch.isalnum() and not ch.isspace()) / nc)
-            if nc else 0.0
+            (sum(1 for ch in t if ch in _ASCII_PUNCT) / nc) if nc else 0.0
         )
     return (
         batch.append_column("n_tokens", pa.array(n_toks, type=pa.int64()))

@@ -53,10 +53,9 @@ def default_concurrency() -> tuple[int, int]:
     autoscaling pool capped at cpus-1 always leaves headroom for the
     read/shuffle tasks. Ray requires an explicit ``concurrency`` for
     callable-class stages."""
-    import ray
+    from raydoc.util import cpu_cap
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return (1, max(2, cpus - 1))
+    return (1, cpu_cap())
 
 
 def batch_rows_for_bytes(
@@ -169,6 +168,18 @@ def run_extract_pipeline(
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
     done = committed_partitions(out_dir)
+    if done:
+        # the resume filter is only correct under the SAME partition
+        # count: crc(url) % P must mean the same thing as in the run
+        # that committed the manifests
+        for m in load_manifests(out_dir):
+            mp = m.get("num_parts")
+            if mp is not None and mp != P:
+                raise ValueError(
+                    f"resume partition-count mismatch: committed manifests "
+                    f"used num_parts={mp} but this run derived {P}; pass "
+                    f"num_parts={mp} (or clear {out_dir}) to resume safely"
+                )
     ds = rd.read_parquet(pages_path, columns=["url", "html"])
     if done:
         # compute the part id inline for the resume filter only — a fresh
@@ -234,7 +245,8 @@ def run_extract_pipeline(
             chunks = explode_chunks(grp)
             ext = grp.drop_columns(["chunks", "part_id"])
             rows_out.append(
-                write_partition_atomic(out_dir, int(part_id), ext, chunks)
+                write_partition_atomic(out_dir, int(part_id), ext, chunks,
+                                       num_parts=P)
             )
         return pa.Table.from_pylist(rows_out)
 

@@ -61,9 +61,23 @@ def load_manifests(out_dir: str) -> list[dict]:
 
 
 def _atomic_write_parquet(table: pa.Table, path: str) -> None:
+    """write tmp -> fsync file -> rename -> fsync directory. The data
+    must be durable BEFORE the manifest commits: a manifest that
+    survives a crash while its parquet pages didn't would make resume
+    permanently skip a truncated partition."""
     tmp = path + ".tmp"
     pq.write_table(table, tmp, compression="zstd")
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     os.replace(tmp, path)
+    dfd = os.open(os.path.dirname(path), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def write_partition_atomic(
@@ -71,6 +85,7 @@ def write_partition_atomic(
     part_id: int,
     extracted: pa.Table,
     chunks: pa.Table,
+    num_parts: int | None = None,
 ) -> dict:
     """Write one partition's outputs + manifest; returns the manifest row.
 
@@ -101,6 +116,7 @@ def write_partition_atomic(
     checksum = md5_hex("".join(u + "\0" + t + "\1" for u, t in zip(urls, texts)))
     manifest = {
         "part_id": int(part_id),
+        "num_parts": int(num_parts) if num_parts is not None else None,
         "n_docs": extracted.num_rows,
         "n_ok": sum(1 for s in status if s == "ok"),
         "n_empty": sum(1 for s in status if s == "empty"),

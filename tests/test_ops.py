@@ -531,3 +531,53 @@ class TestKnnIvf:
         b = knn_ivf(ds, mat[:2], k=3).to_pandas().sort_values(
             ["query_id", "rank"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewRegressions:
+    def test_broadcast_join_duplicate_right_keys_multiply(self):
+        import ray.data as rd
+
+        from raydoc.ops.relational import broadcast_join
+
+        big = rd.from_arrow(_t(k=[1, 2, 3], x=["a", "b", "c"]))
+        small = pa.table({"k2": [1, 1, 9], "name": ["one", "uno", "nine"]})
+        inner = broadcast_join(big, small, "k", "k2").to_pandas()
+        # SQL semantics: k=1 matches BOTH right rows
+        assert sorted(inner["name"]) == ["one", "uno"]
+        left = broadcast_join(big, small, "k", "k2", how="left").to_pandas()
+        assert len(left) == 4 and left["name"].isna().sum() == 2
+
+    def test_grouped_quantile_ignores_nulls(self):
+        import ray.data as rd
+
+        from raydoc.ops.relational import grouped_quantile
+
+        ds = rd.from_arrow(pa.table({"g": ["a"] * 3, "v": [1.0, 2.0, None]}))
+        out = grouped_quantile(ds, ["g"], "v", {"p90": 0.9}).to_pandas()
+        # DuckDB quantile_cont semantics: null dropped, not NaN-poisoned
+        assert abs(out.iloc[0]["p90"] - 1.9) < 1e-12
+
+    def test_minhash_empty_docs_do_not_pair(self):
+        import ray.data as rd
+
+        from raydoc.ops.dedup import minhash_lsh_pairs
+
+        ds = rd.from_arrow(_t(doc_id=[0, 1, 2, 3],
+                              text=["", "   ", "", "real words here okay"]))
+        pairs = minhash_lsh_pairs(ds, threshold=0.1).to_pandas()
+        # empty/whitespace docs share no bucket: no spurious est=1.0 pairs
+        assert len(pairs) == 0
+
+
+def test_unquoted_attr_trailing_slash_not_selfclosing():
+    from raydoc.extract.html_extract import extract_page
+
+    # html.parser/HTML5: the '/' belongs to the unquoted value, so the
+    # anchor text stays INSIDE <a> and counts as link text
+    html = ('<body><div><a href=http://x.example/>boilerplate link farm '
+            'text</a></div><article><p>clean main content words</p>'
+            '<p>more clean words</p></article></body>')
+    res = extract_page(html)
+    assert "clean main content" in res["text"]
+    assert "link farm" not in res["text"]  # link-density kept it out
