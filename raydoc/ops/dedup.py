@@ -12,9 +12,12 @@ independent); all pipelines follow the same shape:
       -> groupby(bucket).map_groups   # candidate pairs within buckets
       -> distinct pair + estimate     # verified/estimated similarity
 
-so the all-to-all exchange moves fixed-size signatures, never document
-text. At 100 TB the bucket groupby is the one shuffle and its payload is
-~(bands * 16B + sig) per doc.
+so the all-to-all exchange moves fixed-size signatures or bare
+(id, bucket) rows, never document text. MinHash picks between two
+physically different plans by input size (see minhash_lsh_pairs): a
+single-pass sig-carrying plan for small inputs and a slim
+candidate-verify plan whose bucket shuffle is ~bands x 24 B per doc at
+web scale.
 """
 
 from __future__ import annotations
@@ -39,6 +42,11 @@ __all__ = [
 
 _MERSENNE = (1 << 61) - 1
 _MAXU64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+# candidate-count ceilings for broadcasting verify payloads instead of
+# co-partitioning them onto the pairs: sigs are num_perm x 8 B each,
+# texts are KBs each, so texts flip to the attach path much earlier
+_BROADCAST_CAP = 1_000_000
+_TEXT_BROADCAST_CAP = 100_000
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -150,6 +158,66 @@ def _attach_pair_values(pairs, vals_ds, id_col: str, val_col: str, side: str,
     return tagged.groupby("_k").map_groups(_merge, batch_format="pyarrow")
 
 
+def _minhash_pairs_carry(ds, text_col, id_col, a, b, bands, rows_per_band,
+                         shingle_k, threshold):
+    """Single-pass LSH plan: band rows carry the signature, buckets
+    estimate inline (see minhash_lsh_pairs for when this is safe)."""
+
+    def _band_rows(batch: pa.Table) -> pa.Table:
+        ids_out, band_keys, sigs_out = [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            if not (t or "").strip():
+                continue  # empty doc: no signature, no bucket
+            sig = _doc_minhash(t or "", a, b, shingle_k)
+            sl = sig.tolist()
+            for bi in range(bands):
+                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                ids_out.append(i)
+                band_keys.append(f"{bi}:{md5_hex(chunk.tobytes().hex())}")
+                sigs_out.append(sl)
+        return pa.Table.from_pydict(
+            {id_col: pa.array(ids_out, pa.int64()),
+             "band_key": pa.array(band_keys, pa.string()),
+             "sig": pa.array(sigs_out, pa.list_(pa.uint64()))}
+        )
+
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.Table.from_pydict(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64()),
+                 "est_jaccard": pa.array([], pa.float64())}
+            )
+        ids = group.column(id_col).to_pylist()
+        sigs = np.asarray(group.column("sig").to_pylist(), dtype=np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids = [ids[i] for i in order]
+        sigs = sigs[order]
+        ia, ib, est = [], [], []
+        for x in range(n - 1):
+            matches = (sigs[x + 1 :] == sigs[x][None, :]).mean(axis=1)
+            for off, m in enumerate(matches):
+                if m >= threshold and ids[x] != ids[x + 1 + off]:
+                    ia.append(ids[x])
+                    ib.append(ids[x + 1 + off])
+                    est.append(float(m))
+        return pa.Table.from_pydict(
+            {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
+             "est_jaccard": pa.array(est, pa.float64())}
+        )
+
+    pairs = (
+        ds.map_batches(_band_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
 def minhash_lsh_pairs(
     ds,
     text_col: str = "text",
@@ -158,20 +226,30 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    carry_signatures: bool | None = None,
 ):
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
     shingle -> minhash -> band-hash bucket groupby -> within-bucket
-    candidate pairs -> signatures attached to the CANDIDATE set only ->
-    estimated Jaccard (matching minhash fraction) filtered at
-    ``threshold``. Band rows carry (id, band_key) only — the bucket
-    shuffle moves ~bands x 24 B per doc, never the full signature; the
-    num_perm x 8 B signatures are recomputed just for candidate docs
-    (tiny by LSH design) and co-partitioned onto the pairs. Documents
-    with no shingles (empty/whitespace text) are excluded — they are
-    not near-duplicates by this method (exact_dedup handles them) and
-    would otherwise collapse into one O(n^2) bucket. Output:
-    (id_a, id_b, est_jaccard) with id_a < id_b.
+    candidate pairs -> estimated Jaccard (matching minhash fraction)
+    filtered at ``threshold``. Documents with no shingles
+    (empty/whitespace text) are excluded — they are not near-duplicates
+    by this method (exact_dedup handles them) and would otherwise
+    collapse into one O(n^2) bucket. Output: (id_a, id_b, est_jaccard)
+    with id_a < id_b. Two physically different plans, identical output:
+
+    * ``carry_signatures=True`` (small inputs): one pipelined pass —
+      band rows carry the full signature, buckets estimate inline.
+      Shuffle payload is bands x (sig + key) per doc: fine up to a few
+      GB, catastrophic at web scale.
+    * ``carry_signatures=False`` (scale): band rows carry (id,
+      band_key) only (~bands x 24 B per doc); signatures are recomputed
+      just for CANDIDATE docs and either broadcast (<= _BROADCAST_CAP
+      candidates) or co-partitioned onto the pairs. Costs a second read
+      of the corpus, which at scale is nothing next to an 8 KB/doc
+      all-to-all.
+    * ``None`` (default): auto — carry when ``ds.count()`` (metadata
+      lookup for parquet reads) says the sig shuffle stays under ~2 GB.
     """
     import ray
 
@@ -180,12 +258,21 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     a, b = _perm_params(num_perm)
 
+    if carry_signatures is None:
+        carry_signatures = ds.count() * bands * num_perm * 8 <= 2 << 30
+
+    if carry_signatures:
+        return _minhash_pairs_carry(
+            ds, text_col, id_col, a, b, bands, rows_per_band,
+            shingle_k, threshold,
+        )
+
     def _band_rows(batch: pa.Table) -> pa.Table:
         ids_out, band_keys = [], []
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         for i, t in zip(ids, texts):
-            if not shingles(t or "", shingle_k):
+            if not (t or "").strip():
                 continue  # empty doc: no signature, no bucket
             sig = _doc_minhash(t or "", a, b, shingle_k)
             for bi in range(bands):
@@ -234,6 +321,50 @@ def minhash_lsh_pairs(
         text_col, id_col, num_perm=num_perm, shingle_k=shingle_k,
     )
     sig_t = pa.list_(pa.uint64())
+
+    if len(cand_ids) <= _BROADCAST_CAP:
+        # fast path: candidate sig table fits comfortably in the object
+        # store (num_perm x 8 B each) — ray.put the id->sig map once and
+        # estimate every pair in a single map over the candidates
+        sig_map: dict[int, np.ndarray] = {}
+        for t in ray.get(sigs.to_arrow_refs()):
+            for i, s in zip(t.column(id_col).to_pylist(),
+                            t.column("sig").to_pylist()):
+                sig_map[i] = np.asarray(s, np.uint64)
+        ref = ray.put(sig_map)
+
+        class _Estimate:
+            def __init__(self, r) -> None:
+                self.sigs = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+            def __call__(self, bt: pa.Table) -> pa.Table:
+                ia, ib, est = [], [], []
+                for x, y in zip(bt.column("id_a").to_pylist(),
+                                bt.column("id_b").to_pylist()):
+                    sa, sb = self.sigs.get(x), self.sigs.get(y)
+                    if sa is None or sb is None:
+                        continue
+                    m = float(np.mean(sa == sb))
+                    if m >= threshold:
+                        ia.append(x)
+                        ib.append(y)
+                        est.append(m)
+                return pa.Table.from_pydict(
+                    {"id_a": pa.array(ia, pa.int64()),
+                     "id_b": pa.array(ib, pa.int64()),
+                     "est_jaccard": pa.array(est, pa.float64())}
+                )
+
+        from raydoc.util import cpu_cap
+
+        return candidates.map_batches(
+            _Estimate, fn_constructor_args=(ref,), batch_format="pyarrow",
+            concurrency=(1, cpu_cap()),
+        )
+
+    # scale path: too many candidates to broadcast (web corpora can be
+    # 30-50% duplicates) — co-partition sigs onto the pairs instead
+    sigs = sigs.materialize()  # reused by both attaches
     withA = _attach_pair_values(candidates, sigs, id_col, "sig", "a", {}, sig_t)
     withB = _attach_pair_values(withA, sigs, id_col, "sig", "b",
                                 {"sig_a": sig_t}, sig_t)
@@ -382,9 +513,49 @@ def ngram_jaccard_pairs(
         lambda b: b.filter(pc.is_in(b.column(id_col), value_set=ids_arr)),
         batch_format="pyarrow",
     )
-
-    txt_t = pa.large_string()
     cand = candidates.select_columns(["id_a", "id_b"])
+
+    def _pair_jaccard(ta: str | None, tb: str | None) -> float:
+        return ngram_jaccard(ta or "", tb or "", k=shingle_k)
+
+    if len(cand_ids) <= _TEXT_BROADCAST_CAP:
+        # fast path: candidate TEXTS fit the object store — broadcast
+        # the id->text map once, verify pairs in a single map
+        text_map: dict = {}
+        for t in ray.get(docs.to_arrow_refs()):
+            for i, x in zip(t.column(id_col).to_pylist(),
+                            t.column(text_col).to_pylist()):
+                text_map[i] = x
+        ref = ray.put(text_map)
+
+        class _Verify:
+            def __init__(self, r) -> None:
+                self.texts = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ia, ib, js = [], [], []
+                for x, y in zip(b.column("id_a").to_pylist(),
+                                b.column("id_b").to_pylist()):
+                    j = _pair_jaccard(self.texts.get(x), self.texts.get(y))
+                    if j >= threshold:
+                        ia.append(x)
+                        ib.append(y)
+                        js.append(j)
+                return pa.Table.from_pydict(
+                    {"id_a": pa.array(ia, pa.int64()),
+                     "id_b": pa.array(ib, pa.int64()),
+                     "jaccard": pa.array(js, pa.float64())}
+                )
+
+        from raydoc.util import cpu_cap
+
+        return cand.map_batches(_Verify, fn_constructor_args=(ref,),
+                                batch_format="pyarrow",
+                                concurrency=(1, cpu_cap()))
+
+    # scale path: co-partition candidate texts onto the pairs
+    docs = docs.materialize()  # reused by both attaches
+    txt_t = pa.large_string()
     withA = _attach_pair_values(cand, docs, id_col, text_col, "a", {}, txt_t)
     withB = _attach_pair_values(withA, docs, id_col, text_col, "b",
                                 {f"{text_col}_a": txt_t}, txt_t)
@@ -396,7 +567,7 @@ def ngram_jaccard_pairs(
             b.column(f"{text_col}_a").to_pylist(),
             b.column(f"{text_col}_b").to_pylist(),
         ):
-            j = ngram_jaccard(ta or "", tb or "", k=shingle_k)
+            j = _pair_jaccard(ta, tb)
             if j >= threshold:
                 ia.append(a)
                 ib.append(bb)

@@ -581,3 +581,25 @@ def test_unquoted_attr_trailing_slash_not_selfclosing():
     res = extract_page(html)
     assert "clean main content" in res["text"]
     assert "link farm" not in res["text"]  # link-density kept it out
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinhashPlans:
+    def test_carry_and_slim_plans_identical(self):
+        import ray.data as rd
+
+        from raydoc.ops.dedup import minhash_lsh_pairs
+
+        base = ("the quick brown fox jumps over the lazy dog and runs far "
+                "away into the deep dark forest tonight while stars shine") * 3
+        near = base.replace("lazy", "sleepy")
+        other = "completely different words about ray data pipelines " * 6
+        ds = rd.from_arrow(_t(doc_id=[0, 1, 2, 3],
+                              text=[base, near, other, ""]))
+        carry = minhash_lsh_pairs(ds, threshold=0.4,
+                                  carry_signatures=True).to_pandas()
+        slim = minhash_lsh_pairs(ds, threshold=0.4,
+                                 carry_signatures=False).to_pandas()
+        key = lambda df: sorted(zip(df["id_a"], df["id_b"],
+                                    df["est_jaccard"].round(9)))
+        assert key(carry) == key(slim) and len(carry) >= 1
