@@ -136,6 +136,7 @@ def run_extract_pipeline(
     batch_size: int | None = None,
     concurrency: int | None = None,
     rows_per_part: int = 4000,
+    durable: bool = False,
 ) -> dict:
     """Checkpointed, resumable flagship run. Returns a summary dict.
 
@@ -246,7 +247,7 @@ def run_extract_pipeline(
             ext = grp.drop_columns(["chunks", "part_id"])
             rows_out.append(
                 write_partition_atomic(out_dir, int(part_id), ext, chunks,
-                                       num_parts=P)
+                                       num_parts=P, durable=durable)
             )
         return pa.Table.from_pylist(rows_out)
 

@@ -11,11 +11,21 @@ coordinator-free layout:
       chunks/part-{id:05d}.parquet
       _manifest/part-{id:05d}.json     <- written LAST; its presence IS the commit
 
-Each partition is written to ``*.tmp`` files, fsync-renamed into place,
-and only then is the manifest written (also via tmp+rename). A resumed
-run lists ``_manifest/`` and skips committed partitions; partial files
-from a crashed run are simply overwritten. No coordinator, no global
-lock — rename is the atom.
+Each partition is written to ``*.tmp`` files, renamed into place, and
+only then is the manifest written (tmp + fsync + rename). A resumed run
+lists ``_manifest/`` and skips committed partitions; partial files from
+a crashed run are simply overwritten. No coordinator, no global lock —
+rename is the atom.
+
+Durability levels: the default (``durable=False``) is safe against the
+north rule's failure mode — a KILLED JOB/process (written pages survive
+in the OS page cache; rename ordering guarantees a manifest never
+appears before its data files exist). Passing ``durable=True`` adds
+per-file + directory fsyncs so a committed manifest also implies the
+parquet pages are on disk across POWER LOSS — measurably slower
+(serialized device flushes cost ~25% of 32-CPU throughput at sf0.1),
+so it is an explicit opt-in, matching the default posture of other
+data engines' rename-based output committers.
 """
 
 from __future__ import annotations
@@ -60,24 +70,27 @@ def load_manifests(out_dir: str) -> list[dict]:
     return rows
 
 
-def _atomic_write_parquet(table: pa.Table, path: str) -> None:
-    """write tmp -> fsync file -> rename -> fsync directory. The data
-    must be durable BEFORE the manifest commits: a manifest that
-    survives a crash while its parquet pages didn't would make resume
-    permanently skip a truncated partition."""
+def _atomic_write_parquet(table: pa.Table, path: str,
+                          durable: bool = False) -> None:
+    """write tmp -> [fsync file] -> rename -> [fsync directory]. With
+    ``durable`` the data is on disk BEFORE the manifest commits: a
+    manifest that survives a power loss while its parquet pages didn't
+    would make resume permanently skip a truncated partition."""
     tmp = path + ".tmp"
     pq.write_table(table, tmp, compression="zstd")
-    fd = os.open(tmp, os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
+    if durable:
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
     os.replace(tmp, path)
-    dfd = os.open(os.path.dirname(path), os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
+    if durable:
+        dfd = os.open(os.path.dirname(path), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
 
 def write_partition_atomic(
@@ -86,6 +99,7 @@ def write_partition_atomic(
     extracted: pa.Table,
     chunks: pa.Table,
     num_parts: int | None = None,
+    durable: bool = False,
 ) -> dict:
     """Write one partition's outputs + manifest; returns the manifest row.
 
@@ -107,8 +121,10 @@ def write_partition_atomic(
             )
         )
 
-    _atomic_write_parquet(extracted, os.path.join(out_dir, "extracted", name))
-    _atomic_write_parquet(chunks, os.path.join(out_dir, "chunks", name))
+    _atomic_write_parquet(extracted, os.path.join(out_dir, "extracted", name),
+                          durable=durable)
+    _atomic_write_parquet(chunks, os.path.join(out_dir, "chunks", name),
+                          durable=durable)
 
     status = extracted.column("status").to_pylist()
     texts = extracted.column("text").to_pylist()

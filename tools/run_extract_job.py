@@ -43,6 +43,9 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=None,
                     help="rows per extract batch; default derives from "
                          "average row bytes in the parquet metadata")
+    ap.add_argument("--durable", action="store_true",
+                    help="fsync data files before each manifest commit "
+                         "(power-loss-safe resume; slower writes)")
     args = ap.parse_args()
     if bool(args.pages) == bool(args.sf is not None):
         ap.error("exactly one of --pages / --sf is required")
@@ -72,6 +75,7 @@ def main() -> int:
         token_budget=args.token_budget,
         batch_size=args.batch_size,
         rows_per_part=args.rows_per_part,
+        durable=args.durable,
     )
     summary["wall_sec"] = round(time.perf_counter() - t0, 3)
     summary["docs_per_sec"] = round(summary["n_docs"] / summary["wall_sec"], 1)
