@@ -44,7 +44,7 @@ BENCH_QUERIES = [
 def _sf_of(sf_dir: str) -> float:
     import re
 
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     return float(m.group(1)) if m else 0.1
 
 

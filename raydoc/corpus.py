@@ -29,6 +29,8 @@ from raydoc.extract.html_extract import html_to_text
 from raydoc.schemas import PAGES_SCHEMA
 
 SEED = 42
+# bump when gen_row/_page_html change: invalidates cached corpora
+GEN_VERSION = 2
 _EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
 
 _HOSTS = [f"site{i:02d}.example.{tld}" for i, tld in zip(range(50), (
@@ -148,8 +150,11 @@ def _main_content(rng: random.Random, lang: str) -> str:
     return "\n".join(parts)
 
 
-def _page_html(rng: random.Random, lang: str, variant: int) -> bytes:
-    """12 template variants + pathological strides (chosen by caller)."""
+def _page_html(rng: random.Random, lang: str, wrapper: int,
+               layout: int) -> bytes:
+    """12 wrapper x 3 layout template variants (drawn INDEPENDENTLY by
+    the caller so all 36 combinations occur; a single variant%12 /
+    variant%3 draw would reach only 12 of them)."""
     main = _main_content(rng, lang)
     nav, side, foot = _nav(rng), _sidebar(rng), _footer(rng)
     title = _words(rng, "en", 4)
@@ -167,13 +172,13 @@ def _page_html(rng: random.Random, lang: str, variant: int) -> bytes:
         f"<main>{main}</main><script>var x = '<p>never emitted</p>';</script>",
         f"<main>{main}</main><style>p {{ color: red }}</style>",
     ]
-    body_core = wrappers[variant % len(wrappers)]
+    body_core = wrappers[wrapper % len(wrappers)]
     layouts = [
         f"<header><h1>{title}</h1>{nav}</header>{body_core}{side}{foot}",
         f"{nav}{body_core}{foot}",
         f"<header>{nav}</header><div class='page'>{side}{body_core}</div>{foot}",
     ]
-    body = layouts[variant % len(layouts)]
+    body = layouts[layout % len(layouts)]
     return (
         f"<!DOCTYPE html><html lang='{lang}'><head><title>{title}</title>"
         f"<meta charset='utf-8'><style>body{{margin:0}}</style>"
@@ -213,8 +218,10 @@ def _pathological(rng: random.Random, lang: str, kind: int) -> bytes:
     ).encode("utf-8")
 
 
-def gen_row(i: int, seed: int = SEED) -> dict:
-    """Row i of the corpus — pure function of (i, seed)."""
+def gen_row(i: int, seed: int = SEED, with_text: bool = True) -> dict:
+    """Row i of the corpus — pure function of (i, seed). ``with_text``
+    skips the html_to_text fallback column (a second full parse) for
+    callers that only need the html payload."""
     rng = random.Random(f"{seed}:{i}")
     lang = rng.choices(_LANGS, weights=_LANG_WEIGHTS, k=1)[0]
     host = rng.choices(_HOSTS, weights=_HOST_WEIGHTS, k=1)[0]
@@ -222,12 +229,13 @@ def gen_row(i: int, seed: int = SEED) -> dict:
     if i > 0 and i % 97 == 0:
         html = _pathological(rng, lang, (i // 97) % 6)
     else:
-        html = _page_html(rng, lang, variant=rng.randrange(36))
+        html = _page_html(rng, lang, wrapper=rng.randrange(12),
+                          layout=rng.randrange(3))
     return {
         "url": url,
         "warc_ts": _EPOCH + _dt.timedelta(seconds=i),
         "html": html,
-        "text": html_to_text(html),
+        "text": html_to_text(html) if with_text else "",
         "lang": lang,
     }
 
@@ -255,7 +263,7 @@ def ensure_pages_parquet(
     parallelism. Caller owns the Ray session.
     """
     n = n_pages_for_sf(sf)
-    out = os.path.join(base_dir, f"sf{sf}")
+    out = os.path.join(base_dir, f"sf{sf}_s{seed}_g{GEN_VERSION}")
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
         return out

@@ -11,18 +11,12 @@ from __future__ import annotations
 import hashlib
 import zlib
 
-import numpy as np
-
 __all__ = [
     "crc32_str",
     "md5_hex",
-    "md5_u64",
     "part_id_for_url",
     "stable_u64",
-    "u64_array_from_strings",
 ]
-
-_MASK64 = (1 << 64) - 1
 
 
 def crc32_str(s: str) -> int:
@@ -42,24 +36,9 @@ def md5_hex(s: str) -> str:
     return hashlib.md5(s.encode("utf-8", "surrogatepass")).hexdigest()
 
 
-def md5_u64(s: str) -> int:
-    """First 8 bytes of md5 as an unsigned 64-bit int."""
-    return int.from_bytes(
-        hashlib.md5(s.encode("utf-8", "surrogatepass")).digest()[:8], "big"
-    )
-
-
 def stable_u64(s: str, salt: int = 0) -> int:
     """Salted stable 64-bit hash (for minhash permutations etc.)."""
     h = hashlib.blake2b(
         s.encode("utf-8", "surrogatepass"), digest_size=8, salt=salt.to_bytes(8, "big")
     )
     return int.from_bytes(h.digest(), "big")
-
-
-def u64_array_from_strings(strings, salt: int = 0) -> np.ndarray:
-    """Vector-ish helper: stable 64-bit hash per string -> uint64 ndarray."""
-    out = np.empty(len(strings), dtype=np.uint64)
-    for i, s in enumerate(strings):
-        out[i] = stable_u64(s, salt) & _MASK64
-    return out

@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from raydoc.hashing import crc32_str
+from raydoc.hashing import part_id_for_url
 from raydoc.stages.extract_stage import ExtractStage, explode_chunks
 from raydoc.state.manifest import committed_partitions, load_manifests, write_partition_atomic
 
@@ -96,7 +96,7 @@ def batch_rows_for_bytes(
 
 def add_part_id(batch: pa.Table, num_parts: int) -> pa.Table:
     part = np.fromiter(
-        (crc32_str(u) % num_parts for u in batch.column("url").to_pylist()),
+        (part_id_for_url(u, num_parts) for u in batch.column("url").to_pylist()),
         dtype=np.int64,
         count=batch.num_rows,
     )
@@ -189,7 +189,7 @@ def run_extract_pipeline(
 
         def _not_done(b: pa.Table) -> pa.Table:
             keep = [
-                crc32_str(u) % P not in done_set
+                part_id_for_url(u, P) not in done_set
                 for u in b.column("url").to_pylist()
             ]
             return b.filter(pa.array(keep))

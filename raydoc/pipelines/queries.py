@@ -1261,7 +1261,7 @@ _FLAGSHIP_CAP = 2000  # cap pages in the correctness path; bench runs full sf
 def _sf_of(sf_dir: str) -> float:
     import re as _re
 
-    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    m = _re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     return float(m.group(1)) if m else 0.001
 
 
@@ -1278,7 +1278,9 @@ def _flagship_pages_path(sf_dir: str) -> str:
     n = min(n_pages_for_sf(sf), _FLAGSHIP_CAP)
     if n >= n_pages_for_sf(sf):
         return ensure_pages_parquet(sf, seed=42)
-    path = f"/tmp/raydoc_pages/cap{n}"
+    from raydoc.corpus import GEN_VERSION
+
+    path = f"/tmp/raydoc_pages/cap{n}_g{GEN_VERSION}"
     os.makedirs(path, exist_ok=True)
     f = os.path.join(path, "pages.parquet")
     if not os.path.exists(f):

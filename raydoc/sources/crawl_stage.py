@@ -30,7 +30,7 @@ def offline_fetch(url: str) -> bytes:
         raise FileNotFoundError(f"404: {url}")
     from raydoc.corpus import gen_row
 
-    return gen_row(int(m.group(1)))["html"]
+    return gen_row(int(m.group(1)), with_text=False)["html"]
 
 
 class FetchExtractStage:

@@ -22,7 +22,7 @@ import pyarrow as pa
 
 from raydoc.extract.chunker import chunk_document
 from raydoc.extract.html_extract import extract_page
-from raydoc.schemas import SPAN_TYPE
+from raydoc.schemas import CHUNKS_SCHEMA, SPAN_TYPE
 
 _CHUNK_TYPE = pa.struct(
     [
@@ -101,7 +101,10 @@ def explode_chunks(batch: pa.Table) -> pa.Table:
         chunks = chunks.combine_chunks()
     lengths = pc.list_value_length(chunks).fill_null(0).to_numpy(zero_copy_only=False)
     urls = batch.column("url").to_pylist()
-    rep_urls = pa.array(np.repeat(np.asarray(urls, dtype=object), lengths))
+    # explicit string type: an all-empty repeat would otherwise infer a
+    # null-typed url column and schema-drift the chunks parquet
+    rep_urls = pa.array(np.repeat(np.asarray(urls, dtype=object), lengths),
+                        type=CHUNKS_SCHEMA.field("url").type)
     flat = chunks.flatten()  # struct array of chunk fields
     return pa.Table.from_arrays(
         [
@@ -111,5 +114,5 @@ def explode_chunks(batch: pa.Table) -> pa.Table:
             flat.field("token_count"),
             flat.field("title_path"),
         ],
-        names=["url", "chunk_id", "text", "token_count", "title_path"],
+        schema=CHUNKS_SCHEMA,
     )

@@ -142,17 +142,25 @@ class ImageFeatureStage:
         self.proj = np.random.RandomState(5).standard_normal((256, dim))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, feats = [], []
+        ids, feats, status = [], [], []
         for mid, payload in zip(batch.column("media_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
-            img = self.decode(payload)
-            hist = np.bincount(img.reshape(-1), minlength=256)[:256].astype(np.float64)
-            hist /= max(hist.sum(), 1.0)
-            feats.append((hist @ self.proj).tolist())
             ids.append(mid)
+            try:  # in-band error rows: one bad payload never kills the job
+                img = self.decode(payload)
+                hist = np.bincount(
+                    img.reshape(-1), minlength=256
+                )[:256].astype(np.float64)
+                hist /= max(hist.sum(), 1.0)
+                feats.append((hist @ self.proj).tolist())
+                status.append("ok")
+            except Exception as e:
+                feats.append(None)
+                status.append(f"error:{type(e).__name__}:{e}"[:200])
         return pa.Table.from_pydict(
             {"media_id": pa.array(ids, pa.int64()),
-             "feature": pa.array(feats, pa.list_(pa.float64()))}
+             "feature": pa.array(feats, pa.list_(pa.float64())),
+             "status": pa.array(status, pa.string())}
         )
 
 

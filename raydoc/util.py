@@ -13,4 +13,4 @@ def cpu_cap() -> int:
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(2, cpus - 1)
+    return max(1, cpus - 1)

@@ -26,8 +26,12 @@ def to_table(res) -> pa.Table:
         import ray as _r
 
         parts = [t for t in _r.get(tbls)]
-        parts = [p for p in parts if p.num_rows or len(parts) == 1]
-        return pa.concat_tables(parts, promote_options="permissive") if parts else pa.table({})
+        nonempty = [p for p in parts if p.num_rows]
+        if nonempty:
+            return pa.concat_tables(nonempty, promote_options="permissive")
+        # all empty: keep one block WITH its schema (a multi-block empty
+        # result must not degrade to a zero-column table)
+        return parts[0] if parts else pa.table({})
     if isinstance(res, pd.DataFrame):
         return pa.Table.from_pandas(res, preserve_index=False)
     return res
