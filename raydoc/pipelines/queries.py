@@ -1252,6 +1252,18 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def docs_curation(sf_dir: str):
+    """End-to-end training-data curation (quality gate -> langid gate ->
+    exact dedup -> near-dup removal; pipelines/training_data.py). No SQL
+    oracle — the LSH stage isn't SQL-expressible; invariants pinned in
+    pytest. Returns the kept rows (doc_id, n_tokens)."""
+    from raydoc.pipelines.training_data import curate_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept, _stats = curate_documents(ds, min_tokens=5)
+    return kept.select_columns(["doc_id", "n_tokens"])
+
+
 # --------------------------------------------------------------------------
 # flagship extraction (synthetic pages corpus; rows-only driver check)
 
@@ -1358,6 +1370,7 @@ QUERIES = {
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "embeddings_near_dup": embeddings_near_dup,
     "embeddings_cosine_pairs": embeddings_cosine_pairs,
+    "docs_curation": docs_curation,
     "flagship_extract": flagship_extract,
     "flagship_chunks": flagship_chunks,
 }

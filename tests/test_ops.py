@@ -603,3 +603,42 @@ class TestMinhashPlans:
         key = lambda df: sorted(zip(df["id_a"], df["id_b"],
                                     df["est_jaccard"].round(9)))
         assert key(carry) == key(slim) and len(carry) >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCuration:
+    def test_curation_stages_and_determinism(self):
+        import ray.data as rd
+
+        from raydoc.pipelines.training_data import curate_documents
+
+        good = ("the quick brown fox jumps over the lazy dog and it runs "
+                "far into the woods tonight with many more plain words") * 2
+        near = good.replace("lazy", "sleepy")
+        rows = {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                good,                 # kept
+                good,                 # exact dup of 0 -> removed
+                near,                 # near dup of 0 -> removed
+                "!!! ??? ### $$$",    # punct junk -> gated
+                "short",              # too few tokens -> gated
+                "esto es un texto claramente distinto que el perro no "
+                "conoce y no se parece en nada al resto del corpus aqui",
+            ],
+        }
+        ds = rd.from_arrow(pa.table(rows))
+        kept, stats = curate_documents(
+            ds, min_tokens=6, near_dup_threshold=0.5,
+        )
+        ids = sorted(kept.to_pandas()["doc_id"])
+        assert ids == [0, 5]
+        assert stats["n_input"] == 6
+        assert stats["n_after_gates"] == 4      # junk + short gated
+        assert stats["n_after_exact_dedup"] == 3  # doc 1 folded into 0
+        assert stats["n_near_dup_removed"] == 1   # doc 2
+        assert stats["n_kept"] == 2
+        # language gate drops the non-English doc
+        kept_en, _ = curate_documents(ds, min_tokens=6, keep_langs=("en",),
+                                      near_dup_threshold=0.5)
+        assert sorted(kept_en.to_pandas()["doc_id"]) == [0]
