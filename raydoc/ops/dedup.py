@@ -420,8 +420,11 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     def _bands(batch: pa.Table) -> pa.Table:
         batch = simhash_batch(batch, text_col)
         ids, keys, hashes = [], [], []
-        for i, h in zip(batch.column(id_col).to_pylist(),
-                        batch.column("simhash").to_pylist()):
+        for i, h, t in zip(batch.column(id_col).to_pylist(),
+                           batch.column("simhash").to_pylist(),
+                           batch.column(text_col).to_pylist()):
+            if not (t or "").strip():
+                continue  # empty docs all hash to 0: skip, like minhash
             for bi in range(4):
                 chunk = (h >> (16 * bi)) & 0xFFFF
                 ids.append(i)

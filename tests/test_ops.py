@@ -642,3 +642,15 @@ class TestCuration:
         kept_en, _ = curate_documents(ds, min_tokens=6, keep_langs=("en",),
                                       near_dup_threshold=0.5)
         assert sorted(kept_en.to_pandas()["doc_id"]) == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_empty_docs_do_not_pair():
+    import ray.data as rd
+
+    from raydoc.ops.dedup import simhash_pairs
+
+    ds = rd.from_arrow(_t(doc_id=[0, 1, 2, 3],
+                          text=["", "  ", "", "real words in this doc"]))
+    pairs = simhash_pairs(ds, max_hamming=6).to_pandas()
+    assert len(pairs) == 0  # empties share simhash 0 but never bucket
