@@ -34,6 +34,7 @@ __all__ = [
     "keyword_search_generate",
     "retrieval_relevant_rewrite_generate",
     "customer_service",
+    "text2sql",
 ]
 
 _TOP_N = 5
@@ -334,3 +335,49 @@ def customer_service(sf_dir: str, questions: list[str] | None = None):
                 rows.append({"qid": qid, "branch": "ask_contact",
                              "answer": "Please leave your contact details."})
     return rd.from_items(rows)
+
+
+_T2SQL_TEMPLATES = {
+    "count orders": "SELECT count(*) AS n FROM orders",
+    "total revenue": ("SELECT round(sum(l_extendedprice * (1 - l_discount)),"
+                      " 2) AS revenue FROM lineitem"),
+    "customers per segment": ("SELECT c_mktsegment, count(*) AS n FROM "
+                              "customer GROUP BY c_mktsegment ORDER BY n"),
+    "broken question": "SELEC nope FROM nowhere",  # exercises the repair loop
+}
+
+
+def text2sql(sf_dir: str, questions: list[str] | None = None):
+    """templates/text2sql.json + dsl_examples/exesql.json: question ->
+    Generate double emits a fenced SQL answer -> extract_sql ->
+    SqlExecStage (connection per actor, bounded repair loop,
+    exesql.py:28-155). The generate double is a question->SQL template
+    table — a real text2sql model swaps into GenerateStage's prompt
+    slot with the same downstream contract."""
+    import ray.data as rd
+
+    from raydoc.ops.sql_exec import SqlExecStage
+
+    questions = questions or list(_T2SQL_TEMPLATES)
+    answers = [
+        f"Sure! Here is the query:\n```sql\n"
+        f"{_T2SQL_TEMPLATES.get(q, 'SELECT 1 AS one')};\n```\nHope it helps."
+        for q in questions
+    ]
+    ds = rd.from_items(
+        [{"question": q, "sql_text": a} for q, a in zip(questions, answers)]
+    )
+    tables = {t: f"{sf_dir}/{t}.parquet"
+              for t in ("orders", "lineitem", "customer")}
+
+    def _repair(sql: str, err: str):
+        # deterministic double of the LLM regenerate loop
+        # (exesql.py:136-152): fix the one known typo class
+        return sql.replace("SELEC ", "SELECT ") if "SELEC " in sql else None
+
+    return ds.map_batches(
+        SqlExecStage,
+        fn_constructor_kwargs={"tables": tables, "repair_fn": _repair},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

@@ -74,3 +74,16 @@ class TestConformancePipelines:
         assert list(out["branch"]) == ["casual", "complain", "product"]
         assert out.iloc[1]["answer"].startswith("We are sorry")
         assert "sources" in out.iloc[2]["answer"]
+
+    def test_text2sql_exec_and_repair(self, sf_dir):
+        from raydoc.pipelines.conformance import text2sql
+
+        out = text2sql(sf_dir).to_pandas()
+        assert len(out) == 4
+        ok = out[out["status"] == "ok"]
+        assert len(ok) == 3  # three valid questions execute
+        # the broken question flows through the bounded repair loop:
+        # SELEC -> SELECT, but the table still doesn't exist -> error row
+        bad = out[out["status"] != "ok"].iloc[0]
+        assert bad["sql"].startswith("SELECT nope")
+        assert bad["n_rows"] == 0
