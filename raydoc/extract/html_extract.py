@@ -76,6 +76,9 @@ def _collapse(s: str) -> str:
 
 
 def _nfc(s: str) -> str:
+    # ASCII fast path: NFC is the identity there (same output, no copy)
+    if s.isascii():
+        return s
     return unicodedata.normalize("NFC", s)
 
 

@@ -123,3 +123,23 @@ def test_scanner_tag_recovery():
     # entities unescaped in text runs
     assert extract_page("<body><p>a &amp; b &lt;x&gt; &#65;</p></body>")[
         "text"] == "a & b <x> A"
+
+
+def test_multi_megabyte_document():
+    """A single multi-MB page must extract correctly and in bounded time
+    (the long-tail giant-doc case SURVEY.md §4 calls out)."""
+    import time
+
+    from raydoc.extract.html_extract import extract_page
+
+    para = "<p>" + "lorem ipsum dolor sit amet " * 40 + "</p>"
+    html = ("<html><body><nav>menu</nav><main>" + para * 2000 +
+            "</main><footer>foot</footer></body></html>").encode()
+    assert len(html) > 2_000_000
+    t0 = time.perf_counter()
+    res = extract_page(html)
+    dt = time.perf_counter() - t0
+    assert res["status"] == "ok"
+    assert len(res["spans"]) == 2000
+    assert "menu" not in res["text"] and "lorem ipsum" in res["text"]
+    assert dt < 10.0  # linear-time guarantee, generous CI margin
