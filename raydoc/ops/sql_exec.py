@@ -24,12 +24,13 @@ import pyarrow as pa
 __all__ = ["extract_sql", "SqlExecStage"]
 
 _FENCE_RE = re.compile(r"```(?:sql)?\s*(.*?)```", re.DOTALL | re.IGNORECASE)
-_SELECT_RE = re.compile(r"(select\b.*?;)", re.DOTALL | re.IGNORECASE)
+# anchor at WITH as well as SELECT so CTE queries keep their prefix
+_SELECT_RE = re.compile(r"((?:with|select)\b.*?;)", re.DOTALL | re.IGNORECASE)
 
 
 def extract_sql(text: str) -> str:
-    """Fenced block first, else first SELECT...; else the text as-is
-    (exesql.py:63-76's progressive trims)."""
+    """Fenced block first, else first WITH/SELECT...; else the text
+    as-is (exesql.py:63-76's progressive trims)."""
     t = text or ""
     m = _FENCE_RE.search(t)
     if m:
@@ -67,7 +68,7 @@ class SqlExecStage:
 
         sql = extract_sql(text)
         last_err = ""
-        for _attempt in range(self.max_retries + 1):
+        for attempt in range(self.max_retries + 1):
             try:
                 cur = self.con.execute(sql)
                 rows = cur.fetchmany(self.top_n)
@@ -80,13 +81,25 @@ class SqlExecStage:
                 }
             except Exception as e:
                 last_err = str(e)
+                if attempt == self.max_retries:
+                    break  # no repair on the final attempt
                 fixed = self.repair(sql, last_err)
                 if not fixed or fixed == sql:
                     break
                 sql = fixed
+        # `sql` here is always the statement that PRODUCED last_err —
+        # never a repaired string that was not executed
         return {"sql": sql, "status": f"error:{last_err[:200]}",
                 "n_rows": 0, "result_json": "[]"}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Appends (sql, status, n_rows, result_json) to the INPUT rows,
+        so results stay attributable to their question at any
+        partitioning (and empty batches keep a stable schema)."""
         out = [self._run_one(t) for t in batch.column("sql_text").to_pylist()]
-        return pa.Table.from_pylist(out)
+        for col, typ in (("sql", pa.string()), ("status", pa.string()),
+                         ("n_rows", pa.int64()), ("result_json", pa.string())):
+            batch = batch.append_column(
+                col, pa.array([r[col] for r in out], typ)
+            )
+        return batch

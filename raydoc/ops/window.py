@@ -45,39 +45,55 @@ def sessionize(ds, key_col: str, ts_col: str, gap_minutes: float = 30.0,
     gap_us = int(gap_minutes * 60 * 1e6)
 
     def _sessions(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
-        g = group.take(idx)
-        ts = g.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
-        breaks = np.empty(len(ts), dtype=np.int64)
-        breaks[0] = 1
-        if len(ts) > 1:
-            breaks[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = np.cumsum(breaks)
-        key = g.column(key_col)[0].as_py()
-        out = {
+        # null timestamps have no place on the timeline: drop them
+        # (int64-casting a null otherwise yields a NaN float array)
+        group = group.filter(pc.is_valid(group.column(ts_col)))
+        out: dict[str, list] = {
             key_col: [], "session_id": [], "n_events": [],
             "start_ts": [], "end_ts": [],
         }
-        vals = (
-            g.column(agg_value_col).to_numpy(zero_copy_only=False)
-            if agg_value_col else None
-        )
         if agg_value_col:
             out["sum_value"] = []
-        for s in range(1, sid[-1] + 1):
-            m = sid == s
-            out[key_col].append(key)
-            out["session_id"].append(int(s))
-            out["n_events"].append(int(m.sum()))
-            out["start_ts"].append(int(ts[m].min()))
-            out["end_ts"].append(int(ts[m].max()))
+        if group.num_rows == 0:
+            # typed empty output (all-null groups): no schema drift
+            fields = [pa.field(key_col, group.schema.field(key_col).type),
+                      pa.field("session_id", pa.int64()),
+                      pa.field("n_events", pa.int64()),
+                      pa.field("start_ts", pa.int64()),
+                      pa.field("end_ts", pa.int64())]
             if agg_value_col:
-                out["sum_value"].append(float(vals[m].sum()))
+                fields.append(pa.field("sum_value", pa.float64()))
+            tbl = pa.Table.from_pydict(out, schema=pa.schema(fields))
+        else:
+            idx = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
+            g = group.take(idx)
+            ts = g.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            breaks = np.empty(len(ts), dtype=np.int64)
+            breaks[0] = 1
+            if len(ts) > 1:
+                breaks[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+            # session boundaries -> O(n) segment reduces (a per-session
+            # boolean-mask loop is O(n_sessions * n) and hangs on a key
+            # with ~1M singleton sessions)
+            starts = np.flatnonzero(breaks)
+            n_sessions = len(starts)
+            counts = np.diff(np.append(starts, len(ts)))
+            key = g.column(key_col)[0].as_py()
+            out[key_col] = [key] * n_sessions
+            out["session_id"] = list(range(1, n_sessions + 1))
+            out["n_events"] = counts.tolist()
+            out["start_ts"] = ts[starts].tolist()  # sorted: first = min
+            out["end_ts"] = ts[np.append(starts[1:], len(ts)) - 1].tolist()
+            if agg_value_col:
+                vals = g.column(agg_value_col).to_numpy(zero_copy_only=False)
+                out["sum_value"] = np.add.reduceat(
+                    vals.astype(np.float64), starts
+                ).tolist()
         tbl = pa.Table.from_pydict(out)
         for c in ("start_ts", "end_ts"):
             tbl = tbl.set_column(
                 tbl.schema.get_field_index(c), c,
-                tbl.column(c).cast(pa.timestamp("us")),
+                tbl.column(c).cast(pa.int64()).cast(pa.timestamp("us")),
             )
         return tbl
 
@@ -223,10 +239,18 @@ def asof_join(
 
     left_schema_cols: list[str] = [f for f in left.schema().names]
 
+    def _norm_ts(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        # normalize BOTH sides to us-resolution before the int64 compare
+        # (a ns-resolution left vs us-resolution right would otherwise
+        # compare raw int64 values 1000x apart and silently mis-join)
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        return col.cast(pa.int64())
+
     def _tag_left(b: pa.Table) -> pa.Table:
         b = b.append_column("_side", pa.array(["L"] * b.num_rows, pa.string()))
-        b = b.append_column("_k", b.column(key).cast(pa.int64()))
-        return b.append_column("_ts", b.column(left_ts).cast(pa.int64()))
+        b = b.append_column("_k", b.column(key))  # key type preserved
+        return b.append_column("_ts", _norm_ts(b.column(left_ts)))
 
     def _tag_right(b: pa.Table) -> pa.Table:
         keep = [right_key, right_ts] + [c for c in right_cols]
@@ -234,8 +258,8 @@ def asof_join(
             keep.append(right_tiebreak)
         b = b.select(list(dict.fromkeys(keep)))
         b = b.append_column("_side", pa.array(["R"] * b.num_rows, pa.string()))
-        b = b.append_column("_k", b.column(right_key).cast(pa.int64()))
-        return b.append_column("_ts", b.column(right_ts).cast(pa.int64()))
+        b = b.append_column("_k", b.column(right_key))
+        return b.append_column("_ts", _norm_ts(b.column(right_ts)))
 
     lt = left.map_batches(_tag_left, batch_format="pyarrow")
     rt = right.map_batches(_tag_right, batch_format="pyarrow")

@@ -196,7 +196,8 @@ def categorize_concentrator(sf_dir: str):
     routed = ds.map_batches(
         CategorizeStage, fn_constructor_kwargs={"categories": cats},
         batch_format="pyarrow", concurrency=(1, 4),
-    )
+    ).materialize()  # branches share ONE classification pass (union
+    # branches do not dedupe a shared lazy sub-plan)
     branches = []
     for name, msg in messages.items():  # one Message node per branch
         b = routed.filter(expr=f"category == '{name}'")
@@ -316,24 +317,43 @@ def customer_service(sf_dir: str, questions: list[str] | None = None):
     )
     routed = _collect(routed)
 
+    triples = list(zip(routed.column("qid").to_pylist(),
+                       routed.column("text").to_pylist(),
+                       routed.column("category").to_pylist()))
+
+    # ONE multi-query retrieval pass for all product-branch questions
+    # (hybrid_retrieve is natively multi-query; a per-question loop
+    # would re-scan the corpus N times)
+    product = [(qid, text) for qid, text, cat in triples
+               if cat not in ("casual", "complain")]
+    hits: dict[int, int] = {}
+    if product:
+        from raydoc.ops.retrieval import hybrid_retrieve
+
+        corpus, dim = _corpus(sf_dir)
+        top = _collect(hybrid_retrieve(
+            corpus,
+            [{"query_id": qid, "tokens": set(text.lower().split()),
+              "vector": _pseudo_embedding(text, dim)} for qid, text in product],
+            top_n=_TOP_N,
+        ))
+        for q in top.column("query_id").to_pylist():
+            hits[q] = hits.get(q, 0) + 1
+
     rows = []
-    for qid, text, cat in zip(routed.column("qid").to_pylist(),
-                              routed.column("text").to_pylist(),
-                              routed.column("category").to_pylist()):
+    for qid, text, cat in triples:
         if cat == "casual":
             rows.append({"qid": qid, "branch": "casual",
                          "answer": "Hello! How can I help you today?"})
         elif cat == "complain":
             rows.append({"qid": qid, "branch": "complain",
                          "answer": f"We are sorry to hear that: {text}"})
-        else:  # product branch: retrieval + relevance gate + generate
-            top = _collect(_retrieve(sf_dir, text))
-            if top.num_rows:
-                rows.append({"qid": qid, "branch": "product",
-                             "answer": f"Q: {text} -> {top.num_rows} sources"})
-            else:
-                rows.append({"qid": qid, "branch": "ask_contact",
-                             "answer": "Please leave your contact details."})
+        elif hits.get(qid, 0):
+            rows.append({"qid": qid, "branch": "product",
+                         "answer": f"Q: {text} -> {hits[qid]} sources"})
+        else:
+            rows.append({"qid": qid, "branch": "ask_contact",
+                         "answer": "Please leave your contact details."})
     return rd.from_items(rows)
 
 

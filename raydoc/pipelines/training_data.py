@@ -45,12 +45,14 @@ def curate_documents(
     from raydoc.ops.dedup import exact_dedup, minhash_lsh_pairs
     from raydoc.ops.text import langid_batch, quality_batch
 
+    # n_input: metadata-cheap for parquet-read inputs; for DERIVED
+    # inputs this executes the upstream lineage once for the count —
+    # materialize your input first if that lineage is expensive
     stats: dict[str, int] = {"n_input": ds.count()}
 
-    ds = ds.map_batches(lambda b: quality_batch(b, text_col),
-                        batch_format="pyarrow")
-
-    def _quality_gate(b: pa.Table) -> pa.Table:
+    def _gates(b: pa.Table) -> pa.Table:
+        # quality + language maps and both filters fused into one pass
+        b = quality_batch(b, text_col)
         mask = pc.and_(
             pc.greater_equal(b.column("n_tokens"), pa.scalar(min_tokens)),
             pc.and_(
@@ -60,20 +62,14 @@ def curate_documents(
                                  pa.scalar(min_stopword_ratio)),
             ),
         )
-        return b.filter(mask)
+        b = b.filter(mask)
+        if keep_langs:
+            b = langid_batch(b, text_col)
+            langs = pa.array(list(keep_langs), pa.string())
+            b = b.filter(pc.is_in(b.column("lang_pred"), value_set=langs))
+        return b
 
-    ds = ds.map_batches(_quality_gate, batch_format="pyarrow")
-
-    if keep_langs:
-        langs = pa.array(list(keep_langs), pa.string())
-        ds = ds.map_batches(
-            lambda b: langid_batch(b, text_col), batch_format="pyarrow"
-        ).map_batches(
-            lambda b: b.filter(pc.is_in(b.column("lang_pred"),
-                                        value_set=langs)),
-            batch_format="pyarrow",
-        )
-    ds = ds.materialize()  # one pass for the maps; reused below
+    ds = ds.map_batches(_gates, batch_format="pyarrow").materialize()
     stats["n_after_gates"] = ds.count()
 
     deduped = exact_dedup(ds, text_col, id_col).materialize()

@@ -654,3 +654,60 @@ def test_simhash_empty_docs_do_not_pair():
                           text=["", "  ", "", "real words in this doc"]))
     pairs = simhash_pairs(ds, max_hamming=6).to_pandas()
     assert len(pairs) == 0  # empties share simhash 0 but never bucket
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestThirdReviewRegressions:
+    def test_asof_mixed_resolution_and_string_keys(self):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from raydoc.ops.window import asof_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        left = rd.from_arrow(pa.table({
+            "k": ["a", "a"],
+            "ts": pa.array([t0 + dt.timedelta(days=2),
+                            t0 - dt.timedelta(days=1)], pa.timestamp("ns")),
+            "e": ["x", "y"],
+        }))
+        right = rd.from_arrow(pa.table({
+            "k": ["a"], "rts": pa.array([t0], pa.timestamp("us")),
+            "val": [10.0],
+        }))
+        out = asof_join(left, right, "k", "k", "ts", "rts",
+                        right_cols=["val"]).to_pandas().sort_values("e")
+        # ns-left vs us-right normalized before compare; string keys OK
+        assert list(out["val"].fillna(-1)) == [10.0, -1]
+
+    def test_sessionize_null_timestamps_dropped(self):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from raydoc.ops.window import sessionize
+
+        t0 = dt.datetime(2024, 1, 1)
+        ds = rd.from_arrow(pa.table({
+            "u": [1, 1, 1],
+            "ts": pa.array([t0, None, t0 + dt.timedelta(hours=2)],
+                           pa.timestamp("us")),
+        }))
+        out = sessionize(ds, "u", "ts", gap_minutes=30).to_pandas()
+        assert len(out) == 2 and out["n_events"].sum() == 2
+
+    def test_extract_sql_keeps_cte_prefix(self):
+        from raydoc.ops.sql_exec import extract_sql
+
+        fenced = "```sql\nWITH t AS (SELECT 1 AS x) SELECT x FROM t;\n```"
+        assert extract_sql(fenced).startswith("WITH t AS")
+
+    def test_sql_exec_reports_executed_sql_only(self):
+        from raydoc.ops.sql_exec import SqlExecStage
+
+        st = SqlExecStage(tables={}, max_retries=0,
+                          repair_fn=lambda s, e: s.replace("SELEC ", "SELECT "))
+        r = st._run_one("SELEC 1")
+        # with zero retries the repaired string must never be reported
+        assert r["sql"] == "SELEC 1" and r["status"].startswith("error")
