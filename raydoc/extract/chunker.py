@@ -14,7 +14,7 @@ the same fixed rule as the q_token_count oracle. No Ray imports.
 
 from __future__ import annotations
 
-__all__ = ["chunk_document"]
+__all__ = ["chunk_document", "chunk_document_arrays"]
 
 
 def chunk_document(
@@ -37,6 +37,32 @@ def chunk_document(
       * a trailing chunk shorter than ``min_tokens`` is merged into the
         previous chunk when both share a title path, else kept
     """
+    return _chunk_core(
+        text,
+        ((sp["start"], sp["end"], sp["kind"], sp.get("level", 1)) for sp in spans),
+        token_budget,
+        min_tokens,
+    )
+
+
+def chunk_document_arrays(
+    text: str,
+    starts,
+    ends,
+    kinds,
+    levels,
+    token_budget: int = 256,
+    min_tokens: int = 16,
+) -> list[dict]:
+    """``chunk_document`` over parallel span-field arrays (numpy slices of
+    a flattened Arrow ``list<struct>`` column) — identical output, no
+    per-span dict materialization. This is the hot-path entry used by
+    the post-shuffle write task, where ``spans.to_pylist()`` was ~40% of
+    the per-partition CPU."""
+    return _chunk_core(text, zip(starts, ends, kinds, levels), token_budget, min_tokens)
+
+
+def _chunk_core(text, span_tuples, token_budget, min_tokens):
     title_stack: list[tuple[int, str]] = []  # (level, title text)
     chunks: list[dict] = []
     cur_parts: list[str] = []
@@ -57,11 +83,11 @@ def chunk_document(
         cur_parts = []
         cur_tokens = 0
 
-    for sp in spans:
-        seg = text[sp["start"] : sp["end"]]
-        if sp["kind"] == "title":
+    for start, end, kind, lvl in span_tuples:
+        seg = text[start:end]
+        if kind == "title":
             emit()
-            level = int(sp.get("level", 1)) or 1
+            level = int(lvl) or 1
             while title_stack and title_stack[-1][0] >= level:
                 title_stack.pop()
             title_stack.append((level, seg))

@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from raydoc.hashing import part_id_for_url
-from raydoc.stages.extract_stage import ExtractStage, explode_chunks
+from raydoc.stages.extract_stage import ExtractStage, explode_chunks, extract_map_fn
 from raydoc.state.manifest import committed_partitions, load_manifests, write_partition_atomic
 
 
@@ -103,6 +103,36 @@ def add_part_id(batch: pa.Table, num_parts: int) -> pa.Table:
     return batch.append_column("part_id", pa.array(part))
 
 
+def collision_free_shuffle_keys(num_parts: int) -> list[int]:
+    """One int64 shuffle-key value per part_id, chosen so Ray's hash
+    bucketing maps the P distinct keys onto P distinct buckets.
+
+    Ray's hash shuffle buckets a key value v by ``hash((scalar,)) %
+    num_partitions`` over the pyarrow scalar (ray.data._internal
+    .arrow_ops.transform_pyarrow.hash_partition) — deterministic and
+    PYTHONHASHSEED-independent for int64. Hashing only P distinct
+    part_id values into P buckets leaves ~1/e of buckets empty and
+    piles up to 4 partitions into one (measured: a 9s straggler write
+    task vs 3.8s mean at sf0.1). Searching ~P·lnP candidate ints for a
+    collision-free set costs microseconds and makes every bucket hold
+    exactly one partition. CORRECTNESS never depends on this: the
+    write task groups by part_id within whatever block it receives, so
+    if a future Ray changes its hash the layout degrades to the old
+    collision balance, nothing more.
+    """
+    found: dict[int, int] = {}
+    v = 0
+    cap = 1000 * num_parts
+    while len(found) < num_parts and v < cap:
+        b = hash((pa.scalar(v, pa.int64()),)) % num_parts
+        if b not in found:
+            found[b] = v
+        v += 1
+    if len(found) < num_parts:  # pathological hash: identity fallback
+        return list(range(num_parts))
+    return [found[b] for b in range(num_parts)]
+
+
 def extract_dataset(
     pages_path: str,
     token_budget: int = 256,
@@ -119,12 +149,22 @@ def extract_dataset(
     import ray.data as rd
 
     ds = rd.read_parquet(pages_path, columns=["url", "html"])
+    bs = batch_size or batch_rows_for_bytes(pages_path)
+    if concurrency is not None:
+        # explicit concurrency => bounded actor pool (tests, co-tenancy)
+        return ds.map_batches(
+            ExtractStage,
+            batch_format="pyarrow",
+            batch_size=bs,
+            fn_constructor_kwargs={"token_budget": token_budget},
+            concurrency=concurrency,
+        )
+    # default: task pool with per-worker-process cached stage — measured
+    # ~3x the actor pool for this cheap-state stage (see extract_map_fn)
     return ds.map_batches(
-        ExtractStage,
+        extract_map_fn(token_budget=token_budget),
         batch_format="pyarrow",
-        batch_size=batch_size or batch_rows_for_bytes(pages_path),
-        fn_constructor_kwargs={"token_budget": token_budget},
-        concurrency=concurrency or default_concurrency(),
+        batch_size=bs,
     )
 
 
@@ -199,44 +239,88 @@ def run_extract_pipeline(
     # Extract WITHOUT chunks: chunking is recomputed after the shuffle in
     # the write task, so the one all-to-all exchange moves (url, text,
     # spans, metrics) — not a second nested copy of every text.
-    extracted = ds.map_batches(
-        ExtractStage,
-        batch_format="pyarrow",
-        batch_size=batch_size or batch_rows_for_bytes(pages_path),
-        fn_constructor_kwargs={"token_budget": token_budget,
-                               "with_chunks": False},
-        concurrency=concurrency or default_concurrency(),
-    )
-    extracted = extracted.map_batches(
-        lambda b: add_part_id(b.drop_columns(["chunks", "n_chunks"]), P),
-        batch_format="pyarrow",
-    )
+    bs = batch_size or batch_rows_for_bytes(pages_path)
+    if concurrency is not None:
+        extracted = ds.map_batches(
+            ExtractStage,
+            batch_format="pyarrow",
+            batch_size=bs,
+            fn_constructor_kwargs={"token_budget": token_budget,
+                                   "with_chunks": False},
+            concurrency=concurrency,
+        )
+    else:
+        extracted = ds.map_batches(
+            extract_map_fn(token_budget=token_budget, with_chunks=False),
+            batch_format="pyarrow",
+            batch_size=bs,
+        )
+    remap = np.asarray(collision_free_shuffle_keys(P), dtype=np.int64)
 
-    # HASH repartition by part_id (no sort): rows of one part_id land in
-    # exactly one output block. This replaced a sort-based
-    # groupby().map_groups() that cost ~10x the extraction time at sf0.1.
-    extracted = extracted.repartition(num_blocks=P, keys=["part_id"], sort=False)
+    def _add_keys(b: pa.Table) -> pa.Table:
+        b = add_part_id(b.drop_columns(["chunks", "n_chunks"]), P)
+        pids = b.column("part_id").to_numpy(zero_copy_only=False)
+        return b.append_column("shuffle_key", pa.array(remap[pids]))
+
+    extracted = extracted.map_batches(_add_keys, batch_format="pyarrow")
+
+    # HASH repartition by shuffle_key (no sort): rows of one part_id land
+    # in exactly one output block, and the collision-free key remapping
+    # puts exactly ONE partition per bucket (see
+    # collision_free_shuffle_keys). This replaced a sort-based
+    # groupby().map_groups() that cost ~10x the extraction time at sf0.1,
+    # and a 4*P-bucket variant whose extra hash-shuffle aggregator actors
+    # cost more in cold-start than the skew they removed.
+    extracted = extracted.repartition(num_blocks=P, keys=["shuffle_key"], sort=False)
 
     def _write_block(block: pa.Table) -> pa.Table:
-        import numpy as _np
-
-        from raydoc.extract.chunker import chunk_document as _chunk
+        from raydoc.extract.chunker import chunk_document_arrays as _chunk_arr
+        from raydoc.stages.extract_stage import _CHUNK_TYPE
 
         rows_out = []
         pids = block.column("part_id").to_numpy(zero_copy_only=False)
         for part_id in sorted(set(pids.tolist())):
             grp = block.filter(pa.array(pids == part_id))
-            # recompute chunks post-shuffle (pure per-row function)
-            chunk_lists = [
-                _chunk(t, [dict(s) for s in sp], token_budget) if st == "ok" else []
-                for t, sp, st in zip(
-                    grp.column("text").to_pylist(),
-                    grp.column("spans").to_pylist(),
-                    grp.column("status").to_pylist(),
-                )
-            ]
-            from raydoc.stages.extract_stage import _CHUNK_TYPE
-
+            # recompute chunks post-shuffle (pure per-row function),
+            # slicing span fields straight out of the flattened Arrow
+            # list<struct> — spans.to_pylist() was ~40% of this task's CPU
+            spans_col = grp.column("spans").combine_chunks()
+            texts = grp.column("text").to_pylist()
+            statuses = grp.column("status").to_pylist()
+            if spans_col.null_count:
+                chunk_lists = [
+                    _chunk_arr(
+                        t,
+                        [s["start"] for s in sp],
+                        [s["end"] for s in sp],
+                        [s["kind"] for s in sp],
+                        [s["level"] for s in sp],
+                        token_budget,
+                    )
+                    if st == "ok" and sp is not None
+                    else []
+                    for t, sp, st in zip(texts, spans_col.to_pylist(), statuses)
+                ]
+            else:
+                offs = spans_col.offsets.to_numpy()
+                flat = spans_col.values
+                starts = flat.field("start").to_numpy(zero_copy_only=False)
+                ends = flat.field("end").to_numpy(zero_copy_only=False)
+                levels = flat.field("level").to_numpy(zero_copy_only=False)
+                kinds = flat.field("kind").to_pylist()
+                chunk_lists = [
+                    _chunk_arr(
+                        t,
+                        starts[offs[i]:offs[i + 1]],
+                        ends[offs[i]:offs[i + 1]],
+                        kinds[offs[i]:offs[i + 1]],
+                        levels[offs[i]:offs[i + 1]],
+                        token_budget,
+                    )
+                    if st == "ok"
+                    else []
+                    for i, (t, st) in enumerate(zip(texts, statuses))
+                ]
             grp = grp.append_column(
                 "chunks", pa.array(chunk_lists, pa.list_(_CHUNK_TYPE))
             ).append_column(
@@ -244,7 +328,7 @@ def run_extract_pipeline(
                 pa.array([len(c) for c in chunk_lists], pa.int32()),
             )
             chunks = explode_chunks(grp)
-            ext = grp.drop_columns(["chunks", "part_id"])
+            ext = grp.drop_columns(["chunks", "part_id", "shuffle_key"])
             rows_out.append(
                 write_partition_atomic(out_dir, int(part_id), ext, chunks,
                                        num_parts=P, durable=durable)

@@ -87,6 +87,36 @@ class ExtractStage:
         return pa.Table.from_pydict(out, schema=EXTRACT_OUT_SCHEMA)
 
 
+_FN_CACHE: dict[tuple, ExtractStage] = {}
+
+
+def extract_map_fn(token_budget: int = 256, with_chunks: bool = True):
+    """Task-pool variant of ``ExtractStage`` for ``map_batches(fn)``.
+
+    The extract stage's only per-worker state is cheap (compiled
+    regexes, module imports) — it does not need an actor's lifetime, so
+    a plain task pool with the stage instance cached per worker PROCESS
+    (Ray workers persist across tasks) gets the same once-per-worker
+    setup without actor-pool dispatch limits. Measured at sf0.1 /
+    32 CPUs: tasks ~14-20k docs/s vs ~6-7k for the actor pool on the
+    identical corpus — the pool's fixed actor count + per-actor queue
+    caps effective parallelism, while tasks let the scheduler use every
+    free CPU. Stages with EXPENSIVE state (layout/OCR models,
+    `layout_stage.py`) keep the actor-pool contract.
+    """
+    key = (token_budget, with_chunks)
+
+    def extract_batch(batch: pa.Table) -> pa.Table:
+        stage = _FN_CACHE.get(key)
+        if stage is None:
+            stage = _FN_CACHE[key] = ExtractStage(
+                token_budget=token_budget, with_chunks=with_chunks
+            )
+        return stage(batch)
+
+    return extract_batch
+
+
 def explode_chunks(batch: pa.Table) -> pa.Table:
     """extracted(url, chunks) -> CHUNKS_SCHEMA rows (one per chunk).
 
