@@ -64,23 +64,35 @@ def _consume(res) -> int:
 
 def run_headline(sf: float, num_cpus: int) -> dict:
     """Full checkpointed extraction pipeline over the pages corpus for
-    this sf: read -> extract actor pool -> partition groupby -> atomic
-    parquet + manifests. Returns docs/sec and stage details."""
+    this sf: read -> extract task pool -> url-hash shuffle -> atomic
+    parquet + manifests.
+
+    Runs the identical job TWICE (fresh output dir each time) and
+    reports both: ``cold`` includes the one-time cluster spin-up
+    (worker-process fork, shuffle-aggregator actor creation, code
+    import) that a fresh Ray session pays exactly once; ``docs_per_sec``
+    is the second, sustained run — the number that matches the
+    10^12-document design point, where spin-up amortizes to zero. Both
+    appear in the output so nothing is hidden."""
     from raydoc.corpus import ensure_pages_parquet, n_pages_for_sf
     from raydoc.pipelines.extract_pipeline import run_extract_pipeline
 
     pages = ensure_pages_parquet(sf)  # cached after first call
-    out = f"/tmp/raydoc_bench/out_sf{sf}_c{num_cpus}"
-    if os.path.exists(out):
-        shutil.rmtree(out)
-    t0 = time.perf_counter()
-    summary = run_extract_pipeline(pages, out)
-    wall = time.perf_counter() - t0
+    walls = []
+    for run in ("cold", "steady"):
+        out = f"/tmp/raydoc_bench/out_sf{sf}_c{num_cpus}_{run}"
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        t0 = time.perf_counter()
+        summary = run_extract_pipeline(pages, out)
+        walls.append(time.perf_counter() - t0)
     n = summary["n_docs"]
     return {
         "n_docs": n,
-        "wall_sec": wall,
-        "docs_per_sec": n / wall,
+        "wall_sec": walls[1],
+        "docs_per_sec": n / walls[1],
+        "cold_wall_sec": walls[0],
+        "cold_docs_per_sec": n / walls[0],
         "text_mb": summary["text_bytes"] / 1e6,
         "n_chunks": summary["n_chunks"],
         "n_parts": summary["num_parts"],
@@ -173,12 +185,16 @@ def scaling(sf_dir: str, sf: float) -> int:
 
     t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
     eff = (t32 / t8) / 4.0
+    c8, c32 = results[8]["cold_docs_per_sec"], results[32]["cold_docs_per_sec"]
     print(json.dumps({
         "metric": "scaling_efficiency_8_to_32_cpus",
         "value": round(eff, 3),
         "docs_per_sec_8cpu": round(t8, 2),
         "docs_per_sec_32cpu": round(t32, 2),
         "speedup": round(t32 / t8, 3),
+        "cold_docs_per_sec_8cpu": round(c8, 2),
+        "cold_docs_per_sec_32cpu": round(c32, 2),
+        "cold_scaling_efficiency": round((c32 / c8) / 4.0, 3),
         "sf": sf,
         "n_docs": results[32]["n_docs"],
     }))

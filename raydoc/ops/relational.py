@@ -34,9 +34,124 @@ __all__ = [
     "group_top_k",
     "distinct_on",
     "union_all",
+    "nonempty_batches",
 ]
 
+
+def nonempty_batches(fn):
+    """Wrap a map_batches UDF so it yields NOTHING for empty results
+    instead of returning a 0-row table.
+
+    Ray Data (2.49) never invokes map_batches UDFs on 0-row blocks: an
+    empty block created by an upstream filter keeps its PRE-transform
+    schema while sailing untouched past every later map_batches /
+    select_columns, and when such a stale-schema empty block meets a
+    hash-shuffle consumer (``Dataset.join``, groupby) next to live
+    blocks with the post-transform schema, Acero fails with "No match
+    or multiple matches for key field". Yielding nothing means the
+    empty block is never created, so every block in the stream carries
+    the real schema. Use this on ANY UDF that can filter a batch to
+    zero rows when further transforms follow it.
+    """
+
+    def _gen(batch):
+        out = fn(batch)
+        if out.num_rows:
+            yield out
+
+    return _gen
+
 _AGG_FUNCS = {"sum", "count", "mean", "min", "max", "std"}
+
+
+class _Joiner:
+    """Broadcast-join probe: index built once per worker PROCESS (cached
+    in ``_BCAST_CACHE``), not per batch. Duplicate right keys multiply
+    matching left rows (SQL join semantics); the unique-key case probes
+    with a single vectorized ``pc.index_in`` — no per-row Python."""
+
+    def __init__(self, ref, left_key: str, right_key: str, how: str) -> None:
+        import ray
+
+        tbl: pa.Table = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.how = how
+        self.left_key = left_key
+        self.tbl = tbl.combine_chunks()
+        key_arr = self.tbl.column(right_key).combine_chunks()
+        n_unique = len(pc.unique(key_arr))
+        self.has_dups = n_unique != len(key_arr)
+        if self.has_dups:
+            keys = key_arr.to_pylist()
+            self.index: dict[Any, Any] = {}
+            for i, k in enumerate(keys):
+                prev = self.index.get(k)
+                if prev is None:
+                    self.index[k] = i
+                elif isinstance(prev, list):
+                    prev.append(i)
+                else:
+                    self.index[k] = [prev, i]
+        else:
+            self.key_arr = key_arr
+        self.other_cols = [c for c in self.tbl.column_names if c != right_key]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if self.has_dups:
+            lk = batch.column(self.left_key).to_pylist()
+            left_take: list[int] = []
+            right_take: list[int] = []
+            for i, k in enumerate(lk):
+                rows = self.index.get(k)
+                if rows is None:
+                    if self.how == "left":
+                        left_take.append(i)
+                        right_take.append(-1)
+                elif isinstance(rows, list):
+                    left_take.extend([i] * len(rows))
+                    right_take.extend(rows)
+                else:
+                    left_take.append(i)
+                    right_take.append(rows)
+            batch = batch.take(pa.array(left_take, pa.int64()))
+            idx = np.asarray(right_take, dtype=np.int64)
+        else:
+            pos = pc.index_in(
+                batch.column(self.left_key).combine_chunks(),
+                value_set=self.key_arr,
+            )
+            idx = pos.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+            if self.how == "inner":
+                sel = idx >= 0
+                batch = batch.filter(pa.array(sel))
+                idx = idx[sel]
+        take = pa.array(np.where(idx >= 0, idx, 0), type=pa.int64())
+        null_mask = pa.array(idx < 0)
+        for c in self.other_cols:
+            col = self.tbl.column(c).take(take)
+            if self.how == "left":
+                col = pc.if_else(null_mask, pa.nulls(len(idx), col.type), col)
+            batch = batch.append_column(c, col)
+        return batch
+
+
+# per-worker-process caches for broadcast lookup state: ray workers
+# persist across tasks, so task-pool stages get once-per-worker setup
+# without an actor pool's min-actor CPU pinning (an actor pool per join
+# deadlocks small clusters when a query stacks several joins, and
+# measured ~3x slower than tasks for the extract stage)
+_BCAST_CACHE: dict = {}
+_BCAST_CACHE_MAX = 64
+
+
+def _bcast_cached(key, make):
+    obj = _BCAST_CACHE.get(key)
+    if obj is None:
+        if len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+            _BCAST_CACHE.clear()
+        obj = _BCAST_CACHE[key] = make()
+    return obj
 
 
 def broadcast_join(
@@ -51,7 +166,8 @@ def broadcast_join(
 
     The small table is ``ray.put`` once; each task fetches the shared
     object-store copy (never re-shipped per batch) and builds its
-    per-process hash index lazily. ``how`` in {"inner", "left"}.
+    per-process hash index lazily (see ``_BCAST_CACHE``). ``how`` in
+    {"inner", "left"}.
     """
     import ray
 
@@ -59,79 +175,16 @@ def broadcast_join(
         keep = [right_on] + [c for c in columns if c != right_on]
         small = small.select(keep)
     small_ref = ray.put(small)
+    cache_key = (small_ref.hex(), left_on, right_on, how)
 
-    class _Joiner:
-        """Actor-pool joiner: index built once per actor, not per batch.
-        Duplicate right keys multiply matching left rows (SQL join
-        semantics); the unique-key case keeps the vectorized fast path."""
+    def _join_batch(batch: pa.Table) -> pa.Table:
+        joiner = _bcast_cached(
+            cache_key, lambda: _Joiner(small_ref, left_on, right_on, how)
+        )
+        return joiner(batch)
 
-        def __init__(self, ref, key: str, how: str) -> None:
-            tbl: pa.Table = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.how = how
-            self.key = key
-            self.tbl = tbl.combine_chunks()
-            keys = self.tbl.column(key).to_pylist()
-            self.index: dict[Any, Any] = {}
-            self.has_dups = False
-            for i, k in enumerate(keys):
-                prev = self.index.get(k)
-                if prev is None:
-                    self.index[k] = i
-                elif isinstance(prev, list):
-                    prev.append(i)
-                    self.has_dups = True
-                else:
-                    self.index[k] = [prev, i]
-                    self.has_dups = True
-            self.other_cols = [c for c in self.tbl.column_names if c != key]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import numpy as np
-
-            lk = batch.column(left_on).to_pylist()
-            if self.has_dups:
-                left_take: list[int] = []
-                right_take: list[int] = []
-                for i, k in enumerate(lk):
-                    rows = self.index.get(k)
-                    if rows is None:
-                        if self.how == "left":
-                            left_take.append(i)
-                            right_take.append(-1)
-                    elif isinstance(rows, list):
-                        left_take.extend([i] * len(rows))
-                        right_take.extend(rows)
-                    else:
-                        left_take.append(i)
-                        right_take.append(rows)
-                batch = batch.take(pa.array(left_take, pa.int64()))
-                idx = np.asarray(right_take, dtype=np.int64)
-            else:
-                idx = np.fromiter(
-                    (self.index.get(k, -1) for k in lk),
-                    dtype=np.int64, count=len(lk),
-                )
-                if self.how == "inner":
-                    sel = idx >= 0
-                    batch = batch.filter(pa.array(sel))
-                    idx = idx[sel]
-            take = pa.array(np.where(idx >= 0, idx, 0), type=pa.int64())
-            null_mask = pa.array(idx < 0)
-            for c in self.other_cols:
-                col = self.tbl.column(c).take(take)
-                if self.how == "left":
-                    col = pc.if_else(null_mask, pa.nulls(len(idx), col.type), col)
-                batch = batch.append_column(c, col)
-            return batch
-
-    import ray.data  # noqa: F401  (ensure ray.data registered)
-
-    return ds.map_batches(
-        _Joiner,
-        fn_constructor_args=(small_ref, right_on, how),
-        batch_format="pyarrow",
-        concurrency=(1, _cpu_cap()),
-    )
+    # inner joins filter: never emit 0-row blocks (stale-schema hazard)
+    return ds.map_batches(nonempty_batches(_join_batch), batch_format="pyarrow")
 
 
 def _cpu_cap() -> int:
@@ -189,7 +242,8 @@ def broadcast_semi_join(
     value-binding lookups, base.py:419-444).
 
     The DISTINCT key set is ``ray.put`` once and each task filters its
-    batch by membership — no row multiplication, no all-to-all.
+    batch by a vectorized ``pc.is_in`` membership probe (key array
+    cached per worker process) — no row multiplication, no all-to-all.
     Assumption: the deduped key set fits in a worker's heap; use
     ``shuffle_semi_join`` when it doesn't.
     """
@@ -197,25 +251,21 @@ def broadcast_semi_join(
 
     keys = keys.select([right_on])
     keys_ref = ray.put(keys)
+    cache_key = (keys_ref.hex(), right_on, "semi")
 
-    class _Member:
-        """Membership set built once per actor, not per batch."""
+    def _load_keys():
+        tbl: pa.Table = ray.get(keys_ref)
+        return pc.unique(tbl.column(right_on).combine_chunks())
 
-        def __init__(self, ref) -> None:
-            tbl: pa.Table = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.keys = set(tbl.column(right_on).to_pylist())
+    def _member_batch(batch: pa.Table) -> pa.Table:
+        key_arr = _bcast_cached(cache_key, _load_keys)
+        mask = pc.is_in(batch.column(left_on).combine_chunks(), value_set=key_arr)
+        mask = pc.fill_null(mask, False)
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            lk = batch.column(left_on).to_pylist()
-            mask = pa.array([(k in self.keys) != anti for k in lk])
-            return batch.filter(mask)
-
-    return ds.map_batches(
-        _Member,
-        fn_constructor_args=(keys_ref,),
-        batch_format="pyarrow",
-        concurrency=(1, _cpu_cap()),
-    )
+    return ds.map_batches(nonempty_batches(_member_batch), batch_format="pyarrow")
 
 
 def shuffle_semi_join(

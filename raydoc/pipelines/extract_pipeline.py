@@ -206,7 +206,21 @@ def run_extract_pipeline(
 
     ctx = DataContext.get_current()
     prev_strategy = ctx.shuffle_strategy
+    prev_agg_cpus = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # Ray's default reserves (cluster_CPUs/2)/P CPUs per shuffle
+    # aggregator — HALF the cluster held by actors that only buffer and
+    # concat blocks, starving the extract tasks. On clusters of >=16
+    # CPUs, 0.1 CPU per partition measures 9.8k vs 8.6k docs/s at
+    # sf0.1/32 CPUs (and frees proportionally more CPU as the cluster
+    # grows). On tiny clusters the default (~half) is the right share:
+    # interleaved A/B at 8 CPUs measured the 0.1 override ~25% SLOWER —
+    # with so few slots the aggregators need their reserved cores to
+    # keep up with the map side.
+    import ray as _ray
+
+    if _ray.is_initialized() and _ray.cluster_resources().get("CPU", 0) >= 16:
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.1
 
     done = committed_partitions(out_dir)
     if done:
@@ -342,6 +356,7 @@ def run_extract_pipeline(
         new_manifests = manifests_ds.take_all()  # tiny: one row per partition
     finally:
         ctx.shuffle_strategy = prev_strategy
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = prev_agg_cpus
 
     all_manifests = load_manifests(out_dir)
     return {

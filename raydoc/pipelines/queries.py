@@ -25,6 +25,7 @@ from raydoc.ops.relational import (
     distinct_on,
     group_top_k,
     grouped_agg,
+    nonempty_batches,
     shuffle_join,
     top_k,
     union_all,
@@ -59,9 +60,49 @@ def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pa
 Q1_CUTOFF = "1998-09-02"
 
 
+# --------------------------------------------------------------------------
+# Exact money arithmetic. l_extendedprice / l_discount carry 2 decimal
+# digits, so price*(1-discount) has exactly 4 — but as binary doubles the
+# products carry representation dust and their SUM depends on
+# accumulation order, which flips round(x, 2) half-up ties (~1/100
+# output rows sits exactly on a .005 tie; observed as a one-cent
+# mismatch vs DuckDB on q9). Scaling each term to 5-decimal fixed point
+# (one guard digit, so no term lands on a rounding tie itself), summing
+# as int64 (associative — order-independent under any partitioning) and
+# unscaling once at the end makes the Ray sum and the DuckDB oracle sum
+# bit-identical by construction; the oracle SQL mirrors the scaled form.
+
+REV_SCALE = 100_000
+REV_SQL = "CAST(round(l_extendedprice * (1 - l_discount) * 100000) AS BIGINT)"
+
+
+def _money_fixed(values) -> pa.Array:
+    """2-decimal money (or a 4-decimal product) -> scaled int64."""
+    return pc.cast(
+        pc.round(pc.multiply(values, pa.scalar(float(REV_SCALE)))), pa.int64()
+    )
+
+
+def _rev_fixed(price, discount) -> pa.Array:
+    return _money_fixed(
+        pc.multiply(price, pc.subtract(pa.scalar(1.0), discount))
+    )
+
+
+def _unscale(b: pa.Table, col: str, ndigits: int = 2) -> pa.Table:
+    i = b.schema.get_field_index(col)
+    b = b.set_column(
+        i, col,
+        pc.divide(pc.cast(b.column(col), pa.float64()),
+                  pa.scalar(float(REV_SCALE))),
+    )
+    return round_col(b, col, ndigits)
+
+
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape: filtered grouped aggregate over lineitem with
-    partial pre-aggregation (SURVEY.md §2.5 aggregations)."""
+    partial pre-aggregation (SURVEY.md §2.5 aggregations); money sums
+    use exact fixed-point (see REV_SCALE)."""
     ds = _read(
         sf_dir,
         "lineitem",
@@ -75,44 +116,73 @@ def q1_pricing_summary(sf_dir: str):
     def _prep(b: pa.Table) -> pa.Table:
         mask = pc.less_equal(b.column("l_shipdate"), cutoff)
         b = b.filter(mask)
-        disc_price = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "l_quantity": b.column("l_quantity"),
+                "base_fx": _money_fixed(b.column("l_extendedprice")),
+                "disc_price_fx": _rev_fixed(
+                    b.column("l_extendedprice"), b.column("l_discount")
+                ),
+                "disc_fx": _money_fixed(b.column("l_discount")),
+            }
         )
-        return b.append_column("disc_price", disc_price)
 
     agg = grouped_agg(
         ds.map_batches(_prep, batch_format="pyarrow"),
         keys=["l_returnflag", "l_linestatus"],
         aggs={
             "sum_qty": ("sum", "l_quantity"),
-            "sum_base_price": ("sum", "l_extendedprice"),
-            "sum_disc_price": ("sum", "disc_price"),
+            "base_fx": ("sum", "base_fx"),
+            "disc_price_fx": ("sum", "disc_price_fx"),
+            "disc_fx": ("sum", "disc_fx"),
             "avg_qty": ("mean", "l_quantity"),
-            "avg_price": ("mean", "l_extendedprice"),
-            "avg_disc": ("mean", "l_discount"),
             "count_order": ("count", "l_quantity"),
         },
     )
 
-    def _round(b: pa.Table) -> pa.Table:
+    def _finish(b: pa.Table) -> pa.Table:
+        scale = pa.scalar(float(REV_SCALE))
+        cnt = pc.cast(b.column("count_order"), pa.float64())
+        base = pc.divide(pc.cast(b.column("base_fx"), pa.float64()), scale)
+        disc_price = pc.divide(
+            pc.cast(b.column("disc_price_fx"), pa.float64()), scale
+        )
+        disc = pc.divide(pc.cast(b.column("disc_fx"), pa.float64()), scale)
+        t = pa.Table.from_pydict(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "sum_qty": b.column("sum_qty"),
+                "sum_base_price": base,
+                "sum_disc_price": disc_price,
+                "avg_qty": b.column("avg_qty"),
+                "avg_price": pc.divide(base, cnt),
+                "avg_disc": pc.divide(disc, cnt),
+                "count_order": b.column("count_order"),
+            }
+        )
         for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            b = round_col(b, c, 2)
+            t = round_col(t, c, 2)
         for c in ("avg_qty", "avg_price", "avg_disc"):
-            b = round_col(b, c, 6)
-        return b
+            t = round_col(t, c, 6)
+        return t
 
-    return agg.map_batches(_round, batch_format="pyarrow")
+    return agg.map_batches(_finish, batch_format="pyarrow")
 
 
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                            AS sum_qty,
-       round(sum(l_extendedprice), 2)                       AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       round(sum(CAST(round(l_extendedprice * 100000) AS BIGINT)) / 100000.0, 2)
+                                                            AS sum_base_price,
+       round(sum({REV_SQL}) / 100000.0, 2)                  AS sum_disc_price,
        round(sum(l_quantity) / count(l_quantity), 6)        AS avg_qty,
-       round(sum(l_extendedprice) / count(l_quantity), 6)   AS avg_price,
-       round(sum(l_discount) / count(l_quantity), 6)        AS avg_disc,
+       round(sum(CAST(round(l_extendedprice * 100000) AS BIGINT)) / 100000.0
+             / count(l_quantity), 6)                        AS avg_price,
+       round(sum(CAST(round(l_discount * 100000) AS BIGINT)) / 100000.0
+             / count(l_quantity), 6)                        AS avg_disc,
        count(l_quantity)                                    AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
@@ -133,7 +203,9 @@ def q3_revenue_topk(sf_dir: str):
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     orders = orders.map_batches(
-        lambda b: b.filter(pc.less(b.column("o_orderdate"), cutoff)),
+        nonempty_batches(
+            lambda b: b.filter(pc.less(b.column("o_orderdate"), cutoff))
+        ),
         batch_format="pyarrow",
     )
     orders = broadcast_join(orders, cust, "o_custkey", "c_custkey")
@@ -144,15 +216,14 @@ def q3_revenue_topk(sf_dir: str):
 
     def _rev(b: pa.Table) -> pa.Table:
         b = b.filter(pc.greater(b.column("l_shipdate"), cutoff))
-        rev = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
-        )
         return pa.Table.from_pydict(
-            {"l_orderkey": b.column("l_orderkey"), "rev": rev}
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "rev": _rev_fixed(b.column("l_extendedprice"), b.column("l_discount")),
+            }
         )
 
-    line = line.map_batches(_rev, batch_format="pyarrow")
+    line = line.map_batches(nonempty_batches(_rev), batch_format="pyarrow")
     joined = shuffle_join(
         line, orders.select_columns(["o_orderkey", "o_orderdate"]),
         on="l_orderkey", right_on="o_orderkey",
@@ -162,12 +233,12 @@ def q3_revenue_topk(sf_dir: str):
         keys=["l_orderkey", "o_orderdate"],
         aggs={"revenue": ("sum", "rev")},
     )
-    agg = agg.map_batches(lambda b: round_col(b, "revenue", 2), batch_format="pyarrow")
+    agg = agg.map_batches(lambda b: _unscale(b, "revenue", 2), batch_format="pyarrow")
     return top_k(agg, "revenue", 10, descending=True, tiebreak="l_orderkey")
 
 
 Q3_SQL = f"""
-SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT l_orderkey, o_orderdate, round(sum({REV_SQL}) / 100000.0, 2) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -194,11 +265,12 @@ def q5_nation_revenue(sf_dir: str):
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def _rev(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "rev": _rev_fixed(b.column("l_extendedprice"), b.column("l_discount")),
+            }
         )
-        return pa.Table.from_pydict({"l_orderkey": b.column("l_orderkey"), "rev": rev})
 
     line = line.map_batches(_rev, batch_format="pyarrow")
     joined = shuffle_join(
@@ -206,11 +278,11 @@ def q5_nation_revenue(sf_dir: str):
         on="l_orderkey", right_on="o_orderkey",
     )
     agg = grouped_agg(joined, keys=["n_name"], aggs={"revenue": ("sum", "rev")})
-    return agg.map_batches(lambda b: round_col(b, "revenue", 2), batch_format="pyarrow")
+    return agg.map_batches(lambda b: _unscale(b, "revenue", 2), batch_format="pyarrow")
 
 
-Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+Q5_SQL = f"""
+SELECT n_name, round(sum({REV_SQL}) / 100000.0, 2) AS revenue
 FROM nation JOIN customer ON c_nationkey = n_nationkey
             JOIN orders   ON o_custkey   = c_custkey
             JOIN lineitem ON l_orderkey  = o_orderkey
@@ -248,7 +320,9 @@ def q6_forecast_revenue(sf_dir: str):
             ),
         )
         b = b.filter(mask)
-        rev = pc.multiply(b.column("l_extendedprice"), b.column("l_discount"))
+        rev = _money_fixed(
+            pc.multiply(b.column("l_extendedprice"), b.column("l_discount"))
+        )
         return pa.Table.from_pydict(
             {"k": pa.array([0] * b.num_rows, pa.int64()), "rev": rev}
         )
@@ -257,12 +331,13 @@ def q6_forecast_revenue(sf_dir: str):
         ds.map_batches(_rev, batch_format="pyarrow"), keys=["k"],
         aggs={"revenue": ("sum", "rev")},
     )
-    agg = agg.map_batches(lambda b: round_col(b, "revenue", 2), batch_format="pyarrow")
+    agg = agg.map_batches(lambda b: _unscale(b, "revenue", 2), batch_format="pyarrow")
     return agg.select_columns(["revenue"])
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(sum(CAST(round(l_extendedprice * l_discount * 100000) AS BIGINT))
+             / 100000.0, 2) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -324,23 +399,24 @@ def q10_returned_topk(sf_dir: str):
 
     def _rev(b: pa.Table) -> pa.Table:
         b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
-        rev = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "rev": _rev_fixed(b.column("l_extendedprice"), b.column("l_discount")),
+            }
         )
-        return pa.Table.from_pydict({"l_orderkey": b.column("l_orderkey"), "rev": rev})
 
-    line = line.map_batches(_rev, batch_format="pyarrow")
+    line = line.map_batches(nonempty_batches(_rev), batch_format="pyarrow")
     joined = shuffle_join(line, orders, on="l_orderkey", right_on="o_orderkey")
     agg = grouped_agg(joined, keys=["o_custkey"], aggs={"revenue": ("sum", "rev")})
     agg = broadcast_join(agg, cust, "o_custkey", "c_custkey")
-    agg = agg.map_batches(lambda b: round_col(b, "revenue", 2), batch_format="pyarrow")
+    agg = agg.map_batches(lambda b: _unscale(b, "revenue", 2), batch_format="pyarrow")
     top = top_k(agg, "revenue", 20, descending=True, tiebreak="o_custkey")
     return top.select_columns(["o_custkey", "c_name", "revenue"])
 
 
-Q10_SQL = """
-SELECT o_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+Q10_SQL = f"""
+SELECT o_custkey, c_name, round(sum({REV_SQL}) / 100000.0, 2) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_returnflag = 'R'
@@ -383,6 +459,293 @@ SELECT l_linestatus,
                 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_linestatus
+"""
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: two dimension chains broadcast onto the two fact
+    sides (supplier->nation onto lineitem, customer->nation onto
+    orders), one fact-fact shuffle join, grouped by nation pair + year.
+    The pair constraint is ``supp_nation < cust_nation`` rather than
+    TPC-H's two fixed nations so the query is non-empty at every test
+    scale (sf0.001 has only 10 suppliers)."""
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    lo = _ts("1996-01-01")
+    hi = _ts("1998-01-01")
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def _prep(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), lo),
+            pc.less(b.column("l_shipdate"), hi),
+        )
+        b = b.filter(mask)
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "l_year": pc.cast(pc.year(b.column("l_shipdate")), pa.int64()),
+                "rev": _rev_fixed(b.column("l_extendedprice"), b.column("l_discount")),
+            }
+        )
+
+    line = line.map_batches(nonempty_batches(_prep), batch_format="pyarrow")
+    line = broadcast_join(line, supp, "l_suppkey", "s_suppkey")
+    line = broadcast_join(
+        line.select_columns(["l_orderkey", "l_year", "rev", "s_nationkey"]),
+        nation.rename_columns(["sn_nationkey", "supp_nation"]),
+        "s_nationkey", "sn_nationkey",
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, cust, "o_custkey", "c_custkey")
+    orders = broadcast_join(
+        orders.select_columns(["o_orderkey", "c_nationkey"]),
+        nation.rename_columns(["cn_nationkey", "cust_nation"]),
+        "c_nationkey", "cn_nationkey",
+    )
+
+    joined = shuffle_join(
+        line.select_columns(["l_orderkey", "l_year", "rev", "supp_nation"]),
+        orders.select_columns(["o_orderkey", "cust_nation"]),
+        on="l_orderkey", right_on="o_orderkey",
+    )
+    joined = joined.map_batches(
+        nonempty_batches(
+            lambda b: b.filter(
+                pc.less(b.column("supp_nation"), b.column("cust_nation"))
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    agg = grouped_agg(
+        joined, keys=["supp_nation", "cust_nation", "l_year"],
+        aggs={"revenue": ("sum", "rev")},
+    )
+    return agg.map_batches(lambda b: _unscale(b, "revenue", 2), batch_format="pyarrow")
+
+
+Q7_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum({REV_SQL}) / 100000.0, 2) AS revenue
+FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE sn.n_name < cn.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9 shape: substring-filtered part dimension broadcast onto
+    lineitem, supplier->nation chain for the grouping key, grouped by
+    (nation, year)."""
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_name"])
+    part = part.filter(
+        pc.match_substring(part.column("p_name"), "red")
+    ).select(["p_partkey"])
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "o_year": pc.cast(pc.year(b.column("l_shipdate")), pa.int64()),
+                "amount": _rev_fixed(b.column("l_extendedprice"), b.column("l_discount")),
+            }
+        )
+
+    line = line.map_batches(_prep, batch_format="pyarrow")
+    line = broadcast_join(line, part, "l_partkey", "p_partkey")  # semi on red parts
+    line = broadcast_join(line, supp, "l_suppkey", "s_suppkey")
+    line = broadcast_join(
+        line.select_columns(["o_year", "amount", "s_nationkey"]),
+        nation, "s_nationkey", "n_nationkey",
+    )
+    agg = grouped_agg(
+        line.select_columns(["n_name", "o_year", "amount"]),
+        keys=["n_name", "o_year"],
+        aggs={"sum_profit": ("sum", "amount")},
+    )
+    return agg.map_batches(lambda b: _unscale(b, "sum_profit", 2), batch_format="pyarrow")
+
+
+Q9_SQL = f"""
+SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       round(sum({REV_SQL}) / 100000.0, 2) AS sum_profit
+FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: conditional aggregate ratio (promo revenue
+    share in one ship month) — partial sums inside map_batches, one
+    tiny global combine."""
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_type"])
+    lo = _ts("1997-03-01")
+    hi = _ts("1997-04-01")
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def _window(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), lo),
+            pc.less(b.column("l_shipdate"), hi),
+        )
+        b = b.filter(mask)
+        return pa.Table.from_pydict(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "rev": _rev_fixed(b.column("l_extendedprice"), b.column("l_discount")),
+            }
+        )
+
+    line = line.map_batches(nonempty_batches(_window), batch_format="pyarrow")
+    line = broadcast_join(line, part, "l_partkey", "p_partkey")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        promo = pc.equal(b.column("p_type"), "PROMO")
+        rev = b.column("rev")  # scaled int64 (exact)
+        promo_rev = pc.sum(pc.if_else(promo, rev, pa.scalar(0, pa.int64()))).as_py() or 0
+        total = pc.sum(rev).as_py() or 0
+        return pa.Table.from_pydict(
+            {"g": [1], "promo_rev": [promo_rev], "total_rev": [total]}
+        )
+
+    partials = line.map_batches(_partial, batch_format="pyarrow")
+    agg = grouped_agg(
+        partials, keys=["g"],
+        aggs={"promo_rev": ("sum", "promo_rev"), "total_rev": ("sum", "total_rev")},
+    )
+
+    def _ratio(b: pa.Table) -> pa.Table:
+        ratio = pc.divide(
+            pc.multiply(
+                pa.scalar(100.0), pc.cast(b.column("promo_rev"), pa.float64())
+            ),
+            pc.cast(b.column("total_rev"), pa.float64()),
+        )
+        t = pa.Table.from_pydict({"promo_revenue": ratio})
+        return round_col(t, "promo_revenue", 6)  # half-up, matches SQL round()
+
+    return agg.map_batches(_ratio, batch_format="pyarrow")
+
+
+Q14_SQL = f"""
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN {REV_SQL} ELSE 0 END) AS DOUBLE)
+             / CAST(sum({REV_SQL}) AS DOUBLE), 6) AS promo_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+Q18_QTY = 250
+
+
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: aggregate-then-join — per-order quantity sums,
+    HAVING filter, join back to orders + broadcast customer names,
+    top-100 by total price."""
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    sums = grouped_agg(line, keys=["l_orderkey"], aggs={"sum_qty": ("sum", "l_quantity")})
+    sums = sums.map_batches(
+        lambda b: b.filter(pc.greater(b.column("sum_qty"), pa.scalar(float(Q18_QTY)))),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    joined = shuffle_join(sums, orders, on="l_orderkey", right_on="o_orderkey")
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = broadcast_join(joined, cust, "o_custkey", "c_custkey")
+    joined = joined.map_batches(
+        lambda b: round_col(b.select(
+            ["c_name", "o_custkey", "l_orderkey", "o_orderdate", "o_totalprice",
+             "sum_qty"]), "sum_qty", 2),
+        batch_format="pyarrow",
+    )
+    return top_k(joined, "o_totalprice", 100, descending=True, tiebreak="l_orderkey")
+
+
+Q18_SQL = f"""
+SELECT c_name, o_custkey, l_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+GROUP BY 1, 2, 3, 4, 5
+HAVING sum(l_quantity) > {Q18_QTY}
+ORDER BY o_totalprice DESC, l_orderkey ASC
+LIMIT 100
+"""
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    predicates evaluated as vectorized Arrow boolean algebra after a
+    broadcast part join; single global sum."""
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    line = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+    joined = broadcast_join(line, part, "l_partkey", "p_partkey")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        brand, size, qty = b.column("p_brand"), b.column("p_size"), b.column("l_quantity")
+        c1 = pc.and_(
+            pc.and_(pc.equal(brand, "Brand#4"), pc.less_equal(size, pa.scalar(15))),
+            pc.and_(pc.greater_equal(qty, pa.scalar(5.0)), pc.less_equal(qty, pa.scalar(35.0))),
+        )
+        c2 = pc.and_(
+            pc.and_(pc.equal(brand, "Brand#19"), pc.less_equal(size, pa.scalar(25))),
+            pc.and_(pc.greater_equal(qty, pa.scalar(10.0)), pc.less_equal(qty, pa.scalar(40.0))),
+        )
+        b = b.filter(pc.or_(c1, c2))
+        rev = _rev_fixed(b.column("l_extendedprice"), b.column("l_discount"))
+        return pa.Table.from_pydict(
+            {"g": [1], "rev": [pc.sum(rev).as_py() or 0]}
+        )
+
+    partials = joined.map_batches(_partial, batch_format="pyarrow")
+    agg = grouped_agg(partials, keys=["g"], aggs={"revenue": ("sum", "rev")})
+    return agg.map_batches(
+        lambda b: _unscale(b.select(["g", "revenue"]), "revenue", 2).select(["revenue"]),
+        batch_format="pyarrow",
+    )
+
+
+Q19_SQL = f"""
+SELECT round(sum({REV_SQL}) / 100000.0, 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#4'  AND p_size <= 15 AND l_quantity BETWEEN 5  AND 35)
+   OR (p_brand = 'Brand#19' AND p_size <= 25 AND l_quantity BETWEEN 10 AND 40)
 """
 
 
@@ -1330,6 +1693,11 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q10_returned_topk": q10_returned_topk,
     "q12_priority_class": q12_priority_class,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q9_product_profit": q9_product_profit,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "anti_customers_inactive": anti_customers_inactive,
     "switch_route_orders": switch_route_orders,
     "filter_parts": filter_parts,
@@ -1383,6 +1751,11 @@ ORACLES = {
     "q4_order_priority": Q4_SQL,
     "q10_returned_topk": Q10_SQL,
     "q12_priority_class": Q12_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q18_large_orders": Q18_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
     "anti_customers_inactive": ANTI_CUSTOMERS_SQL,
     "switch_route_orders": SWITCH_SQL,
     "filter_parts": FILTER_PARTS_SQL,

@@ -1,0 +1,52 @@
+"""Local oracle checks for the TPC-H-shape relational queries.
+
+The driver runs EVERY ``queries()``/``oracle_sql()`` pair at sf0.01;
+this is the fast in-repo version at sf0.001 for the join/aggregate
+shapes added after the original registry (Q7/Q9/Q14/Q18/Q19 analogues),
+so a refactor of the join/agg operators can't silently drift them.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+NEW_QUERIES = [
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_query_matches_oracle(ray_session, oracle_con, name):
+    import ray.data as rd
+
+    from raydoc.pipelines.queries import ORACLES, QUERIES
+
+    res = QUERIES[name](SF_DIR)
+    df = res.to_pandas() if isinstance(res, rd.Dataset) else res
+    odf = oracle_con.execute(ORACLES[name]).fetchdf()
+    cols = sorted(df.columns)
+    assert cols == sorted(odf.columns)
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert a.astype(str).equals(b.astype(str)), f"{name} value mismatch"
