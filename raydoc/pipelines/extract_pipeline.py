@@ -4,9 +4,11 @@ Ray-Data-first layout (SURVEY.md §3.4 entry point A):
 
     read_parquet(pages, columns=[url, html])        # prune at the read
       -> filter committed partitions (broadcast set, no shuffle)
-      -> map_batches(ExtractStage, actor pool)      # html dropped here
+      -> map_batches(extract_map_fn, task pool)     # html dropped here;
+                                                    # stage cached per worker
       -> add part_id = crc32(url) % P               # stable, process-independent
-      -> repartition(P, keys=[part_id])             # HASH shuffle, no sort
+         + shuffle_key (collision-free bucket map)
+      -> repartition(P, keys=[shuffle_key])         # HASH shuffle, no sort
       -> map_batches(chunk + write_partition_atomic, whole blocks)
       -> manifest rows (tiny)
 
