@@ -29,6 +29,7 @@ __all__ = [
     "broadcast_semi_join",
     "shuffle_semi_join",
     "grouped_agg",
+    "grouped_concat",
     "grouped_quantile",
     "top_k",
     "group_top_k",
@@ -446,6 +447,33 @@ def group_top_k(ds, group_key: str, sort_key: str, k: int, descending: bool = Tr
         return group.take(idx.slice(0, k))
 
     return ds.groupby(group_key).map_groups(_head, batch_format="pyarrow")
+
+
+def grouped_concat(ds, key: str, value_col: str, sep: str = "\n",
+                   order_col: str | None = None, out_col: str | None = None):
+    """Grouped string concatenation — the reference's actual aggregate
+    vocabulary (``"\\n".join`` of component contents, base.py:465,
+    generate.py:193, ``" - ".join`` template.py:112), distributed: hash
+    partition by key, per-group vectorized sort on ``order_col`` (pin
+    it for determinism — concat is order-sensitive), one join per
+    group. The gather is inherently linear in the group's data (no
+    partial combine shrinks a concatenation), so group size — not group
+    count — is the scale limit; the reference does this driver-side
+    single-threaded."""
+    oc = order_col or value_col
+    out = out_col or f"{value_col}_concat"
+
+    def _cat(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(oc, "ascending")])
+        vals = group.column(value_col).take(idx).to_pylist()
+        return pa.Table.from_pydict(
+            {
+                key: [group.column(key)[0].as_py()],
+                out: [sep.join("" if v is None else str(v) for v in vals)],
+            }
+        )
+
+    return ds.groupby(key).map_groups(_cat, batch_format="pyarrow")
 
 
 def distinct_on(ds, key: str, keep: str = "min", order_col: str | None = None):

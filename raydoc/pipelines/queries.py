@@ -749,6 +749,27 @@ WHERE (p_brand = 'Brand#4'  AND p_size <= 15 AND l_quantity BETWEEN 5  AND 35)
 """
 
 
+def cust_priority_concat(sf_dir: str):
+    """Grouped string-concat aggregate — the reference's own aggregation
+    vocabulary ("\\n".join of contents, base.py:465, generate.py:193)
+    distributed via ops.relational.grouped_concat, order pinned by
+    o_orderkey for determinism."""
+    from raydoc.ops.relational import grouped_concat
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderpriority"])
+    return grouped_concat(
+        orders, key="o_custkey", value_col="o_orderpriority",
+        sep="|", order_col="o_orderkey", out_col="prio_concat",
+    )
+
+
+CUST_PRIORITY_CONCAT_SQL = """
+SELECT o_custkey, string_agg(o_orderpriority, '|' ORDER BY o_orderkey) AS prio_concat
+FROM orders
+GROUP BY o_custkey
+"""
+
+
 def anti_customers_inactive(sf_dir: str):
     """NOT EXISTS anti-join (customers with no order in the final
     window) via broadcast key-set membership — the key set is deduped
@@ -1698,6 +1719,7 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "cust_priority_concat": cust_priority_concat,
     "anti_customers_inactive": anti_customers_inactive,
     "switch_route_orders": switch_route_orders,
     "filter_parts": filter_parts,
@@ -1756,6 +1778,7 @@ ORACLES = {
     "q14_promo_revenue": Q14_SQL,
     "q18_large_orders": Q18_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
+    "cust_priority_concat": CUST_PRIORITY_CONCAT_SQL,
     "anti_customers_inactive": ANTI_CUSTOMERS_SQL,
     "switch_route_orders": SWITCH_SQL,
     "filter_parts": FILTER_PARTS_SQL,

@@ -22,6 +22,7 @@ NEW_QUERIES = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "cust_priority_concat",
 ]
 
 
