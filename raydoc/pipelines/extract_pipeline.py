@@ -209,7 +209,18 @@ def run_extract_pipeline(
     ctx = DataContext.get_current()
     prev_strategy = ctx.shuffle_strategy
     prev_agg_cpus = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+    prev_max_agg = ctx.max_hash_shuffle_aggregators
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # One aggregator actor per ~8 CPUs (min 2), each owning several
+    # partitions, instead of Ray's default one-per-partition (up to 64):
+    # 25 actor forks were most of the cold-start and their dispatch
+    # overhead dragged steady state too (32 CPUs, cold/steady walls:
+    # default 16.4/12.7 s -> cap 10.8/8.8 s; neutral at 8 CPUs). Scales
+    # with the cluster, so a 1024-CPU cluster still gets 128 aggregators.
+    import ray as _ray
+
+    _cpus = _ray.cluster_resources().get("CPU", 8) if _ray.is_initialized() else 8
+    ctx.max_hash_shuffle_aggregators = max(2, int(_cpus) // 8)
     # Ray's default reserves (cluster_CPUs/2)/P CPUs per shuffle
     # aggregator — HALF the cluster held by actors that only buffer and
     # concat blocks, starving the extract tasks. On clusters of >=16
@@ -219,9 +230,7 @@ def run_extract_pipeline(
     # interleaved A/B at 8 CPUs measured the 0.1 override ~25% SLOWER —
     # with so few slots the aggregators need their reserved cores to
     # keep up with the map side.
-    import ray as _ray
-
-    if _ray.is_initialized() and _ray.cluster_resources().get("CPU", 0) >= 16:
+    if _ray.is_initialized() and _cpus >= 16:
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.1
 
     done = committed_partitions(out_dir)
@@ -359,6 +368,7 @@ def run_extract_pipeline(
     finally:
         ctx.shuffle_strategy = prev_strategy
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = prev_agg_cpus
+        ctx.max_hash_shuffle_aggregators = prev_max_agg
 
     all_manifests = load_manifests(out_dir)
     return {
