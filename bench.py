@@ -135,6 +135,8 @@ def main() -> int:
     out = {
         "metric": "docs_per_sec_extracted",
         "value": round(head["docs_per_sec"], 2),
+        "value_definition": "steady (2nd identical job in the process; "
+                            "cold 1st-job numbers in headline.cold_*)",
         "unit": "docs/sec",
         "headline": {k: (round(v, 3) if isinstance(v, float) else v)
                      for k, v in head.items()},

@@ -53,6 +53,13 @@ def nonempty_batches(fn):
     empty block is never created, so every block in the stream carries
     the real schema. Use this on ANY UDF that can filter a batch to
     zero rows when further transforms follow it.
+
+    Limitation: if every block is dropped (a legitimately empty query
+    result) the dataset ends with NO blocks and its schema is unknown
+    — ``to_pandas()`` yields a zero-column frame and ``select_columns``
+    fails. A caller whose result can be legitimately empty should
+    anchor the output schema by unioning with an explicit empty table
+    of the final schema as the last step.
     """
 
     def _gen(batch):
@@ -137,21 +144,27 @@ class _Joiner:
         return batch
 
 
-# per-worker-process caches for broadcast lookup state: ray workers
+# Per-worker-process LRU for broadcast lookup state: ray workers
 # persist across tasks, so task-pool stages get once-per-worker setup
 # without an actor pool's min-actor CPU pinning (an actor pool per join
 # deadlocks small clusters when a query stacks several joins, and
-# measured ~3x slower than tasks for the extract stage)
+# measured ~3x slower than tasks for the extract stage). The trade vs
+# torn-down actors is memory retention: each entry pins one
+# materialized small table until evicted, so the LRU is small (8) and
+# evicts oldest-used first rather than clearing wholesale (a clear-all
+# would also evict entries a concurrently executing dataset still
+# probes with, forcing rebuilds mid-job).
 _BCAST_CACHE: dict = {}
-_BCAST_CACHE_MAX = 64
+_BCAST_CACHE_MAX = 8
 
 
 def _bcast_cached(key, make):
-    obj = _BCAST_CACHE.get(key)
+    obj = _BCAST_CACHE.pop(key, None)
     if obj is None:
-        if len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
-            _BCAST_CACHE.clear()
-        obj = _BCAST_CACHE[key] = make()
+        while len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        obj = make()
+    _BCAST_CACHE[key] = obj  # reinsert = move to MRU end
     return obj
 
 
@@ -466,10 +479,12 @@ def grouped_concat(ds, key: str, value_col: str, sep: str = "\n",
     def _cat(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(group, sort_keys=[(oc, "ascending")])
         vals = group.column(value_col).take(idx).to_pylist()
+        # NULL values are skipped entirely (no separator emitted),
+        # matching SQL string_agg semantics
         return pa.Table.from_pydict(
             {
                 key: [group.column(key)[0].as_py()],
-                out: [sep.join("" if v is None else str(v) for v in vals)],
+                out: [sep.join(str(v) for v in vals if v is not None)],
             }
         )
 

@@ -151,20 +151,30 @@ def extract_dataset(
     import ray.data as rd
 
     ds = rd.read_parquet(pages_path, columns=["url", "html"])
+    return _apply_extract(
+        ds, pages_path, token_budget=token_budget, with_chunks=True,
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def _apply_extract(ds, pages_path, *, token_budget, with_chunks,
+                   batch_size, concurrency):
+    """Shared extract-stage dispatch: explicit ``concurrency`` => bounded
+    actor pool (tests, co-tenancy); default => task pool with the stage
+    cached per worker process, measured ~3x the actor pool for this
+    cheap-state stage (see ``extract_map_fn``)."""
     bs = batch_size or batch_rows_for_bytes(pages_path)
     if concurrency is not None:
-        # explicit concurrency => bounded actor pool (tests, co-tenancy)
         return ds.map_batches(
             ExtractStage,
             batch_format="pyarrow",
             batch_size=bs,
-            fn_constructor_kwargs={"token_budget": token_budget},
+            fn_constructor_kwargs={"token_budget": token_budget,
+                                   "with_chunks": with_chunks},
             concurrency=concurrency,
         )
-    # default: task pool with per-worker-process cached stage — measured
-    # ~3x the actor pool for this cheap-state stage (see extract_map_fn)
     return ds.map_batches(
-        extract_map_fn(token_budget=token_budget),
+        extract_map_fn(token_budget=token_budget, with_chunks=with_chunks),
         batch_format="pyarrow",
         batch_size=bs,
     )
@@ -217,9 +227,19 @@ def run_extract_pipeline(
     # overhead dragged steady state too (32 CPUs, cold/steady walls:
     # default 16.4/12.7 s -> cap 10.8/8.8 s; neutral at 8 CPUs). Scales
     # with the cluster, so a 1024-CPU cluster still gets 128 aggregators.
+    import os as _os
+
     import ray as _ray
 
-    _cpus = _ray.cluster_resources().get("CPU", 8) if _ray.is_initialized() else 8
+    # before ray.init (auto-init happens at execution) the best guess
+    # for local-mode cluster size is the machine's CPU count — a
+    # hardcoded small fallback would silently reintroduce the default
+    # aggregator reservation on big machines
+    _cpus = (
+        _ray.cluster_resources().get("CPU", 8)
+        if _ray.is_initialized()
+        else (_os.cpu_count() or 8)
+    )
     ctx.max_hash_shuffle_aggregators = max(2, int(_cpus) // 8)
     # Ray's default reserves (cluster_CPUs/2)/P CPUs per shuffle
     # aggregator — HALF the cluster held by actors that only buffer and
@@ -230,7 +250,7 @@ def run_extract_pipeline(
     # interleaved A/B at 8 CPUs measured the 0.1 override ~25% SLOWER —
     # with so few slots the aggregators need their reserved cores to
     # keep up with the map side.
-    if _ray.is_initialized() and _cpus >= 16:
+    if _cpus >= 16:
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.1
 
     done = committed_partitions(out_dir)
@@ -264,22 +284,10 @@ def run_extract_pipeline(
     # Extract WITHOUT chunks: chunking is recomputed after the shuffle in
     # the write task, so the one all-to-all exchange moves (url, text,
     # spans, metrics) — not a second nested copy of every text.
-    bs = batch_size or batch_rows_for_bytes(pages_path)
-    if concurrency is not None:
-        extracted = ds.map_batches(
-            ExtractStage,
-            batch_format="pyarrow",
-            batch_size=bs,
-            fn_constructor_kwargs={"token_budget": token_budget,
-                                   "with_chunks": False},
-            concurrency=concurrency,
-        )
-    else:
-        extracted = ds.map_batches(
-            extract_map_fn(token_budget=token_budget, with_chunks=False),
-            batch_format="pyarrow",
-            batch_size=bs,
-        )
+    extracted = _apply_extract(
+        ds, pages_path, token_budget=token_budget, with_chunks=False,
+        batch_size=batch_size, concurrency=concurrency,
+    )
     remap = np.asarray(collision_free_shuffle_keys(P), dtype=np.int64)
 
     def _add_keys(b: pa.Table) -> pa.Table:

@@ -71,6 +71,11 @@ Q1_CUTOFF = "1998-09-02"
 # as int64 (associative — order-independent under any partitioning) and
 # unscaling once at the end makes the Ray sum and the DuckDB oracle sum
 # bit-identical by construction; the oracle SQL mirrors the scaled form.
+# Overflow bound: scaled terms are ~1e9-4e9, so an int64 group sum is
+# exact up to ~2e9 rows PER GROUP (~sf400 for the single-group q6/q14/
+# q19 globals) and wraps silently beyond — at that scale, sum the group
+# hierarchically (per-shard int64 partials recombined as Python ints or
+# decimal128) or drop one guard digit of REV_SCALE per 10x of scale.
 
 REV_SCALE = 100_000
 REV_SQL = "CAST(round(l_extendedprice * (1 - l_discount) * 100000) AS BIGINT)"
