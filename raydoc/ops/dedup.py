@@ -117,6 +117,21 @@ def minhash_signatures(
     return ds.map_batches(_sig, batch_format="pyarrow")
 
 
+def _pair_id_rows(id_col: str):
+    """map_batches UDF: (id_a, id_b) pair rows -> one-column table of
+    the batch-distinct ids on either side (global dedup is done by the
+    consumer — ``pc.unique`` in a broadcast probe or a distinct
+    shuffle)."""
+
+    def _ids(b: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [c for col in ("id_a", "id_b") for c in b.column(col).chunks]
+        )
+        return pa.Table.from_pydict({id_col: pc.unique(both)})
+
+    return _ids
+
+
 def _attach_pair_values(pairs, vals_ds, id_col: str, val_col: str, side: str,
                         carry: dict, val_type: pa.DataType):
     """Set ``<val_col>_<side>`` on each (id_a, id_b, *carry) pair row by
@@ -303,39 +318,40 @@ def minhash_lsh_pairs(
         .map_groups(_bucket_pairs, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .materialize()  # small; reused for the id set and the attach
+        .materialize()  # small vs corpus; reused for ids + the attach
     )
 
-    cand_ids: set = set()
-    for t in ray.get(candidates.to_arrow_refs()):
-        if t.num_rows:
-            cand_ids.update(t.column("id_a").to_pylist())
-            cand_ids.update(t.column("id_b").to_pylist())
-    ids_arr = pa.array(sorted(cand_ids), pa.int64())
+    # candidate ids stay a DATASET — never collected on the driver
+    # (web corpora run 30-50% duplicates; O(corpus) driver sets OOM)
+    cand_ids = candidates.map_batches(_pair_id_rows(id_col),
+                                      batch_format="pyarrow").materialize()
+    n_cand = cand_ids.count()  # per-block-deduped upper bound
+
+    from raydoc.ops.relational import semi_join
 
     sigs = minhash_signatures(
-        ds.map_batches(
-            lambda bt: bt.filter(pc.is_in(bt.column(id_col), value_set=ids_arr)),
-            batch_format="pyarrow",
-        ),
+        semi_join(ds, cand_ids, id_col, id_col,
+                  broadcast_cap=_BROADCAST_CAP),
         text_col, id_col, num_perm=num_perm, shingle_k=shingle_k,
     )
     sig_t = pa.list_(pa.uint64())
 
-    if len(cand_ids) <= _BROADCAST_CAP:
-        # fast path: candidate sig table fits comfortably in the object
-        # store (num_perm x 8 B each) — ray.put the id->sig map once and
-        # estimate every pair in a single map over the candidates
-        sig_map: dict[int, np.ndarray] = {}
-        for t in ray.get(sigs.to_arrow_refs()):
-            for i, s in zip(t.column(id_col).to_pylist(),
-                            t.column("sig").to_pylist()):
-                sig_map[i] = np.asarray(s, np.uint64)
-        ref = ray.put(sig_map)
+    if n_cand <= _BROADCAST_CAP:
+        # fast path: candidate sig blocks fit comfortably in the object
+        # store (num_perm x 8 B each) — workers fetch the block refs
+        # once (actor __init__) and estimate every pair in a single map;
+        # the driver only ever holds the refs
+        sig_refs = list(sigs.materialize().to_arrow_refs())
 
         class _Estimate:
-            def __init__(self, r) -> None:
-                self.sigs = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            def __init__(self, refs) -> None:
+                self.sigs = {}
+                for t in ray.get(list(refs)):
+                    if not t.num_rows:  # schemaless empty blocks
+                        continue
+                    for i, s in zip(t.column(id_col).to_pylist(),
+                                    t.column("sig").to_pylist()):
+                        self.sigs[i] = np.asarray(s, np.uint64)
 
             def __call__(self, bt: pa.Table) -> pa.Table:
                 ia, ib, est = [], [], []
@@ -358,8 +374,8 @@ def minhash_lsh_pairs(
         from raydoc.util import cpu_cap
 
         return candidates.map_batches(
-            _Estimate, fn_constructor_args=(ref,), batch_format="pyarrow",
-            concurrency=(1, cpu_cap()),
+            _Estimate, fn_constructor_args=(sig_refs,),
+            batch_format="pyarrow", concurrency=(1, cpu_cap()),
         )
 
     # scale path: too many candidates to broadcast (web corpora can be
@@ -493,47 +509,51 @@ def ngram_jaccard_pairs(
     ops.window.asof_join — Ray's Dataset.join emits schemaless empty
     blocks that break chained joins) and verify exact word-k-gram
     Jaccard. Only CANDIDATE documents' texts enter the attach shuffle:
-    the candidate id set (tiny by LSH design) is collected once and
-    broadcast as a membership filter over the corpus, so the exchange
-    never moves the full text corpus. Output: (id_a, id_b, jaccard)
-    with id_a < id_b, jaccard >= threshold.
+    the candidate ids stay a Dataset and the corpus is filtered by a
+    ``semi_join`` (block-ref broadcast when the id set is small, a
+    distinct-key shuffle join otherwise — never a driver-side set), so
+    the exchange never moves the full text corpus. Output: (id_a, id_b,
+    jaccard) with id_a < id_b, jaccard >= threshold.
     """
     import ray
 
     candidates = minhash_lsh_pairs(
         ds, text_col, id_col, shingle_k=shingle_k,
         threshold=candidate_threshold,
-    ).materialize()  # small; reused for the id set and both attach passes
+    ).materialize()  # small vs corpus; reused for ids + both attaches
 
-    id_tbls = [t for t in ray.get(candidates.select_columns(
-        ["id_a", "id_b"]).to_arrow_refs()) if t.num_rows]
-    cand_ids: set = set()
-    for t in id_tbls:
-        cand_ids.update(t.column("id_a").to_pylist())
-        cand_ids.update(t.column("id_b").to_pylist())
-    ids_arr = pa.array(sorted(cand_ids), pa.int64())
-    docs = ds.map_batches(
-        lambda b: b.filter(pc.is_in(b.column(id_col), value_set=ids_arr)),
-        batch_format="pyarrow",
-    )
+    from raydoc.ops.relational import semi_join
+
+    # candidate ids stay a DATASET (no driver collection) — see
+    # minhash_lsh_pairs
+    cand_ids = candidates.map_batches(_pair_id_rows(id_col),
+                                      batch_format="pyarrow").materialize()
+    n_cand = cand_ids.count()
+    docs = semi_join(ds, cand_ids, id_col, id_col,
+                     broadcast_cap=_TEXT_BROADCAST_CAP)
     cand = candidates.select_columns(["id_a", "id_b"])
 
     def _pair_jaccard(ta: str | None, tb: str | None) -> float:
         return ngram_jaccard(ta or "", tb or "", k=shingle_k)
 
-    if len(cand_ids) <= _TEXT_BROADCAST_CAP:
-        # fast path: candidate TEXTS fit the object store — broadcast
-        # the id->text map once, verify pairs in a single map
-        text_map: dict = {}
-        for t in ray.get(docs.to_arrow_refs()):
-            for i, x in zip(t.column(id_col).to_pylist(),
-                            t.column(text_col).to_pylist()):
-                text_map[i] = x
-        ref = ray.put(text_map)
+    if n_cand <= _TEXT_BROADCAST_CAP:
+        # fast path: candidate TEXTS fit the object store — workers
+        # fetch the filtered-doc block refs once (actor __init__) and
+        # verify pairs in a single map; the driver only holds refs
+        doc_refs = list(
+            docs.select_columns([id_col, text_col]).materialize()
+            .to_arrow_refs()
+        )
 
         class _Verify:
-            def __init__(self, r) -> None:
-                self.texts = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            def __init__(self, refs) -> None:
+                self.texts = {}
+                for t in ray.get(list(refs)):
+                    if not t.num_rows:  # schemaless empty blocks
+                        continue
+                    for i, x in zip(t.column(id_col).to_pylist(),
+                                    t.column(text_col).to_pylist()):
+                        self.texts[i] = x
 
             def __call__(self, b: pa.Table) -> pa.Table:
                 ia, ib, js = [], [], []
@@ -552,7 +572,7 @@ def ngram_jaccard_pairs(
 
         from raydoc.util import cpu_cap
 
-        return cand.map_batches(_Verify, fn_constructor_args=(ref,),
+        return cand.map_batches(_Verify, fn_constructor_args=(doc_refs,),
                                 batch_format="pyarrow",
                                 concurrency=(1, cpu_cap()))
 

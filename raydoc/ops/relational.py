@@ -28,6 +28,7 @@ __all__ = [
     "shuffle_join",
     "broadcast_semi_join",
     "shuffle_semi_join",
+    "semi_join",
     "grouped_agg",
     "grouped_concat",
     "grouped_quantile",
@@ -326,6 +327,61 @@ def shuffle_semi_join(
         return batch.filter(mask).select(left_cols)
 
     return joined.map_batches(_keep, batch_format="pyarrow")
+
+
+def semi_join(
+    left,
+    right,
+    left_on: str,
+    right_on: str,
+    anti: bool = False,
+    broadcast_cap: int = 1_000_000,
+):
+    """Semi/anti join where the RIGHT side is a Dataset whose size is
+    unknown up front (e.g. LSH candidate ids). Never collects right-side
+    VALUES on the driver:
+
+    * right row count <= ``broadcast_cap``: the right side's Arrow
+      blocks stay in the object store; each worker fetches the block
+      refs once (per-process LRU cache), builds the distinct key array,
+      and filters its batches with a vectorized ``pc.is_in`` — a true
+      broadcast (one copy in the object store, zero driver memory).
+    * larger: fall through to ``shuffle_semi_join`` (distinct right
+      keys + presence-marker left-outer ``Dataset.join``).
+
+    The right side is materialized to make its count metadata-cheap and
+    its blocks addressable; at ``broadcast_cap`` x int64 that is MBs,
+    and above the cap the shuffle path only needs it once.
+    """
+    import ray
+
+    right_keys = right.select_columns([right_on]).materialize()
+    if right_keys.count() > broadcast_cap:
+        return shuffle_semi_join(left, right_keys, left_on, right_on, anti=anti)
+
+    refs = list(right_keys.to_arrow_refs())
+    cache_key = tuple(r.hex() for r in refs) + (right_on, "semi_ds")
+
+    def _load_keys():
+        tbls = [t for t in ray.get(list(refs)) if t.num_rows]
+        if not tbls:
+            return None
+        col = pa.concat_arrays(
+            [c for t in tbls for c in t.column(right_on).chunks]
+        )
+        return pc.unique(col)
+
+    def _member(batch: pa.Table) -> pa.Table:
+        key_arr = _bcast_cached(cache_key, _load_keys)
+        if key_arr is None:
+            return batch if anti else batch.slice(0, 0)
+        mask = pc.is_in(batch.column(left_on).combine_chunks(), value_set=key_arr)
+        mask = pc.fill_null(mask, False)
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return left.map_batches(nonempty_batches(_member), batch_format="pyarrow")
 
 
 def grouped_agg(

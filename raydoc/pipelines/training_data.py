@@ -13,9 +13,15 @@ web corpus actually runs, built from the operator library.
 
 Every stage is a streaming Dataset transform; the only all-to-alls are
 the exact-dedup groupby (16-byte keys) and the LSH bucket shuffle.
-Near-dup victims are collected as an id SET (pairs are tiny relative
-to the corpus by LSH design) and broadcast as a membership filter —
-the corpus itself is never joined against the pair list.
+NOTHING is collected on the driver: retention stats ride the dedup
+output (``n_copies`` sums back to the post-gate count), near-dup
+victims stay a Dataset of ids and are removed with a semi/anti join
+(block-ref broadcast when small, distinct-key shuffle join otherwise).
+The one materialization is the exact-deduped corpus, which three
+downstream consumers (LSH band pass, LSH candidate re-read, victim
+anti-join) would otherwise each recompute; Ray's object store spills
+it, and a caller at real scale can pass ``checkpoint_dir`` to park it
+as partitioned Parquet instead (resumable, off the object store).
 
 This is the engine's composition story for SURVEY.md §2.5's dedup /
 text-analysis extensions; there is no reference counterpart (the
@@ -39,10 +45,18 @@ def curate_documents(
     min_stopword_ratio: float = 0.0,
     keep_langs: tuple[str, ...] | None = None,
     near_dup_threshold: float = 0.7,
+    checkpoint_dir: str | None = None,
 ):
     """Returns (kept_dataset, stats dict). Deterministic: of any
-    duplicate group, the smallest id survives."""
+    duplicate group, the smallest id survives.
+
+    ``checkpoint_dir``: park the exact-deduped corpus as Parquet there
+    instead of in the object store (the scale/resume path).
+    """
+    import ray.data
+
     from raydoc.ops.dedup import exact_dedup, minhash_lsh_pairs
+    from raydoc.ops.relational import distinct_on, semi_join
     from raydoc.ops.text import langid_batch, quality_batch
 
     # n_input: metadata-cheap for parquet-read inputs; for DERIVED
@@ -69,32 +83,47 @@ def curate_documents(
             b = b.filter(pc.is_in(b.column("lang_pred"), value_set=langs))
         return b
 
-    ds = ds.map_batches(_gates, batch_format="pyarrow").materialize()
-    stats["n_after_gates"] = ds.count()
-
-    deduped = exact_dedup(ds, text_col, id_col).materialize()
+    # gates stream straight into the dedup groupby — no materialize;
+    # the deduped output is what every later stage consumes, so it is
+    # the ONE checkpoint (object store, or Parquet when a dir is given)
+    gated = ds.map_batches(_gates, batch_format="pyarrow")
+    deduped = exact_dedup(gated, text_col, id_col)
+    if checkpoint_dir:
+        deduped.write_parquet(checkpoint_dir)
+        deduped = ray.data.read_parquet(checkpoint_dir)
+    else:
+        deduped = deduped.materialize()
     stats["n_after_exact_dedup"] = deduped.count()
+    # each surviving row carries its copy count, so the post-gate row
+    # count is a streaming SUM over the (already checkpointed) dedup
+    # output — no extra materialization of the gated corpus
+    stats["n_after_gates"] = int(deduped.sum("n_copies") or 0)
 
     pairs = minhash_lsh_pairs(deduped, text_col, id_col,
                               threshold=near_dup_threshold)
-    import ray
 
-    victims: set = set()
-    for t in ray.get(pairs.to_arrow_refs()):
-        if t.num_rows:
-            # keep the smaller id of each near-dup pair
-            victims.update(
-                pc.max_element_wise(t.column("id_a"),
-                                    t.column("id_b")).to_pylist()
-            )
-    stats["n_near_dup_removed"] = len(victims)
-    if victims:
-        varr = pa.array(sorted(victims), pa.int64())
-        deduped = deduped.map_batches(
-            lambda b: b.filter(
-                pc.invert(pc.is_in(b.column(id_col), value_set=varr))
-            ),
-            batch_format="pyarrow",
-        )
-    stats["n_kept"] = stats["n_after_exact_dedup"] - len(victims)
-    return deduped, stats
+    # keep the smaller id of each near-dup pair: victims = max(id_a,
+    # id_b), kept as a distinct id DATASET (never a driver set) and
+    # removed with an anti semi-join
+    def _victims(b: pa.Table) -> pa.Table:
+        v = pc.max_element_wise(b.column("id_a").combine_chunks(),
+                                b.column("id_b").combine_chunks())
+        return pa.Table.from_pydict({id_col: pc.unique(v)})
+
+    victims_raw = pairs.map_batches(
+        _victims, batch_format="pyarrow"
+    ).materialize()  # O(near-dup victims) ids, not O(corpus) text
+    if victims_raw.count() == 0:
+        # no near-dups: nothing to join (and a schemaless empty
+        # dataset would break the distinct groupby)
+        stats["n_near_dup_removed"] = 0
+        stats["n_kept"] = stats["n_after_exact_dedup"]
+        return deduped, stats
+
+    victims = distinct_on(victims_raw, id_col).materialize()
+    n_victims = victims.count()
+    stats["n_near_dup_removed"] = n_victims
+    stats["n_kept"] = stats["n_after_exact_dedup"] - n_victims
+
+    kept = semi_join(deduped, victims, id_col, id_col, anti=True)
+    return kept, stats

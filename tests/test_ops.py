@@ -604,6 +604,34 @@ class TestMinhashPlans:
                                     df["est_jaccard"].round(9)))
         assert key(carry) == key(slim) and len(carry) >= 1
 
+    def test_slim_plan_beyond_broadcast_cap(self, monkeypatch):
+        """When the candidate set exceeds the broadcast caps, the slim
+        plan must fall through to the shuffle semi-join + co-partition
+        attach paths and still produce identical pairs (the 30-50%-dup
+        web-corpus regime, where no id/sig/text set fits one worker)."""
+        import ray.data as rd
+
+        import raydoc.ops.dedup as dd
+
+        base = ("the quick brown fox jumps over the lazy dog and runs far "
+                "away into the deep dark forest tonight while stars shine") * 3
+        near = base.replace("lazy", "sleepy")
+        other = "completely different words about ray data pipelines " * 6
+        ds = rd.from_arrow(_t(doc_id=[0, 1, 2, 3],
+                              text=[base, near, other, ""]))
+        want = dd.minhash_lsh_pairs(
+            ds, threshold=0.4, carry_signatures=True).to_pandas()
+        monkeypatch.setattr(dd, "_BROADCAST_CAP", 0)
+        monkeypatch.setattr(dd, "_TEXT_BROADCAST_CAP", 0)
+        slim = dd.minhash_lsh_pairs(
+            ds, threshold=0.4, carry_signatures=False).to_pandas()
+        key = lambda df: sorted(zip(df["id_a"], df["id_b"],
+                                    df["est_jaccard"].round(9)))
+        assert key(want) == key(slim) and len(slim) >= 1
+
+        jac = dd.ngram_jaccard_pairs(ds, threshold=0.4).to_pandas()
+        assert sorted(zip(jac["id_a"], jac["id_b"])) == [(0, 1)]
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestCuration:
