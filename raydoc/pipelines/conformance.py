@@ -35,6 +35,7 @@ __all__ = [
     "retrieval_relevant_rewrite_generate",
     "customer_service",
     "text2sql",
+    "code_interpreter",
 ]
 
 _TOP_N = 5
@@ -401,3 +402,46 @@ def text2sql(sf_dir: str, questions: list[str] | None = None):
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+_INTERPRETER_SCRIPT = """
+def main(args):
+    # the interpreter contract (test/dsl_examples/interpreter.json
+    # prologue): "'text' => target language"; answer format "=> ..."
+    raw = args.get("content") or ""
+    if "=>" not in raw:
+        raise ValueError("input must look like 'text => target language'")
+    text, lang = (s.strip() for s in raw.rsplit("=>", 1))
+    return f"=> [{lang}] {text}"
+"""
+
+
+def code_interpreter(inputs: list[str] | None = None):
+    """The interpreter graph (dsl_examples/interpreter.json,
+    intergreper.json; templates/interpreter.json): Begin(prologue) ->
+    Answer -> translator -> Answer, with the translator slot filled by
+    the CODE component (code.py:58-152) instead of an LLM: the script
+    ships base64-encoded to an isolated subprocess with arguments
+    bound from the upstream Answer's content (code.py:80-109), and
+    malformed input surfaces IN-BAND as "**Error**: ..." content
+    (code.py:126,134,139) — the graph keeps flowing, one row per
+    user turn.
+    """
+    import ray.data as rd
+
+    from raydoc.ops.code_exec import sandbox_code
+
+    if inputs is None:
+        inputs = ["您好! => English", "You look good today. => Japanese"]
+    # Begin -> Answer: each user turn is one row, the turn's text in
+    # ``content`` (the canvas history slot, code.py:103-105)
+    ds = rd.from_items([{"turn": i, "content": s}
+                        for i, s in enumerate(inputs)])
+    out = sandbox_code(
+        ds,
+        _INTERPRETER_SCRIPT,
+        arguments=[{"name": "content", "column": "content"}],
+        out_col="answer",
+        batch_size=64,
+    )
+    return out.select_columns(["turn", "content", "answer"])

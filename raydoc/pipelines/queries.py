@@ -1300,6 +1300,66 @@ SELECT doc_id, md5(text) AS fingerprint FROM documents
 """
 
 
+def code_sandbox_lengths(sf_dir: str):
+    """Spec-driven Code stage (the reference's sandbox component,
+    code.py:58-152): a user script runs per row in an isolated
+    subprocess with column-bound arguments, result in-band in
+    ``content``."""
+    from raydoc.pipelines.spec import run_spec
+
+    ds = run_spec({
+        "source": {"op": "read_parquet",
+                   "path": f"{sf_dir}/documents.parquet",
+                   "columns": ["doc_id", "text"]},
+        "stages": [{
+            "op": "code",
+            "script": "def main(args):\n    return len(args['text'] or '')",
+            "arguments": [{"name": "text", "column": "text"}],
+        }],
+    })
+    return ds.select_columns(["doc_id", "content"])
+
+
+CODE_SANDBOX_LENGTHS_SQL = """
+SELECT doc_id, CAST(length(text) AS VARCHAR) AS content FROM documents
+"""
+
+
+def _head_upper_udf(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as _pc
+
+    head = _pc.utf8_upper(
+        _pc.utf8_slice_codeunits(batch.column("text").combine_chunks(), 0, 16)
+    )
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"), "head": head}
+    )
+
+
+def udf_doc_head_upper(sf_dir: str):
+    """Spec-driven in-process UDF stage with a declared output schema
+    (the trusted-code half of the Code component)."""
+    from raydoc.ops.code_exec import register_udf
+    from raydoc.pipelines.spec import run_spec
+
+    register_udf("doc_head_upper", _head_upper_udf)
+    return run_spec({
+        "source": {"op": "read_parquet",
+                   "path": f"{sf_dir}/documents.parquet",
+                   "columns": ["doc_id", "text"]},
+        "stages": [{
+            "op": "udf",
+            "name": "doc_head_upper",
+            "output_schema": {"doc_id": "int64", "head": "string"},
+        }],
+    })
+
+
+UDF_DOC_HEAD_UPPER_SQL = """
+SELECT doc_id, upper(substr(text, 1, 16)) AS head FROM documents
+"""
+
+
 def docs_langid(sf_dir: str):
     """Language-ID heuristic (no SQL oracle — marker-argmax isn't
     reasonably SQL-expressible; validated in pytest against the lang
@@ -1720,6 +1780,8 @@ QUERIES = {
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "embeddings_near_dup": embeddings_near_dup,
     "docs_curation": docs_curation,
+    "code_sandbox_lengths": code_sandbox_lengths,
+    "udf_doc_head_upper": udf_doc_head_upper,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_revenue_topk": q3_revenue_topk,
     "q5_nation_revenue": q5_nation_revenue,
@@ -1820,6 +1882,8 @@ ORACLES = {
     "hybrid_retrieval": HYBRID_SQL,
     "embeddings_knn": EMBEDDINGS_KNN_SQL,
     "embeddings_cosine_pairs": EMBEDDINGS_COSINE_PAIRS_SQL,
+    "code_sandbox_lengths": CODE_SANDBOX_LENGTHS_SQL,
+    "udf_doc_head_upper": UDF_DOC_HEAD_UPPER_SQL,
     # intentionally no oracle (driver does rows-only checks):
     # docs_langid, docs_minhash_pairs, docs_simhash_pairs,
     # embeddings_near_dup, flagship_extract, flagship_chunks

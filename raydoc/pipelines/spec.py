@@ -23,7 +23,9 @@ Registered stage ops (each maps to one library operator): filter,
 route, template, extract, chunk_explode, token_count, quality, langid,
 fingerprint, simhash, tumbling_window, grouped_agg, top_k, group_top_k,
 distinct_on, limit, select, broadcast_join_parquet, semi_join_parquet,
-running_agg, lag_delta, group_rank, rolling_agg.
+running_agg, lag_delta, group_rank, rolling_agg, code (sandboxed
+subprocess script, the reference's Code component), udf (registered
+in-process batch callable with declared output schema).
 """
 
 from __future__ import annotations
@@ -194,6 +196,43 @@ def _b_rolling_agg(ds, p):
                        p.get("fn", "mean"))
 
 
+def _b_code(ds, p):
+    from raydoc.ops.code_exec import sandbox_code
+
+    return sandbox_code(
+        ds, p["script"], p.get("arguments"), p.get("lang", "python"),
+        p.get("out_col", "content"), p.get("batch_size", 256),
+    )
+
+
+def _v_code(p):
+    _require(p, "script")
+    # mirror the reference's check_valid_value on lang (code.py:71-73)
+    # minus the runtimes this engine does not ship
+    _check(p.get("lang", "python").lower() in ("python", "python3"),
+           f"unsupported code lang {p.get('lang')!r}")
+    for i, a in enumerate(p.get("arguments", [])):
+        _check("name" in a and "column" in a,
+               f"arguments[{i}] needs 'name' and 'column'")
+
+
+def _b_udf(ds, p):
+    from raydoc.ops.code_exec import code_udf
+
+    return code_udf(ds, p["name"], p.get("output_schema"),
+                    p.get("batch_size"))
+
+
+def _v_udf(p):
+    _require(p, "name")
+    from raydoc.ops.code_exec import resolve_udf
+
+    try:
+        resolve_udf(p["name"])
+    except KeyError as e:
+        raise SpecError(str(e)) from None
+
+
 def _b_group_rank(ds, p):
     from raydoc.ops.window import group_rank
 
@@ -231,6 +270,8 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
     "rolling_agg": (
         lambda p: _require(p, "key_col", "order_cols", "val_col", "window"),
         _b_rolling_agg),
+    "code": (_v_code, _b_code),
+    "udf": (_v_udf, _b_udf),
 }
 
 _VALID_PREDICATE_OPS = None

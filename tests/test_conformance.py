@@ -87,3 +87,21 @@ class TestConformancePipelines:
         bad = out[out["status"] != "ok"].iloc[0]
         assert bad["sql"].startswith("SELECT nope")
         assert bad["n_rows"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCodeInterpreter:
+    def test_interpreter_graph_translates_and_errors_in_band(self):
+        from raydoc.pipelines.conformance import code_interpreter
+
+        df = code_interpreter(
+            ["您好! => English", "You look good today. => Japanese",
+             "no arrow here"]
+        ).to_pandas().sort_values("turn")
+        assert list(df["answer"])[:2] == [
+            "=> [English] 您好!",
+            "=> [Japanese] You look good today.",
+        ]
+        # malformed turn: in-band error, graph keeps flowing
+        assert df["answer"].iloc[2].startswith("**Error**: ")
+        assert len(df) == 3

@@ -162,3 +162,67 @@ class TestSpecRunner:
         # one top-ranked row per user; run_sum is that user's max cumsum
         assert out["user_id"].is_unique
         assert (out["rn"] == 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCodeExec:
+    def test_sandbox_stage_contract(self):
+        import pyarrow as pa
+
+        from raydoc.ops.code_exec import SandboxCodeStage
+
+        st = SandboxCodeStage(
+            "def main(args):\n"
+            "    if args['x'] < 0: raise ValueError('neg')\n"
+            "    return args['x'] * 2",
+            arguments=[{"name": "x", "column": "v"}],
+        )
+        out = st(pa.table({"v": [1, -1, 3]}))
+        assert out.column("content").to_pylist()[0] == "2"
+        assert out.column("content").to_pylist()[1] == "**Error**: neg"
+        assert out.column("content").to_pylist()[2] == "6"
+
+    def test_sandbox_fatal_script_and_lang_gate(self):
+        import pyarrow as pa
+        import pytest as _pt
+
+        from raydoc.ops.code_exec import SandboxCodeStage
+
+        st = SandboxCodeStage("this is not python",
+                              arguments=[{"name": "x", "column": "v"}])
+        out = st(pa.table({"v": [1, 2]}))
+        assert all(c.startswith("**Error**: construct code request error")
+                   for c in out.column("content").to_pylist())
+        with _pt.raises(ValueError):
+            SandboxCodeStage("def main(a): return 1", lang="nodejs")
+
+    def test_udf_schema_coercion_and_registry(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from raydoc.ops.code_exec import code_udf, register_udf
+
+        register_udf("double_v", lambda b: {
+            "v2": [x * 2 for x in b.column("v").to_pylist()]})
+        ds = rd.from_arrow(pa.table({"v": [1, 2, 3]}))
+        out = code_udf(ds, "double_v",
+                       output_schema={"v2": "float64"}).to_pandas()
+        assert list(out["v2"]) == [2.0, 4.0, 6.0]
+
+    def test_spec_code_and_udf_validation(self):
+        from raydoc.pipelines.spec import SpecError, validate_spec
+
+        base = {"source": {"op": "read_parquet", "path": "/tmp/x.parquet"}}
+        import pytest as _pt
+
+        with _pt.raises(SpecError):
+            validate_spec({**base, "stages": [{"op": "code"}]})
+        with _pt.raises(SpecError):
+            validate_spec({**base, "stages": [
+                {"op": "code", "script": "x", "lang": "nodejs"}]})
+        with _pt.raises(SpecError):
+            validate_spec({**base, "stages": [
+                {"op": "udf", "name": "never_registered_udf"}]})
+        validate_spec({**base, "stages": [
+            {"op": "code", "script": "def main(a): return 1",
+             "arguments": [{"name": "x", "column": "v"}]}]})
