@@ -621,7 +621,9 @@ def embedding_near_dup_pairs(
     planes_by_dim: dict[int, np.ndarray] = {}
 
     def _bucket(batch: pa.Table) -> pa.Table:
-        embs = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float64)
+        from raydoc.util import embedding_matrix
+
+        embs = embedding_matrix(batch.column(emb_col))
         dim = embs.shape[1] if embs.ndim == 2 else 0
         if dim not in planes_by_dim:
             planes_by_dim[dim] = np.random.RandomState(11).standard_normal(
@@ -638,8 +640,10 @@ def embedding_near_dup_pairs(
         )
 
     def _verify(group: pa.Table) -> pa.Table:
+        from raydoc.util import embedding_matrix
+
         ids = group.column(id_col).to_pylist()
-        embs = np.asarray(group.column(emb_col).to_pylist(), dtype=np.float64)
+        embs = embedding_matrix(group.column(emb_col))
         order = np.argsort(ids, kind="stable")
         ids = [ids[i] for i in order]
         embs = embs[order]

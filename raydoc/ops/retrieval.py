@@ -59,8 +59,9 @@ def hybrid_retrieve(
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_pylist()
             texts = batch.column(text_col).to_pylist()
-            embs = _unit(np.asarray(batch.column(emb_col).to_pylist(),
-                                    dtype=np.float64))
+            from raydoc.util import embedding_matrix
+
+            embs = _unit(embedding_matrix(batch.column(emb_col)))
             cos = self.qmat @ embs.T  # (Q, B)
             doc_tok = [set((t or "").lower().split()) for t in texts]
             out = {"query_id": [], "doc_id": [], "score": []}

@@ -20,6 +20,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from raydoc.util import embedding_matrix
+
 __all__ = ["knn_brute_force", "knn_lsh", "knn_ivf", "cosine_pairs_exact"]
 
 
@@ -53,8 +55,8 @@ def knn_brute_force(
             self.q = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-            embs = np.asarray(batch.column(emb_col).to_pylist(), dtype=np.float64)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            embs = embedding_matrix(batch.column(emb_col))
             if excl:
                 keep = np.array([i not in excl for i in ids])
                 ids, embs = ids[keep], embs[keep]
@@ -160,9 +162,8 @@ def knn_ivf(
             )
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-            embs = _unit(np.asarray(batch.column(emb_col).to_pylist(),
-                                    np.float64))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            embs = _unit(embedding_matrix(batch.column(emb_col)))
             cells = (embs @ self.centroids.T).argmax(axis=1)
             q_out, v_out, c_out = [], [], []
             for vi, cell in enumerate(cells):
@@ -218,8 +219,8 @@ def cosine_pairs_exact(
     """
     import ray
 
-    ids = np.asarray(corpus.column(id_col).to_pylist(), dtype=np.int64)
-    mat = _unit(np.asarray(corpus.column(emb_col).to_pylist(), dtype=np.float64))
+    ids = corpus.column(id_col).to_numpy(zero_copy_only=False)
+    mat = _unit(embedding_matrix(corpus.column(emb_col)))
     shared = ray.put((ids, mat))
 
     class _Pairs:
@@ -229,8 +230,8 @@ def cosine_pairs_exact(
             )
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-            bemb = _unit(np.asarray(batch.column(emb_col).to_pylist(), np.float64))
+            bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            bemb = _unit(embedding_matrix(batch.column(emb_col)))
             sims = bemb @ self.mat.T  # (B, N)
             hit = (sims >= threshold) & (bids[:, None] < self.ids[None, :])
             bi, ci = np.nonzero(hit)
@@ -293,8 +294,8 @@ def knn_lsh(
             )
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-            embs = _unit(np.asarray(batch.column(emb_col).to_pylist(), np.float64))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            embs = _unit(embedding_matrix(batch.column(emb_col)))
             sig = (embs @ self.planes) > 0
             codes = (sig * (1 << np.arange(sig.shape[1]))).sum(axis=1)
             q_out, v_out, c_out = [], [], []
