@@ -20,7 +20,65 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["hybrid_retrieve"]
+__all__ = ["hybrid_retrieve", "insert_citations"]
+
+_SENT_SPLIT = None
+
+
+def insert_citations(
+    answer: str,
+    chunk_texts: list[str],
+    chunk_vectors,
+    embed_fn,
+    tkweight: float = 0.7,
+    vtweight: float = 0.3,
+    threshold: float = 0.3,
+) -> tuple[str, list[int]]:
+    """Sentence x chunk hybrid-similarity citation insertion — the
+    answer-side join of the reference's ``Generate.set_cite``
+    (generate.py:92-125): the answer splits into sentences, every
+    sentence scores against every evidence chunk with the SAME
+    token/vector mix ``hybrid_retrieve`` uses (tkweight * overlap +
+    vtweight * cosine; the reference passes 0.7/0.3), and each
+    sentence whose best chunk clears ``threshold`` gets a `` ##N$$``
+    marker appended. Returns (cited answer, cited chunk indices in
+    first-cited order — the dedup'd recall list the reference builds
+    at generate.py:102-110).
+
+    ``embed_fn(text) -> vector`` supplies sentence embeddings (the
+    reference's LLMBundle EMBEDDING slot); pass the same deterministic
+    double the retrieval stage uses for offline runs.
+    """
+    import re
+
+    global _SENT_SPLIT
+    if _SENT_SPLIT is None:
+        _SENT_SPLIT = re.compile(r"(?<=[.!?;。！？])\s+")
+    if not (answer or "").strip() or not chunk_texts:
+        return answer, []
+    cmat = _unit(np.asarray(chunk_vectors, dtype=np.float64))
+    ctoks = [set((t or "").lower().split()) for t in chunk_texts]
+    parts = [s for s in _SENT_SPLIT.split(answer) if s]
+    cited: list[int] = []
+    out_parts: list[str] = []
+    for sent in parts:
+        stoks = set(sent.lower().split())
+        svec = np.asarray(embed_fn(sent), dtype=np.float64)
+        nrm = np.linalg.norm(svec)
+        svec = svec / nrm if nrm else svec
+        cos = cmat @ svec
+        tok = np.fromiter(
+            (len(stoks & ct) / max(len(stoks), 1) for ct in ctoks),
+            dtype=np.float64, count=len(ctoks),
+        )
+        score = tkweight * tok + vtweight * cos
+        best = int(score.argmax())
+        if score[best] >= threshold:
+            sent = f"{sent} ##{best}$$"
+            if best not in cited:
+                cited.append(best)
+        out_parts.append(sent)
+    return " ".join(out_parts), cited
 
 
 def _unit(m: np.ndarray) -> np.ndarray:

@@ -44,18 +44,27 @@ _TOP_N = 5
 class GenerateStage:
     """Deterministic double of the reference's Generate component
     (generate.py:42-276): renders ``prompt`` with ``{input}`` and
-    ``{evidence}`` slots and appends a citation list — the shape of its
-    citation-insertion output (generate.py:92-125) without the LLM.
+    ``{evidence}`` slots; with ``cite=True`` it reproduces set_cite's
+    sentence x chunk hybrid-similarity citation join (token 0.7 /
+    vector 0.3, generate.py:92-125) via ops.retrieval.insert_citations,
+    emitting ``##N$$`` markers and the dedup'd ``cited_chunks`` list.
     Swapping in a real model keeps the interface: load it in __init__.
     """
 
     def __init__(self, prompt: str = "Q: {input}\nA: {evidence}",
                  input_col: str = "input", evidence_col: str = "evidence",
-                 out_col: str = "answer") -> None:
+                 out_col: str = "answer", cite: bool = False,
+                 chunks_col: str = "chunk_texts",
+                 vectors_col: str = "chunk_vectors",
+                 cite_threshold: float = 0.3) -> None:
         self.prompt = prompt  # the per-actor "model" slot
         self.input_col = input_col
         self.evidence_col = evidence_col
         self.out_col = out_col
+        self.cite = cite
+        self.chunks_col = chunks_col
+        self.vectors_col = vectors_col
+        self.cite_threshold = cite_threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = batch.column_names
@@ -67,7 +76,36 @@ class GenerateStage:
             self.prompt.replace("{input}", i or "").replace("{evidence}", e or "")
             for i, e in zip(ins, evs)
         ]
-        return batch.append_column(self.out_col, pa.array(out, pa.string()))
+        if not (self.cite and self.chunks_col in cols
+                and self.vectors_col in cols):
+            return batch.append_column(self.out_col,
+                                       pa.array(out, pa.string()))
+        # set_cite (generate.py:92-125): per row, score every answer
+        # sentence against the row's evidence chunks (token-0.7 /
+        # vector-0.3) and append ##N$$ markers + the dedup'd cited list
+        from raydoc.ops.retrieval import insert_citations
+
+        texts_l = batch.column(self.chunks_col).to_pylist()
+        vecs_l = batch.column(self.vectors_col).to_pylist()
+        cited_answers, cited_lists = [], []
+        for ans, ctexts, cvecs in zip(out, texts_l, vecs_l):
+            if not ctexts:
+                cited_answers.append(ans)
+                cited_lists.append([])
+                continue
+            dim = len(cvecs[0])
+            a2, idx = insert_citations(
+                ans, ctexts, cvecs,
+                embed_fn=lambda s: _pseudo_embedding(s, dim),
+                threshold=self.cite_threshold,
+            )
+            cited_answers.append(a2)
+            cited_lists.append(idx)
+        batch = batch.append_column(self.out_col,
+                                    pa.array(cited_answers, pa.string()))
+        return batch.append_column(
+            "cited_chunks", pa.array(cited_lists, pa.list_(pa.int64()))
+        )
 
 
 def rewrite_query(query: str, history: list[str]) -> str:

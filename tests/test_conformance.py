@@ -105,3 +105,53 @@ class TestCodeInterpreter:
         # malformed turn: in-band error, graph keeps flowing
         assert df["answer"].iloc[2].startswith("**Error**: ")
         assert len(df) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCitationInsertion:
+    def test_planted_evidence_cites_matching_sentence(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from raydoc.pipelines.conformance import (GenerateStage,
+                                                  _pseudo_embedding)
+
+        chunks = ["the quick brown fox jumps over the dog",
+                  "stock markets fell sharply across asia today"]
+        vecs = [_pseudo_embedding(c, 16).tolist() for c in chunks]
+        ds = rd.from_items([{
+            "input": "what happened",
+            "evidence": "The quick brown fox jumps over the dog. "
+                        "Nothing matches zzz qqq xxx vvv kkk.",
+            "chunk_texts": chunks,
+            "chunk_vectors": vecs,
+        }])
+        out = ds.map_batches(
+            GenerateStage,
+            fn_constructor_kwargs={"prompt": "{evidence}", "cite": True},
+            batch_format="pyarrow", concurrency=1,
+        ).to_pandas()
+        ans = out["answer"].iloc[0]
+        # the evidence-backed sentence is cited against chunk 0 …
+        assert "dog. ##0$$" in ans
+        # … the filler sentence is not cited at all
+        assert ans.count("$$") == 1
+        assert list(out["cited_chunks"].iloc[0]) == [0]
+
+    def test_insert_citations_scalar_contract(self):
+        from raydoc.ops.retrieval import insert_citations
+        from raydoc.pipelines.conformance import _pseudo_embedding
+
+        chunks = ["alpha beta gamma delta", "omega psi chi phi"]
+        vecs = [_pseudo_embedding(c, 8) for c in chunks]
+        ans, idx = insert_citations(
+            "alpha beta gamma delta. omega psi chi phi! unrelated words "
+            "here nothing.",
+            chunks, vecs, embed_fn=lambda s: _pseudo_embedding(s, 8),
+        )
+        assert "##0$$" in ans and "##1$$" in ans
+        assert idx == [0, 1]
+        # empty answer / no chunks: no-op
+        assert insert_citations("", chunks, vecs, lambda s: None) == ("", [])
+        assert insert_citations("hi there.", [], [], lambda s: None) == (
+            "hi there.", [])
