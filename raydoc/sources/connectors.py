@@ -17,6 +17,13 @@ NotImplementedError at the line where requests/httpx would be used.
 ``connector_source`` fans a list of queries out as a Dataset and runs
 the connector in an actor pool (connection/session built once per
 actor, the reference's per-run client pattern).
+
+Beyond the four generic shape families, four connector-specific
+dataflow shapes are modeled: two-step lookup-join (QWeather,
+qweather.py:60-117), multi-table fan-out (YahooFinance,
+yahoofinance.py:50-84), nested-XML projection (PubMed,
+pubmed.py:39-69), and polymorphic-dict flattening (WenCai,
+wencai.py:40-79).
 """
 
 from __future__ import annotations
@@ -34,6 +41,10 @@ __all__ = [
     "NewsConnector",
     "FinanceConnector",
     "TranslateConnector",
+    "LookupJoinConnector",
+    "MultiTableConnector",
+    "XmlConnector",
+    "FlattenConnector",
     "connector_source",
     "offline_transport",
     "network_transport",
@@ -160,11 +171,216 @@ class TranslateConnector(Connector):
                      "source": self.source, "status": f"error:{type(e).__name__}"}]
 
 
+class LookupJoinConnector(Connector):
+    """Two-step lookup-join shape (QWeather, qweather.py:60-117): step 1
+    resolves the query to an entity id (the city->location_id geo
+    lookup, qweather.py:67-74); step 2 fetches that id's data. A
+    non-"200" code at either step maps through ``error_code`` to an
+    in-band ``"**Error**..."`` row (qweather.py:73,90,102,113) — never
+    an exception."""
+
+    source = "lookup"
+    error_code = {
+        "204": "no data for this region at this time",
+        "400": "request error",
+        "401": "authentication failed",
+        "402": "quota exceeded",
+        "403": "no access",
+        "404": "the queried data or region does not exist",
+        "429": "rate limited",
+        "500": "backend timeout",
+    }
+
+    def __init__(self, transport=None, kind: str = "weather") -> None:
+        super().__init__(transport or self.offline_payload)
+        self.kind = kind  # weather | indices | airquality
+
+    @staticmethod
+    def offline_payload(request: str) -> dict:
+        """Deterministic double of both endpoints. ``err:NNN <q>``
+        queries simulate the backend's error codes."""
+        kind, _, q = request.partition(":")
+        if q.startswith("err:"):
+            return {"code": q.split()[0][4:]}
+        if kind == "lookup":
+            return {"code": "200",
+                    "location": [{"id": f"loc-{stable_u64(q) % 10**6}"}]}
+        rng = random.Random(stable_u64(request))
+        return {"code": "200",
+                "daily": [{"date": f"2026-08-{d:02d}",
+                           "text": " ".join(rng.choice(_WORDS)
+                                            for _ in range(6))}
+                          for d in range(1, 4)]}
+
+    def fetch(self, query: str, top_n: int = 5) -> list[dict]:
+        def _err(code: str) -> list[dict]:
+            msg = "**Error**" + self.error_code.get(code, f"code {code}")
+            return [{"query": query, "rank": 0, "title": "",
+                     "content": msg, "source": self.source,
+                     "status": f"error:{code}"}]
+
+        try:
+            look = self.transport(f"lookup:{query}")
+            if look.get("code") != "200":
+                return _err(look.get("code", "500"))
+            loc = look["location"][0]["id"]
+            data = self.transport(f"{self.kind}:{loc}:{query}")
+            if data.get("code") != "200":
+                return _err(data.get("code", "500"))
+            rows = [{"query": query, "rank": i + 1, "title": d["date"],
+                     "content": d["text"], "source": self.source,
+                     "status": "ok"}
+                    for i, d in enumerate(data["daily"][:top_n])]
+            return rows
+        except Exception as e:
+            return [{"query": query, "rank": 0, "title": "", "content": "",
+                     "source": self.source,
+                     "status": f"error:{type(e).__name__}"}]
+
+
+class MultiTableConnector(Connector):
+    """Multi-table fan-out shape (YahooFinance, yahoofinance.py:50-84):
+    ONE query emits one row per enabled report section — the flat_map
+    pattern where each boolean param appends another rendered table."""
+
+    source = "multitable"
+    SECTIONS = ("info", "history", "financials", "balance_sheet",
+                "cash_flow_statement", "news")
+
+    def __init__(self, transport=None, sections: tuple | None = None) -> None:
+        super().__init__(transport)
+        self.sections = tuple(sections or ("info", "news"))
+        bad = set(self.sections) - set(self.SECTIONS)
+        if bad:
+            raise ValueError(f"unknown sections {sorted(bad)}")
+
+    def _rows(self, query, payload, top_n):
+        rows = []
+        for sec in self.sections:
+            body = "\n".join(
+                f"| {it['title']} | {it['value']} |"
+                for it in payload["items"][:3]
+            )
+            rows.append({"title": sec, "content": f"{sec}:\n{body}\n"})
+        return rows
+
+
+class XmlConnector(Connector):
+    """Nested-XML projection shape (PubMed, pubmed.py:39-69): the
+    payload is one XML document; rows project
+    MedlineCitation/Article/ArticleTitle + PMID + Abstract (with the
+    "No abstract available" default) after stripping inline <b>/<i>
+    markup (pubmed.py:51-53)."""
+
+    source = "xml"
+
+    def __init__(self, transport=None) -> None:
+        super().__init__(transport or self.offline_payload)
+
+    @staticmethod
+    def offline_payload(request: str) -> dict:
+        rng = random.Random(stable_u64(request))
+        arts = []
+        for i in range(5):
+            title = " ".join(rng.choice(_WORDS) for _ in range(5))
+            abstract = (
+                f"<AbstractText>about <b>{rng.choice(_WORDS)}</b> "
+                f"{' '.join(rng.choice(_WORDS) for _ in range(8))}"
+                f"</AbstractText>"
+            )
+            has_abs = rng.random() > 0.3
+            arts.append(
+                "<PubmedArticle><MedlineCitation>"
+                f"<PMID>{stable_u64(request) % 10**7 + i}</PMID>"
+                "<Article>"
+                f"<ArticleTitle>{title}</ArticleTitle>"
+                + (f"<Abstract>{abstract}</Abstract>" if has_abs else "")
+                + "</Article></MedlineCitation></PubmedArticle>"
+            )
+        return {"xml": "<PubmedArticleSet>" + "".join(arts)
+                       + "</PubmedArticleSet>"}
+
+    def _rows(self, query, payload, top_n):
+        import re
+        import xml.etree.ElementTree as ET
+
+        clean = re.sub(r"<(/?)b>|<(/?)i>", "", payload["xml"])
+        root = ET.fromstring(clean)
+        rows = []
+        for child in root.findall("PubmedArticle"):
+            cit = child.find("MedlineCitation")
+            art = cit.find("Article")
+            abstract = art.find("Abstract")
+            abs_text = (abstract.find("AbstractText").text
+                        if abstract is not None else "No abstract available")
+            pmid = cit.find("PMID").text
+            rows.append({
+                "title": art.find("ArticleTitle").text,
+                "content": (
+                    f"Title:{art.find('ArticleTitle').text}\n"
+                    f"Url:<a href=\"https://pubmed.ncbi.nlm.nih.gov/{pmid}\">"
+                    f"</a>\nAbstract:{abs_text}"
+                ),
+            })
+        return rows
+
+
+class FlattenConnector(Connector):
+    """Semi-structured flattening shape (WenCai, wencai.py:40-79): the
+    payload is a polymorphic dict whose values may be a list of
+    records, a plain string, a nested dict (skipped when it carries a
+    "meta" key), or a table (skipped when it has an image_url column) —
+    each flattens to one content row, unknown types stringify."""
+
+    source = "flatten"
+
+    def __init__(self, transport=None) -> None:
+        super().__init__(transport or self.offline_payload)
+
+    @staticmethod
+    def offline_payload(request: str) -> dict:
+        rng = random.Random(stable_u64(request))
+        return {
+            "summary": " ".join(rng.choice(_WORDS) for _ in range(8)),
+            "quotes": [{"name": rng.choice(_WORDS),
+                        "price": round(rng.uniform(1, 99), 2)}
+                       for _ in range(3)],
+            "detail": {"pe": round(rng.uniform(5, 40), 1),
+                       "pb": round(rng.uniform(0.5, 9), 1)},
+            "_internal": {"meta": {"v": 1}, "blob": "x"},
+            "chart": {"columns": ["image_url"], "rows": [["http://img"]]},
+            "count": 42,
+        }
+
+    def _rows(self, query, payload, top_n):
+        rows = []
+        for key, val in payload.items():
+            if isinstance(val, list):
+                body = "\n".join(str(r) for r in val)
+                rows.append({"title": key, "content": f"{key}\n{body}"})
+            elif isinstance(val, str):
+                rows.append({"title": key, "content": f"{key}\n{val}"})
+            elif isinstance(val, dict):
+                if "meta" in val:
+                    continue  # wencai.py:66-67
+                if "columns" in val and "image_url" in val["columns"]:
+                    continue  # wencai.py:74-75
+                body = "\n".join(f"{k}: {v}" for k, v in val.items())
+                rows.append({"title": key, "content": body})
+            else:
+                rows.append({"title": key, "content": f"{key}\n{val}"})
+        return rows
+
+
 CONNECTOR_REGISTRY: dict[str, type[Connector]] = {
     "search": SearchConnector,
     "news": NewsConnector,
     "finance": FinanceConnector,
     "translate": TranslateConnector,
+    "lookup": LookupJoinConnector,
+    "multitable": MultiTableConnector,
+    "xml": XmlConnector,
+    "flatten": FlattenConnector,
 }
 
 _OUT_SCHEMA = pa.schema(

@@ -67,3 +67,55 @@ class TestFetchExtract:
             assert out.loc[r["url"], "content"] == extract_page(r["html"])["text"]
         assert out.loc["https://nowhere.example.com/missing", "status"].startswith(
             "error:FileNotFoundError")
+
+
+class TestConnectorShapes:
+    def test_lookup_join_two_step_and_error_codes(self):
+        from raydoc.sources.connectors import LookupJoinConnector
+
+        c = LookupJoinConnector()
+        rows = c.fetch("beijing", top_n=2)
+        assert [r["status"] for r in rows] == ["ok", "ok"]
+        assert rows[0]["title"].startswith("2026-08-")
+        # same city resolves through the same location id -> same data
+        assert c.fetch("beijing", top_n=2) == rows
+        # backend error code at the lookup step: in-band **Error** row
+        err = c.fetch("err:404 atlantis")
+        assert len(err) == 1 and err[0]["status"] == "error:404"
+        assert err[0]["content"].startswith("**Error**")
+
+    def test_multitable_fanout_sections(self):
+        from raydoc.sources.connectors import MultiTableConnector
+
+        c = MultiTableConnector(sections=("info", "balance_sheet", "news"))
+        rows = c.fetch("MSFT", top_n=10)
+        assert [r["title"] for r in rows] == ["info", "balance_sheet", "news"]
+        assert all(r["content"].startswith(r["title"] + ":\n") for r in rows)
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            MultiTableConnector(sections=("nope",))
+
+    def test_xml_projection_strips_markup_and_defaults(self):
+        from raydoc.sources.connectors import XmlConnector
+
+        c = XmlConnector()
+        rows = c.fetch("gene therapy", top_n=5)
+        assert 1 <= len(rows) <= 5
+        assert all(r["content"].startswith("Title:") for r in rows)
+        assert all("<b>" not in r["content"] for r in rows)
+        assert all("pubmed.ncbi.nlm.nih.gov/" in r["content"] for r in rows)
+        joined = "\n".join(r["content"] for r in rows)
+        assert "Abstract:" in joined
+
+    def test_flatten_polymorphic_dict(self):
+        from raydoc.sources.connectors import FlattenConnector
+
+        c = FlattenConnector()
+        rows = c.fetch("top ev makers", top_n=10)
+        titles = [r["title"] for r in rows]
+        # meta-dicts and image tables are skipped (wencai.py:66-75)
+        assert "_internal" not in titles and "chart" not in titles
+        assert {"summary", "quotes", "detail", "count"} <= set(titles)
+        q = next(r for r in rows if r["title"] == "quotes")
+        assert q["content"].count("\n") == 3  # header + 3 records
