@@ -36,6 +36,12 @@ __all__ = [
     "customer_service",
     "text2sql",
     "code_interpreter",
+    "retrieval_categorize_and_generate",
+    "retrieval_relevant_keyword_baidu_and_generate",
+    "headhunter_zh",
+    "websearch_assistant",
+    "seo_blog",
+    "research_report",
 ]
 
 _TOP_N = 5
@@ -483,3 +489,282 @@ def code_interpreter(inputs: list[str] | None = None):
         batch_size=64,
     )
     return out.select_columns(["turn", "content", "answer"])
+
+
+def retrieval_categorize_and_generate(sf_dir: str,
+                                      queries: list[str] | None = None):
+    """dsl_examples/retrieval_categorize_and_generate.json: Begin ->
+    Answer -> Categorize which routes each turn EITHER to Retrieval ->
+    Generate (kb questions) OR to a canned Message (smalltalk), both
+    fanning back into Answer (union). One output row per input turn,
+    tagged with its route — the row accounting the scheduler redirect
+    (canvas.py:265-269) becomes under the route-column rule."""
+    import ray.data as rd
+
+    from raydoc.ops.classify import CategorizeStage
+
+    if queries is None:
+        queries = ["how does the hash join stream batches",
+                   "hello there nice day",
+                   "what column store does the scan read"]
+    ds = rd.from_items([{"qid": i, "text": q}
+                        for i, q in enumerate(queries)])
+    cats = {"kb_question": ["join", "stream", "scan", "column", "batch",
+                            "table", "query"],
+            "smalltalk": ["hello", "hi", "day", "thanks"]}
+    routed = _collect(ds.map_batches(
+        CategorizeStage, fn_constructor_kwargs={"categories": cats},
+        batch_format="pyarrow", concurrency=(1, 2),
+    ))
+    rows = []
+    for qid, text, cat in zip(routed.column("qid").to_pylist(),
+                              routed.column("text").to_pylist(),
+                              routed.column("category").to_pylist()):
+        if cat == "kb_question":
+            top = _attach_texts(sf_dir, _collect(_retrieve(sf_dir, text,
+                                                           query_id=qid)))
+            rows.append({"qid": qid, "text": text, "route": cat,
+                         "input": text, "evidence": _evidence(top)})
+        else:  # Message branch (message.py's canned pick)
+            rows.append({"qid": qid, "text": text, "route": cat,
+                         "input": text,
+                         "evidence": "How can I help with the engine?"})
+    fanin = rd.from_items(rows)  # Concentrator: union back into Answer
+    return fanin.map_batches(GenerateStage, batch_format="pyarrow",
+                             concurrency=(1, 2))
+
+
+def retrieval_relevant_keyword_baidu_and_generate(
+    sf_dir: str, queries: list[str] | None = None,
+):
+    """dsl_examples/retrieval_relevant_keyword_baidu_and_generate.json:
+    Retrieval -> Relevant gate; "yes" goes straight to Generate over kb
+    evidence, "no" detours KeywordExtract -> Baidu (search-connector
+    double) -> a SECOND Generate over web evidence (generate:1), both
+    converging on Answer. One row per query, ``branch`` says which
+    Generate answered."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from raydoc.ops.classify import RelevantStage
+    from raydoc.sources.connectors import SearchConnector
+
+    if queries is None:
+        queries = ["hash join stream of record batches",
+                   "zzz qqq completely-unknown nonsense"]
+    web = SearchConnector()  # per-run client (baidu.py:40-66 double)
+    rows = []
+    for qid, q in enumerate(queries):
+        top = _attach_texts(sf_dir, _collect(_retrieve(sf_dir, q,
+                                                       query_id=qid)))
+        gated = RelevantStage(query=q, min_overlap=1)(top)
+        relevant = gated.filter(pc.equal(gated.column("relevant"), "yes"))
+        if relevant.num_rows:
+            rows.append({"qid": qid, "input": q, "branch": "retrieval",
+                         "evidence": _evidence(relevant)})
+        else:
+            kws = " ".join(w for w, _ in
+                           Counter(q.lower().split()).most_common(3))
+            hits = web.fetch(kws, top_n=3)
+            ev = " | ".join(h["content"] for h in hits
+                            if h["status"] == "ok")
+            rows.append({"qid": qid, "input": q, "branch": "web",
+                         "evidence": ev})
+    fanin = rd.from_items(rows)
+    return fanin.map_batches(GenerateStage, batch_format="pyarrow",
+                             concurrency=(1, 2))
+
+
+def headhunter_zh(sf_dir: str, turns: list[dict] | None = None):
+    """dsl_examples/headhunter_zh.json: the two-level Categorize
+    cascade — categorize:0 routes a first-contact turn to
+    {introduction message, casual Generate, reject message, jd
+    Retrieval}; follow-up turns hit categorize:1 which routes to {jd
+    Retrieval, casual, get_wechat, no_wechat} Generates; every leaf
+    fans back into an Answer. Row accounting: exactly one answer row
+    per turn, ``route`` = "<level>/<category>"."""
+    import ray.data as rd
+
+    from raydoc.ops.classify import CategorizeStage
+
+    if turns is None:
+        turns = [
+            {"stage": 0, "text": "hello, are you hiring for data roles?"},
+            {"stage": 0, "text": "not interested, remove me please"},
+            {"stage": 1, "text": "what does the job involve, which "
+                                 "table and query work?"},
+            {"stage": 1, "text": "sure, my wechat id is abc123"},
+            {"stage": 1, "text": "i will not share contact details"},
+        ]
+    turns = [{"tid": i, **t} for i, t in enumerate(turns)]
+    lvl0 = {"interested": ["hiring", "role", "job", "hello"],
+            "reject": ["not interested", "remove", "stop"],
+            "casual": ["weather", "lunch"]}
+    lvl1 = {"about_job": ["job", "work", "involve", "query", "table"],
+            "get_wechat": ["wechat", "contact is", "id is"],
+            "no_wechat": ["not share", "will not", "refuse"],
+            "casual": ["weather", "lunch"]}
+    answers = {
+        ("0", "interested"): "intro: we have a data-engine role open",
+        ("0", "reject"): "understood, no further messages",
+        ("0", "casual"): "nice chatting!",
+        ("1", "get_wechat"): "great, adding you on wechat",
+        ("1", "no_wechat"): "no problem, we can keep chatting here",
+        ("1", "casual"): "nice chatting!",
+    }
+    rows = []
+    for stage, cats in ((0, lvl0), (1, lvl1)):
+        sub = [t for t in turns if t["stage"] == stage]
+        if not sub:
+            continue
+        ds = rd.from_items(sub)
+        routed = _collect(ds.map_batches(
+            CategorizeStage, fn_constructor_kwargs={"categories": cats},
+            batch_format="pyarrow", concurrency=(1, 2),
+        ))
+        for tid, text, cat in zip(routed.column("tid").to_pylist(),
+                                  routed.column("text").to_pylist(),
+                                  routed.column("category").to_pylist()):
+            route = f"{stage}/{cat}"
+            if cat == "about_job":  # the Retrieval -> generate:aboutJob leaf
+                top = _attach_texts(
+                    sf_dir, _collect(_retrieve(sf_dir, text, query_id=tid)))
+                rows.append({"tid": tid, "text": text, "route": route,
+                             "input": text, "evidence": _evidence(top)})
+            else:
+                rows.append({"tid": tid, "text": text, "route": route,
+                             "input": text,
+                             "evidence": answers[(str(stage), cat)]})
+    fanin = rd.from_items(rows)
+    return fanin.map_batches(GenerateStage, batch_format="pyarrow",
+                             concurrency=(1, 2))
+
+
+def websearch_assistant(sf_dir: str,
+                        query: str = "how does a hash join stream batches",
+                        history: list[str] | None = None):
+    """templates/websearch_assistant.json: RewriteQuestion ->
+    KeywordExtract fanning out to THREE web sources (Baidu /
+    DuckDuckGo / Wikipedia — search-connector doubles) in PARALLEL
+    with kb Retrieval, all four converging on one Generate. Output: 1
+    answer row + one evidence row per source (the fan-in accounting)."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from raydoc.sources.connectors import connector_source
+
+    q = rewrite_query(query, history or [])
+    kws = " ".join(w for w, _ in Counter(q.split()).most_common(3))
+    # three web connectors, one actor-pool source each, unioned — the
+    # template's parallel downstream fan-out of KeywordExtract
+    webs = [connector_source("search", [kws], top_n=2, channel=ch)
+            for ch in ("baidu", "duckduckgo", "wikipedia")]
+    web_rows = _collect(webs[0].union(*webs[1:]))
+    kb = _attach_texts(sf_dir, _collect(_retrieve(sf_dir, q)))
+    sources = ([{"source": s, "content": (c or "")[:80]}
+                for s, c in zip(web_rows.column("source").to_pylist(),
+                                web_rows.column("content").to_pylist())]
+               + [{"source": "kb", "content": (t or "")[:80]}
+                  for t in kb.column("text").to_pylist()])
+    ev = " | ".join(r["content"] for r in sources)
+    ans = rd.from_items([{"input": q, "evidence": ev,
+                          "n_sources": len(sources)}])
+    return ans.map_batches(GenerateStage, batch_format="pyarrow",
+                           concurrency=1)
+
+
+def seo_blog(topic: str = "streaming joins in ray data",
+             url: str | None = None):
+    """templates/seo_blog.json: Switch routes on whether the user gave
+    a URL (Baidu:ShyTeamsJuggle fetch branch) or a bare topic
+    (Generate:FancyMomentsTalk branch); both chains research the topic
+    (second Baidu), then TWO parallel Generates produce title and body
+    (FortyBirdsAsk / CuddlyBatsCamp) merged by the Template node into
+    the final post. Output: one row with route, title, body, post."""
+    import ray.data as rd
+
+    from raydoc.ops.template import render_batch
+    from raydoc.sources.connectors import SearchConnector
+
+    web = SearchConnector()
+    if url:  # Switch branch A: seed research from the fetched page
+        route = "from_url"
+        seed = " | ".join(h["content"] for h in web.fetch(url, top_n=2))
+    else:  # branch B: a Generate expands the bare topic into a brief
+        route = "from_topic"
+        seed = f"brief: {topic} — angles, audience, keywords"
+    research = " | ".join(
+        h["content"] for h in web.fetch(topic, top_n=3)
+        if h["status"] == "ok"
+    )
+    ds = rd.from_items([{"route": route, "topic": topic, "seed": seed,
+                         "research": research}])
+    title_gen = GenerateStage(prompt="Title: {input}", input_col="topic",
+                              out_col="title")
+    body_gen = GenerateStage(
+        prompt="Body on {input}: {evidence}", input_col="topic",
+        evidence_col="research", out_col="body",
+    )
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        batch = title_gen(batch)
+        batch = body_gen(batch)
+        return render_batch(batch, "{title}\n\n{body}", out_col="post")
+
+    return ds.map_batches(_merge, batch_format="pyarrow", concurrency=1)
+
+
+def research_report(sf_dir: str,
+                    topic: str = "arrow batch shuffle strategies",
+                    n_sections: int = 3):
+    """templates/research_report.json: an outline Generate fans a topic
+    into sections; Iteration #1 (IterationItem -> Baidu) researches
+    each section; Iteration #2 (IterationItem -> Generate) writes each
+    section; a Template merges the ordered sections into the report.
+    The Iterations run as DATASET rows (explode -> per-row stages ->
+    grouped reassemble), not a driver loop. Output: one report row;
+    section rows carried in ``sections``."""
+    import ray.data as rd
+
+    from raydoc.ops.relational import grouped_concat
+    from raydoc.sources.connectors import SearchConnector
+
+    # outline Generate: deterministic expansion of the topic
+    words = topic.split()
+    sections = [{"sec": i,
+                 "heading": " ".join(words[i % len(words):]) or topic}
+                for i in range(n_sections)]
+    items = rd.from_items(sections)  # Iteration explode: one row/section
+
+    class _Research:  # IterationItem -> Baidu (per-section web search)
+        def __init__(self) -> None:
+            self.web = SearchConnector()  # client once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ev = [
+                " | ".join(h["content"] for h in self.web.fetch(hd, top_n=2)
+                           if h["status"] == "ok")
+                for hd in batch.column("heading").to_pylist()
+            ]
+            return batch.append_column("evidence", pa.array(ev, pa.string()))
+
+    researched = items.map_batches(_Research, batch_format="pyarrow",
+                                   concurrency=(1, 2))
+    written = researched.map_batches(  # Iteration #2: write each section
+        GenerateStage,
+        fn_constructor_kwargs={
+            "prompt": "## {input}\n{evidence}", "input_col": "heading",
+            "out_col": "section_text"},
+        batch_format="pyarrow", concurrency=(1, 2),
+    )
+    # Template merge: ordered grouped concat reassembles the report
+    written = written.map_batches(
+        lambda b: b.append_column(
+            "report_id", pa.array([0] * b.num_rows, pa.int64())),
+        batch_format="pyarrow",
+    )
+    report = grouped_concat(written, "report_id", "section_text",
+                            sep="\n\n", order_col="sec")
+    return report

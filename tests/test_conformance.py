@@ -155,3 +155,90 @@ class TestCitationInsertion:
         assert insert_citations("", chunks, vecs, lambda s: None) == ("", [])
         assert insert_citations("hi there.", [], [], lambda s: None) == (
             "hi there.", [])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRemainingDslGraphs:
+    def test_retrieval_categorize_and_generate_routes(self, sf_dir):
+        """dsl_examples/retrieval_categorize_and_generate.json: every
+        turn answered exactly once; kb questions go through retrieval,
+        smalltalk through the Message branch."""
+        from raydoc.pipelines.conformance import (
+            retrieval_categorize_and_generate)
+
+        df = (retrieval_categorize_and_generate(sf_dir)
+              .to_pandas().sort_values("qid"))
+        assert len(df) == 3 and sorted(df["qid"]) == [0, 1, 2]
+        routes = dict(zip(df["qid"], df["route"]))
+        assert routes[0] == "kb_question" and routes[2] == "kb_question"
+        assert routes[1] == "smalltalk"
+        assert (df["answer"].str.len() > 0).all()
+
+    def test_relevant_keyword_baidu_branches(self, sf_dir):
+        """dsl_examples/retrieval_relevant_keyword_baidu_and_generate
+        .json: relevant queries answer from kb (generate:0); irrelevant
+        ones detour keyword->web (generate:1)."""
+        from raydoc.pipelines.conformance import (
+            retrieval_relevant_keyword_baidu_and_generate)
+
+        df = (retrieval_relevant_keyword_baidu_and_generate(sf_dir)
+              .to_pandas().sort_values("qid"))
+        assert list(df["branch"]) == ["retrieval", "web"]
+        assert len(df) == 2 and (df["answer"].str.len() > 0).all()
+
+    def test_headhunter_two_level_cascade(self, sf_dir):
+        """dsl_examples/headhunter_zh.json: one answer per turn through
+        the two Categorize levels; each expected leaf is reached."""
+        from raydoc.pipelines.conformance import headhunter_zh
+
+        df = headhunter_zh(sf_dir).to_pandas().sort_values("tid")
+        assert len(df) == 5 and sorted(df["tid"]) == [0, 1, 2, 3, 4]
+        assert list(df["route"]) == [
+            "0/interested", "0/reject", "1/about_job", "1/get_wechat",
+            "1/no_wechat",
+        ]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTemplates:
+    def test_websearch_assistant_fans_in_four_sources(self, sf_dir):
+        """templates/websearch_assistant.json: 3 web connectors + kb
+        retrieval all feed the single Generate."""
+        from raydoc.pipelines.conformance import websearch_assistant
+
+        df = websearch_assistant(sf_dir).to_pandas()
+        assert len(df) == 1
+        # 3 connectors x 2 hits + 5 kb chunks
+        assert int(df["n_sources"].iloc[0]) == 11
+        assert df["answer"].iloc[0].count("|") >= 9
+
+    def test_seo_blog_switch_and_template_merge(self):
+        """templates/seo_blog.json: both Switch branches produce a
+        title+body merged post."""
+        from raydoc.pipelines.conformance import seo_blog
+
+        a = seo_blog("ray data joins").to_pandas()
+        b = seo_blog("ray data joins", url="https://x.example/post").to_pandas()
+        assert a["route"].iloc[0] == "from_topic"
+        assert b["route"].iloc[0] == "from_url"
+        for df in (a, b):
+            post = df["post"].iloc[0]
+            assert post.startswith("Title: ray data joins")
+            assert "Body on ray data joins:" in post
+
+    def test_research_report_iteration_reassembles_ordered(self):
+        """templates/research_report.json: Iteration explode ->
+        per-section research+write -> ordered Template merge."""
+        from raydoc.pipelines.conformance import research_report
+
+        df = research_report(None, topic="alpha beta gamma",
+                             n_sections=3).to_pandas()
+        assert len(df) == 1
+        report = df.filter(like="section_text").iloc[0, 0] \
+            if "section_text" not in df.columns else df["section_text"].iloc[0]
+        text = report if isinstance(report, str) else str(report)
+        # three ordered section headings, each with web evidence
+        i0 = text.find("## alpha beta gamma")
+        i1 = text.find("## beta gamma")
+        i2 = text.find("## gamma")
+        assert -1 < i0 < i1 < i2
