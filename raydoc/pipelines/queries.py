@@ -1067,6 +1067,52 @@ FROM events GROUP BY event_type
 """
 
 
+def events_multi_agg(sf_dir: str):
+    """min/max/std/mean/sum/count in ONE grouped_agg call over a
+    deliberately SKEWED key (values under 250 collapse into one hot
+    'low' group holding most rows) — exercises the shared-partial spec
+    (sum+count reused by mean and std) and min/max finalize under
+    skew."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def _skew(b: pa.Table) -> pa.Table:
+        key = pc.if_else(pc.less(b.column("value"), pa.scalar(250.0)),
+                         pa.scalar("low"), b.column("event_type"))
+        return b.append_column("skew_key", key)
+
+    agg = grouped_agg(
+        ds.map_batches(_skew, batch_format="pyarrow"),
+        keys=["skew_key"],
+        aggs={"n": ("count", "value"),
+              "sum_value": ("sum", "value"),
+              "min_value": ("min", "value"),
+              "max_value": ("max", "value"),
+              "mean_value": ("mean", "value"),
+              "std_value": ("std", "value")},
+    )
+
+    def _r(b: pa.Table) -> pa.Table:
+        for c in ("sum_value", "mean_value", "std_value"):
+            b = round_col(b, c, 6)
+        return b
+
+    return agg.map_batches(_r, batch_format="pyarrow")
+
+
+EVENTS_MULTI_AGG_SQL = """
+SELECT CASE WHEN value < 250.0 THEN 'low' ELSE event_type END AS skew_key,
+       count(value) AS n,
+       round(sum(value), 6) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round(sum(value) / count(value), 6) AS mean_value,
+       round(sqrt(sum(value * value) / count(value)
+                  - (sum(value) / count(value)) * (sum(value) / count(value))), 6)
+       AS std_value
+FROM events GROUP BY 1
+"""
+
+
 def events_value_quantiles(sf_dir: str):
     """Exact per-group p50/p90 (quantile_cont interpolation)."""
     from raydoc.ops.relational import grouped_quantile
@@ -1810,6 +1856,7 @@ QUERIES = {
     "events_extract_k": events_extract_k,
     "events_sample": events_sample,
     "events_value_std": events_value_std,
+    "events_multi_agg": events_multi_agg,
     "events_value_quantiles": events_value_quantiles,
     "asof_events_orders": asof_events_orders,
     "events_running_sum": events_running_sum,
@@ -1863,6 +1910,7 @@ ORACLES = {
     "events_extract_k": EVENTS_EXTRACT_SQL,
     "events_sample": EVENTS_SAMPLE_SQL,
     "events_value_std": EVENTS_STD_SQL,
+    "events_multi_agg": EVENTS_MULTI_AGG_SQL,
     "events_value_quantiles": EVENTS_QUANTILES_SQL,
     "asof_events_orders": ASOF_SQL,
     "events_running_sum": EVENTS_RUNNING_SUM_SQL,

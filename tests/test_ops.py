@@ -739,3 +739,59 @@ class TestThirdReviewRegressions:
         r = st._run_one("SELEC 1")
         # with zero retries the repaired string must never be reported
         assert r["sql"] == "SELEC 1" and r["status"].startswith("error")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAggHardening:
+    def test_grouped_agg_all_fns_on_skewed_key(self):
+        """min/max/std/mean/sum/count in one call over a hot key that
+        holds ~90% of rows plus many singleton keys — the shape that
+        breaks naive per-group finalizers."""
+        import math
+
+        import numpy as np
+        import ray.data as rd
+
+        from raydoc.ops.relational import grouped_agg
+
+        rng = np.random.RandomState(5)
+        vals = rng.uniform(0, 100, size=2000)
+        keys = ["hot"] * 1800 + [f"k{i}" for i in range(200)]
+        ds = rd.from_arrow(_t(k=keys, v=vals.tolist())).repartition(16)
+        out = grouped_agg(
+            ds, ["k"],
+            {"n": ("count", "v"), "s": ("sum", "v"), "mn": ("min", "v"),
+             "mx": ("max", "v"), "avg": ("mean", "v"), "sd": ("std", "v")},
+        ).to_pandas().set_index("k")
+        hot = vals[:1800]
+        assert out.loc["hot", "n"] == 1800
+        assert abs(out.loc["hot", "s"] - hot.sum()) < 1e-6
+        assert out.loc["hot", "mn"] == hot.min()
+        assert out.loc["hot", "mx"] == hot.max()
+        assert abs(out.loc["hot", "avg"] - hot.mean()) < 1e-9
+        assert abs(out.loc["hot", "sd"] - hot.std()) < 1e-9
+        # singleton groups: std 0, min == max == value
+        k0 = out.loc["k0"]
+        assert k0["n"] == 1 and k0["mn"] == k0["mx"] == k0["s"]
+        assert k0["sd"] == 0.0 and len(out) == 201
+
+    def test_grouped_concat_giant_group(self):
+        """One key owning 50k multi-char values (~0.5 MB concatenated):
+        the documented group-size limit — a single group must still
+        gather and order correctly on one worker."""
+        import ray.data as rd
+
+        from raydoc.ops.relational import grouped_concat
+
+        n = 50_000
+        ds = rd.from_arrow(_t(
+            k=["g"] * n,
+            v=[f"v{i:06d}" for i in range(n)],
+        )).repartition(16)
+        out = grouped_concat(ds, "k", "v", sep=",").to_pandas()
+        assert len(out) == 1
+        s = out["v_concat"].iloc[0]
+        parts = s.split(",")
+        assert len(parts) == n
+        assert parts == sorted(parts)  # ordered by order_col (=value)
+        assert parts[0] == "v000000" and parts[-1] == "v049999"
