@@ -37,18 +37,29 @@ class CategorizeStage:
         self.text_col = text_col
         self.out_col = out_col
 
-    def _one(self, text: str) -> str:
-        t = (text or "").lower()
-        best, best_n = None, 0
-        for name, kws in self.cats:
-            n = sum(t.count(k) for k in kws)
-            if n > best_n:
-                best, best_n = name, n
-        return best if best is not None else self.cats[-1][0]
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = [self._one(t) for t in batch.column(self.text_col).to_pylist()]
-        return batch.append_column(self.out_col, pa.array(out, pa.string()))
+        # vectorized keyword-count argmax: one pc.count_substring pass
+        # per keyword over the whole column (no per-row Python), then a
+        # numpy argmax with first-max tie-breaking; all-zero rows fall
+        # back to the LAST category (categorize.py:105-107)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        col = pc.utf8_lower(
+            pc.fill_null(batch.column(self.text_col), "")
+        ).combine_chunks()
+        counts = np.zeros((len(self.cats), batch.num_rows), dtype=np.int64)
+        for ci, (_name, kws) in enumerate(self.cats):
+            for k in kws:
+                counts[ci] += pc.count_substring(col, k).to_numpy(
+                    zero_copy_only=False
+                )
+        best = counts.argmax(axis=0)  # first max wins ties
+        best[counts.max(axis=0) == 0] = len(self.cats) - 1
+        names = np.asarray([n for n, _ in self.cats], dtype=object)
+        return batch.append_column(
+            self.out_col, pa.array(names[best].tolist(), pa.string())
+        )
 
 
 class RelevantStage:

@@ -18,7 +18,6 @@ engine provides the full vocabulary, scale-first:
 
 from __future__ import annotations
 
-from typing import Any
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -76,10 +75,12 @@ _AGG_FUNCS = {"sum", "count", "mean", "min", "max", "std"}
 class _Joiner:
     """Broadcast-join probe: index built once per worker PROCESS (cached
     in ``_BCAST_CACHE``), not per batch. Duplicate right keys multiply
-    matching left rows (SQL join semantics); the unique-key case probes
-    with a single vectorized ``pc.index_in`` — no per-row Python."""
+    matching left rows (SQL join semantics) via a sorted-run index
+    probed with ``pc.index_in`` + ``np.repeat`` — both the unique and
+    the duplicate case are fully vectorized, no per-row Python."""
 
     def __init__(self, ref, left_key: str, right_key: str, how: str) -> None:
+        import numpy as np
         import ray
 
         tbl: pa.Table = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
@@ -87,19 +88,29 @@ class _Joiner:
         self.left_key = left_key
         self.tbl = tbl.combine_chunks()
         key_arr = self.tbl.column(right_key).combine_chunks()
+        n = len(key_arr)
         n_unique = len(pc.unique(key_arr))
-        self.has_dups = n_unique != len(key_arr)
+        self.has_dups = n_unique != n
         if self.has_dups:
-            keys = key_arr.to_pylist()
-            self.index: dict[Any, Any] = {}
-            for i, k in enumerate(keys):
-                prev = self.index.get(k)
-                if prev is None:
-                    self.index[k] = i
-                elif isinstance(prev, list):
-                    prev.append(i)
-                else:
-                    self.index[k] = [prev, i]
+            # sorted-run index: right row ids ordered by key, plus the
+            # (start, count) of each distinct key's run — O(n log n)
+            # once per worker, vectorized probes forever after
+            sort_idx = pc.sort_indices(key_arr)
+            self.sorted_rows = sort_idx.to_numpy(zero_copy_only=False)
+            skeys = key_arr.take(sort_idx)
+            if isinstance(skeys, pa.ChunkedArray):
+                skeys = skeys.combine_chunks()
+            if n > 1:
+                bounds = np.flatnonzero(
+                    pc.not_equal(skeys.slice(1), skeys.slice(0, n - 1))
+                    .to_numpy(zero_copy_only=False)
+                )
+                starts = np.concatenate(([0], bounds + 1))
+            else:
+                starts = np.zeros(1, dtype=np.int64)
+            self.starts = starts
+            self.counts = np.diff(np.concatenate((starts, [n])))
+            self.key_arr = skeys.take(pa.array(starts, pa.int64()))
         else:
             self.key_arr = key_arr
         self.other_cols = [c for c in self.tbl.column_names if c != right_key]
@@ -108,23 +119,29 @@ class _Joiner:
         import numpy as np
 
         if self.has_dups:
-            lk = batch.column(self.left_key).to_pylist()
-            left_take: list[int] = []
-            right_take: list[int] = []
-            for i, k in enumerate(lk):
-                rows = self.index.get(k)
-                if rows is None:
-                    if self.how == "left":
-                        left_take.append(i)
-                        right_take.append(-1)
-                elif isinstance(rows, list):
-                    left_take.extend([i] * len(rows))
-                    right_take.extend(rows)
-                else:
-                    left_take.append(i)
-                    right_take.append(rows)
-            batch = batch.take(pa.array(left_take, pa.int64()))
-            idx = np.asarray(right_take, dtype=np.int64)
+            pos = pc.index_in(
+                batch.column(self.left_key).combine_chunks(),
+                value_set=self.key_arr,
+            )
+            posn = pos.fill_null(-1).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            valid = posn >= 0
+            # per left row: its run (start,count); unmatched rows keep
+            # one output row (left) or zero (inner), order preserved
+            counts = np.where(valid, self.counts[np.where(valid, posn, 0)],
+                              1 if self.how == "left" else 0)
+            starts = np.where(valid, self.starts[np.where(valid, posn, 0)], 0)
+            total = int(counts.sum())
+            row_out_start = np.cumsum(counts) - counts
+            delta = np.arange(total) - np.repeat(row_out_start, counts)
+            sorted_pos = np.repeat(starts, counts) + delta
+            idx = np.where(np.repeat(valid, counts),
+                           self.sorted_rows[sorted_pos], -1)
+            batch = batch.take(
+                pa.array(np.repeat(np.arange(batch.num_rows), counts),
+                         pa.int64())
+            )
         else:
             pos = pc.index_in(
                 batch.column(self.left_key).combine_chunks(),
