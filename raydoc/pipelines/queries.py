@@ -1698,13 +1698,36 @@ QUALIFY rank <= 5
 
 
 def embeddings_near_dup(sf_dir: str):
-    """Embedding-cosine near-dup pairs at 0.95 (no SQL oracle at scale;
-    pytest validates on planted duplicates)."""
+    """Embedding-cosine near-dup pairs at 0.95. The synthetic corpus
+    has NO natural near-dups (max off-diagonal cosine ~0.51), so the
+    query plants ten exact clones (vec_id + 100000) in-stream; the LSH
+    bucketing + in-bucket verify must recover exactly those ten pairs
+    — which makes the result deterministic and ORACLE-checkable."""
     from raydoc.ops.dedup import embedding_near_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = embedding_near_dup_pairs(ds, "vec_id", "embedding", threshold=0.95)
+
+    def _plant(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.less(b.column("vec_id"), pa.scalar(10)))
+        if not sel.num_rows:
+            return b
+        clone = sel.set_column(
+            sel.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(sel.column("vec_id"), pa.scalar(100000)),
+        )
+        return pa.concat_tables([b, clone])
+
+    pairs = embedding_near_dup_pairs(
+        ds.map_batches(_plant, batch_format="pyarrow"),
+        "vec_id", "embedding", threshold=0.95,
+    )
     return pairs.select_columns(["id_a", "id_b"])
+
+
+EMBEDDINGS_NEAR_DUP_SQL = """
+SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+FROM embeddings WHERE vec_id < 10
+"""
 
 
 def embeddings_knn_ivf(sf_dir: str):
@@ -1930,6 +1953,7 @@ ORACLES = {
     "hybrid_retrieval": HYBRID_SQL,
     "embeddings_knn": EMBEDDINGS_KNN_SQL,
     "embeddings_cosine_pairs": EMBEDDINGS_COSINE_PAIRS_SQL,
+    "embeddings_near_dup": EMBEDDINGS_NEAR_DUP_SQL,
     "code_sandbox_lengths": CODE_SANDBOX_LENGTHS_SQL,
     "udf_doc_head_upper": UDF_DOC_HEAD_UPPER_SQL,
     # intentionally no oracle (driver does rows-only checks):
