@@ -42,6 +42,11 @@ __all__ = [
     "websearch_assistant",
     "seo_blog",
     "research_report",
+    "db_assistant",
+    "hr_callout_zh",
+    "general_chat_bot",
+    "investment_advisor",
+    "medical_consultation",
 ]
 
 _TOP_N = 5
@@ -768,3 +773,219 @@ def research_report(sf_dir: str,
     report = grouped_concat(written, "report_id", "section_text",
                             sep="\n\n", order_col="sec")
     return report
+
+
+def db_assistant(sf_dir: str,
+                 question: str = "total order value per customer"):
+    """templates/DB Assistant.json: RewriteQuestion -> THREE parallel
+    Retrievals (schema docs / sample rows / sql examples) feeding one
+    Generate that writes SQL -> ExeSQL runs it against the warehouse.
+    Output: the executed result rows + the sql text (exesql.py's
+    contract)."""
+    import ray.data as rd
+
+    from raydoc.ops.sql_exec import SqlExecStage
+
+    q = rewrite_query(question, [])
+    # three kb slices retrieved in parallel — here three top-k passes
+    # over the documents corpus seeded with slice-specific tokens
+    slices = [f"{q} schema", f"{q} sample rows", f"{q} sql examples"]
+    ev = " | ".join(
+        _evidence(_attach_texts(sf_dir, _collect(_retrieve(sf_dir, s,
+                                                           query_id=i))))
+        for i, s in enumerate(slices)
+    )[:200]
+    # Generate -> SQL (deterministic double keyed on the question)
+    sql = ("SELECT c_custkey, sum(o_totalprice) AS total "
+           "FROM orders GROUP BY c_custkey ORDER BY c_custkey LIMIT 5")
+    ds = rd.from_items([{
+        "question": q, "evidence": ev,
+        "sql_text": f"Here you go:\n```sql\n{sql};\n```\ndone",
+    }])
+    tables = {"orders": f"{sf_dir}/orders.parquet"}
+
+    def _orders_alias(s: str) -> str:
+        return s.replace("c_custkey", "o_custkey")
+
+    return ds.map_batches(
+        SqlExecStage,
+        fn_constructor_kwargs={"tables": tables,
+                               "repair_fn": lambda s, e: _orders_alias(s)},
+        batch_format="pyarrow", concurrency=(1, 2),
+    )
+
+
+def hr_callout_zh(sf_dir: str, turns: list[dict] | None = None):
+    """templates/HR_callout_zh.json: the production twin of
+    headhunter_zh — categorize:0 routes first-contact turns to
+    {reject message, jd Retrieval -> Generate, pitch Generate, canned
+    Message}; categorize:1 routes follow-ups to {benefits Retrieval ->
+    Generate, salary / schedule / handoff Generates}; every leaf fans
+    into the Answer. One answer row per turn."""
+    if turns is None:
+        turns = [
+            {"stage": 0, "text": "what is the job about, which table "
+                                 "and query work is involved?"},
+            {"stage": 0, "text": "stop calling, not interested"},
+            {"stage": 1, "text": "what benefits package and salary "
+                                 "range does it pay?"},
+            {"stage": 1, "text": "can we schedule an interview time?"},
+        ]
+    import ray.data as rd
+
+    from raydoc.ops.classify import CategorizeStage
+
+    turns = [{"tid": i, **t} for i, t in enumerate(turns)]
+    lvl = {
+        0: {"about_job": ["job", "work", "query", "table"],
+            "reject": ["stop", "not interested"],
+            "pitch": ["hello", "who"]},
+        1: {"benefits": ["benefits", "salary", "pay"],
+            "schedule": ["schedule", "interview", "time"],
+            "handoff": ["human", "manager"]},
+    }
+    canned = {"reject": "understood — removing you from the list",
+              "pitch": "we have a data-platform opening you may like",
+              "schedule": "booking a slot, expect an invite",
+              "handoff": "connecting you to the hiring manager"}
+    rows = []
+    for stage in (0, 1):
+        sub = [t for t in turns if t["stage"] == stage]
+        if not sub:
+            continue
+        routed = _collect(rd.from_items(sub).map_batches(
+            CategorizeStage, fn_constructor_kwargs={"categories": lvl[stage]},
+            batch_format="pyarrow", concurrency=(1, 2)))
+        for tid, text, cat in zip(routed.column("tid").to_pylist(),
+                                  routed.column("text").to_pylist(),
+                                  routed.column("category").to_pylist()):
+            if cat in ("about_job", "benefits"):  # the Retrieval leaves
+                top = _attach_texts(
+                    sf_dir, _collect(_retrieve(sf_dir, text, query_id=tid)))
+                ev = _evidence(top)
+            else:
+                ev = canned.get(cat, "hello!")
+            rows.append({"tid": tid, "text": text,
+                         "route": f"{stage}/{cat}", "input": text,
+                         "evidence": ev})
+    return rd.from_items(rows).map_batches(GenerateStage,
+                                           batch_format="pyarrow",
+                                           concurrency=(1, 2))
+
+
+def general_chat_bot(sf_dir: str, queries: list[str] | None = None):
+    """templates/general_chat_bot.json: the big router — Rewrite ->
+    Categorize fans each turn to one of five branches: weather
+    (QWeather two-step lookup-join connector), finance (Concentrator ->
+    WenCai flatten + KeywordExtract -> AkShare finance connector),
+    websearch (KeywordExtract -> Baidu/DuckDuckGo/Wikipedia), medical
+    (Concentrator -> Retrieval + PubMed XML connector), smalltalk
+    (direct Generate); all Generates fan into the Answer. One answer
+    row per turn tagged with its branch."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from raydoc.ops.classify import CategorizeStage
+    from raydoc.sources.connectors import (FlattenConnector,
+                                           FinanceConnector,
+                                           LookupJoinConnector,
+                                           SearchConnector, XmlConnector)
+
+    if queries is None:
+        queries = [
+            "what is the weather forecast in shanghai",
+            "which stock price and market index should i buy",
+            "search the web for arrow shuffle articles",
+            "medical question: what treats a persistent cough",
+            "hi there, how are you doing",
+        ]
+    cats = {"weather": ["weather", "forecast", "rain"],
+            "finance": ["stock", "market", "price", "fund"],
+            "websearch": ["search", "web", "find", "articles"],
+            "medical": ["medical", "treats", "symptom", "cough"],
+            "smalltalk": ["hi", "hello", "how are"]}
+    ds = rd.from_items([{"qid": i, "text": rewrite_query(t, [])}
+                        for i, t in enumerate(queries)])
+    routed = _collect(ds.map_batches(
+        CategorizeStage, fn_constructor_kwargs={"categories": cats},
+        batch_format="pyarrow", concurrency=(1, 2)))
+    weather, wencai, finance = (LookupJoinConnector(), FlattenConnector(),
+                                FinanceConnector())
+    web, pubmed = SearchConnector(), XmlConnector()
+    rows = []
+    for qid, text, cat in zip(routed.column("qid").to_pylist(),
+                              routed.column("text").to_pylist(),
+                              routed.column("category").to_pylist()):
+        kws = " ".join(w for w, _ in
+                       Counter(text.split()).most_common(3))
+        if cat == "weather":
+            hits = weather.fetch(text, top_n=2)
+        elif cat == "finance":  # Concentrator: WenCai + AkShare fan-in
+            hits = wencai.fetch(text, top_n=2) + finance.fetch(kws, top_n=2)
+        elif cat == "websearch":
+            hits = sum((SearchConnector(channel=ch).fetch(kws, top_n=1)
+                        for ch in ("baidu", "duckduckgo", "wikipedia")), [])
+        elif cat == "medical":  # Concentrator: kb Retrieval + PubMed
+            top = _attach_texts(sf_dir,
+                                _collect(_retrieve(sf_dir, text,
+                                                   query_id=qid)))
+            hits = pubmed.fetch(kws, top_n=2) + [
+                {"content": (t or "")[:60], "status": "ok"}
+                for t in top.column("text").to_pylist()[:2]]
+        else:
+            hits = [{"content": "doing great — how can i help?",
+                     "status": "ok"}]
+        ev = " | ".join((h["content"] or "")[:60] for h in hits
+                        if h["status"] == "ok")
+        rows.append({"qid": qid, "branch": cat, "input": text,
+                     "evidence": ev, "n_evidence": len(hits)})
+    return rd.from_items(rows).map_batches(GenerateStage,
+                                           batch_format="pyarrow",
+                                           concurrency=(1, 2))
+
+
+def investment_advisor(query: str = "growth stock screen for "
+                                    "semiconductor market"):
+    """templates/investment_advisor.json: the Answer fans the question
+    to WenCai (flatten connector) AND KeywordExtract -> AkShare
+    (finance connector) in parallel; one Generate merges both."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from raydoc.ops.classify import CategorizeStage  # noqa: F401 (doc)
+    from raydoc.sources.connectors import FinanceConnector, FlattenConnector
+
+    kws = " ".join(w for w, _ in Counter(query.lower().split()).most_common(3))
+    wc = FlattenConnector().fetch(query, top_n=5)
+    ak = FinanceConnector().fetch(kws, top_n=3)
+    ev = " | ".join((h["content"] or "")[:60]
+                    for h in wc + ak if h["status"] == "ok")
+    ds = rd.from_items([{"input": query, "evidence": ev,
+                         "n_wencai": len(wc), "n_akshare": len(ak)}])
+    return ds.map_batches(GenerateStage, batch_format="pyarrow",
+                          concurrency=1)
+
+
+def medical_consultation(sf_dir: str,
+                         question: str = "what treats a persistent "
+                                         "cough and mild fever"):
+    """templates/medical_consultation.json: the Answer fans the
+    question to TWO parallel Generate-fronted branches — one rewrites
+    it for kb Retrieval, one translates it for PubMed (XML connector);
+    a final Generate merges both evidence streams."""
+    import ray.data as rd
+
+    from raydoc.sources.connectors import XmlConnector
+
+    kb_q = rewrite_query(question, ["medical knowledge base"])
+    top = _attach_texts(sf_dir, _collect(_retrieve(sf_dir, kb_q)))
+    kb_ev = _evidence(top)
+    pub = XmlConnector().fetch(question, top_n=3)
+    pub_ev = " | ".join(h["title"] for h in pub if h["status"] == "ok")
+    ds = rd.from_items([{"input": question,
+                         "evidence": f"kb: {kb_ev[:120]} || pubmed: {pub_ev}",
+                         "n_kb": top.num_rows, "n_pubmed": len(pub)}])
+    return ds.map_batches(GenerateStage, batch_format="pyarrow",
+                          concurrency=1)

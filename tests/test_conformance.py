@@ -242,3 +242,59 @@ class TestTemplates:
         i1 = text.find("## beta gamma")
         i2 = text.find("## gamma")
         assert -1 < i0 < i1 < i2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRemainingTemplates:
+    def test_db_assistant_retrieve_generate_exesql_repair(self, sf_dir):
+        """templates/DB Assistant.json: 3-way retrieval -> SQL Generate
+        -> ExeSQL, whose retry loop repairs the bad column name."""
+        from raydoc.pipelines.conformance import db_assistant
+
+        df = db_assistant(sf_dir).to_pandas()
+        assert len(df) == 1
+        assert df["status"].iloc[0] == "ok"
+        assert df["n_rows"].iloc[0] == 5
+        assert "o_custkey" in df["sql"].iloc[0]  # the repaired form ran
+
+    def test_hr_callout_routes_every_turn(self, sf_dir):
+        """templates/HR_callout_zh.json: one answer per turn through
+        the two-level categorize; retrieval leaves get kb evidence."""
+        from raydoc.pipelines.conformance import hr_callout_zh
+
+        df = hr_callout_zh(sf_dir).to_pandas().sort_values("tid")
+        assert len(df) == 4
+        assert list(df["route"]) == ["0/about_job", "0/reject",
+                                     "1/benefits", "1/schedule"]
+        assert (df["answer"].str.len() > 0).all()
+
+    def test_general_chat_bot_five_branches(self, sf_dir):
+        """templates/general_chat_bot.json: the 5-way router reaches
+        weather/finance/websearch/medical/smalltalk, with the
+        QWeather/WenCai/AkShare/PubMed connector shapes wired in."""
+        from raydoc.pipelines.conformance import general_chat_bot
+
+        df = general_chat_bot(sf_dir).to_pandas().sort_values("qid")
+        assert list(df["branch"]) == ["weather", "finance", "websearch",
+                                      "medical", "smalltalk"]
+        assert (df["n_evidence"] >= 1).all()
+        # finance = WenCai flatten + AkShare fan-in; medical = pubmed+kb
+        assert df.loc[df["branch"] == "finance", "n_evidence"].iloc[0] >= 4
+        assert df.loc[df["branch"] == "medical", "n_evidence"].iloc[0] >= 3
+
+    def test_investment_advisor_parallel_sources(self):
+        from raydoc.pipelines.conformance import investment_advisor
+
+        df = investment_advisor().to_pandas()
+        assert len(df) == 1
+        assert df["n_wencai"].iloc[0] >= 3 and df["n_akshare"].iloc[0] == 3
+        assert "|" in df["answer"].iloc[0]
+
+    def test_medical_consultation_merges_kb_and_pubmed(self, sf_dir):
+        from raydoc.pipelines.conformance import medical_consultation
+
+        df = medical_consultation(sf_dir).to_pandas()
+        assert len(df) == 1
+        assert df["n_kb"].iloc[0] >= 1 and df["n_pubmed"].iloc[0] >= 1
+        ans = df["answer"].iloc[0]
+        assert "kb: " in ans and "pubmed: " in ans
