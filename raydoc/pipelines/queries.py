@@ -1678,7 +1678,9 @@ def embeddings_knn(sf_dir: str):
     qt = qt.filter(pc.less(qt.column("vec_id"), 5))
     idx = pc.sort_indices(qt.column("vec_id"))
     qt = qt.take(idx)
-    queries = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    from raydoc.util import embedding_matrix
+
+    queries = embedding_matrix(qt.column("embedding"))
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = knn_brute_force(ds, queries, k=5, exclude_ids=[0, 1, 2, 3, 4])
@@ -1737,10 +1739,11 @@ def embeddings_knn_ivf(sf_dir: str):
     from raydoc.ops.similarity import knn_ivf
 
     emb = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
-    sample = np.asarray(emb.column("embedding").to_pylist()[::5],
-                        dtype=np.float64)
-    queries = np.asarray(emb.column("embedding").to_pylist()[:3],
-                         dtype=np.float64)
+    from raydoc.util import embedding_matrix
+
+    mat = embedding_matrix(emb.column("embedding"))
+    sample = mat[::5]
+    queries = mat[:3]
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = knn_ivf(ds, queries, k=5, n_cells=16, n_probe=4,
                   train_sample=sample)

@@ -795,3 +795,61 @@ class TestAggHardening:
         assert len(parts) == n
         assert parts == sorted(parts)  # ordered by order_col (=value)
         assert parts[0] == "v000000" and parts[-1] == "v049999"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemiJoinDs:
+    def test_broadcast_and_shuffle_paths_agree(self):
+        import ray.data as rd
+
+        from raydoc.ops.relational import semi_join
+
+        left = rd.from_arrow(_t(k=list(range(20)), x=list("abcdefghij" * 2)))
+        right = rd.from_arrow(_t(k=[3, 5, 5, 7, 40]))
+        bc = semi_join(left, right, "k", "k").to_pandas()
+        sh = semi_join(left, right, "k", "k", broadcast_cap=0).to_pandas()
+        assert sorted(bc["k"]) == sorted(sh["k"]) == [3, 5, 7]
+        anti_bc = semi_join(left, right, "k", "k", anti=True).to_pandas()
+        anti_sh = semi_join(left, right, "k", "k", anti=True,
+                            broadcast_cap=0).to_pandas()
+        assert sorted(anti_bc["k"]) == sorted(anti_sh["k"])
+        assert len(anti_bc) == 17
+
+    def test_empty_right_side(self):
+        import ray.data as rd
+
+        from raydoc.ops.relational import semi_join
+
+        left = rd.from_arrow(_t(k=[1, 2], x=["a", "b"]))
+        right = rd.from_arrow(_t(k=pa.array([], pa.int64())))
+        assert semi_join(left, right, "k", "k").count() == 0
+        assert semi_join(left, right, "k", "k", anti=True).count() == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurationCheckpoint:
+    def test_checkpoint_dir_parquet_roundtrip(self, tmp_path):
+        import ray.data as rd
+
+        from raydoc.pipelines.training_data import curate_documents
+
+        good = ("the quick brown fox jumps over the lazy dog and it runs "
+                "far into the woods tonight with many more plain words") * 2
+        rows = {"doc_id": [0, 1, 2],
+                "text": [good, good, good.replace("lazy", "sleepy")]}
+        ds = rd.from_arrow(pa.table(rows))
+        ck = str(tmp_path / "dedup_ck")
+        kept, stats = curate_documents(ds, min_tokens=6,
+                                       near_dup_threshold=0.5,
+                                       checkpoint_dir=ck)
+        assert sorted(kept.to_pandas()["doc_id"]) == [0]
+        assert stats == {"n_input": 3, "n_after_gates": 3,
+                         "n_after_exact_dedup": 2,
+                         "n_near_dup_removed": 1, "n_kept": 1}
+        # the checkpoint is real parquet holding the deduped corpus
+        import pyarrow.parquet as pq
+        import glob
+        files = glob.glob(f"{ck}/*.parquet")
+        assert files
+        total = sum(pq.read_table(f).num_rows for f in files)
+        assert total == 2
