@@ -1406,6 +1406,87 @@ SELECT doc_id, upper(substr(text, 1, 16)) AS head FROM documents
 """
 
 
+def docs_repetition(sf_dir: str):
+    """Gopher-style word-repetition quality signals per document."""
+    from raydoc.ops.text import repetition_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(lambda b: repetition_batch(b, "text"),
+                        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "dup_word_frac", "top_word_frac"])
+
+
+DOCS_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2
+), st AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS topc
+  FROM wc GROUP BY 1
+)
+SELECT doc_id, 1.0 - nd * 1.0 / n AS dup_word_frac,
+       topc * 1.0 / n AS top_word_frac
+FROM st
+"""
+
+
+def docs_pii_redact(sf_dir: str):
+    """PII scrub: the synthetic corpus has no PII, so every fifth doc
+    gets a deterministic planted email+phone in-stream (mirrored in
+    the oracle SQL) and the redaction must remove exactly those."""
+    from raydoc.ops.text import pii_redact_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        planted = pc.binary_join_element_wise(
+            b.column("text").cast(pa.string()),
+            pc.cast(ids, pa.string()),
+            " contact user",
+        )
+        planted = pc.binary_join_element_wise(
+            planted, pa.nulls(b.num_rows, pa.string()).fill_null(
+                "@example.com or call +12 345 678 9012"), "")
+        # pyarrow.compute has no modulo kernel: x % 5 == x - (x//5)*5
+        use = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, pa.scalar(5)),
+                                         pa.scalar(5))),
+            pa.scalar(0),
+        )
+        text = pc.if_else(use, planted, b.column("text").cast(pa.string()))
+        return b.set_column(b.schema.get_field_index("text"), "text", text)
+
+    ds = ds.map_batches(_plant, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: pii_redact_batch(b, "text"),
+                        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "text_redacted", "n_pii"])
+
+
+DOCS_PII_REDACT_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.com or call +12 345 678 9012'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+\d{1,3}[ -]\d{3}[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g')
+       AS text_redacted,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+       + len(regexp_extract_all(text,
+           '\+\d{1,3}[ -]\d{3}[ -]\d{3}[ -]\d{4}')) AS n_pii
+FROM planted
+"""
+
+
 def docs_langid(sf_dir: str):
     """Language-ID heuristic (no SQL oracle — marker-argmax isn't
     reasonably SQL-expressible; validated in pytest against the lang
@@ -1893,6 +1974,8 @@ QUERIES = {
     "docs_token_count_bpe": docs_token_count_bpe,
     "docs_quality": docs_quality,
     "docs_fingerprint": docs_fingerprint,
+    "docs_repetition": docs_repetition,
+    "docs_pii_redact": docs_pii_redact,
     "docs_langid": docs_langid,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_minhash_pairs": docs_minhash_pairs,
@@ -1947,6 +2030,8 @@ ORACLES = {
     "docs_token_count_bpe": DOCS_TOKEN_COUNT_BPE_SQL,
     "docs_quality": DOCS_QUALITY_SQL,
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
+    "docs_repetition": DOCS_REPETITION_SQL,
+    "docs_pii_redact": DOCS_PII_REDACT_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "keyword_topn_global": KEYWORD_TOPN_SQL,
     "keyword_per_doc": KEYWORD_PER_DOC_SQL,

@@ -250,6 +250,8 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
     "quality": (lambda p: None, _map_b("quality_batch")),
     "langid": (lambda p: None, _map_b("langid_batch")),
     "fingerprint": (lambda p: None, _map_b("fingerprint_batch")),
+    "repetition": (lambda p: None, _map_b("repetition_batch")),
+    "pii_redact": (lambda p: None, _map_b("pii_redact_batch")),
     "tumbling_window": (lambda p: _require(p, "ts_col"), _b_window),
     "grouped_agg": (lambda p: _require(p, "keys", "aggs"), _b_grouped_agg),
     "top_k": (lambda p: _require(p, "key", "k"), _b_top_k),

@@ -853,3 +853,30 @@ class TestCurationCheckpoint:
         assert files
         total = sum(pq.read_table(f).num_rows for f in files)
         assert total == 2
+
+
+class TestRepetitionAndPii:
+    def test_repetition_signals(self):
+        from raydoc.ops.text import repetition_batch
+
+        b = _t(text=["a a a a", "w x y z", "", "b b c"])
+        out = repetition_batch(b)
+        assert out.column("dup_word_frac").to_pylist() == [0.75, 0.0, 0.0,
+                                                           1 - 2 / 3]
+        assert out.column("top_word_frac").to_pylist() == [1.0, 0.25, 0.0,
+                                                           2 / 3]
+
+    def test_pii_redaction_and_count(self):
+        from raydoc.ops.text import pii_redact_batch
+
+        b = _t(text=[
+            "mail me at jo.doe+x@sub.example.org today",
+            "call +1 222 333 4444 or +442 111 222 3333",
+            "nothing sensitive here",
+        ])
+        out = pii_redact_batch(b)
+        red = out.column("text_redacted").to_pylist()
+        assert red[0] == "mail me at <EMAIL> today"
+        assert red[1] == "call <PHONE> or <PHONE>"
+        assert red[2] == "nothing sensitive here"
+        assert out.column("n_pii").to_pylist() == [1, 2, 0]
