@@ -17,6 +17,7 @@ __all__ = [
     "sessionize",
     "asof_join",
     "running_agg",
+    "pack_sequences",
     "lag_delta",
     "group_rank",
     "rolling_agg",
@@ -305,3 +306,32 @@ def asof_join(
 
     merged = lt.union(rt)
     return merged.groupby("_k").map_groups(_merge, batch_format="pyarrow")
+
+
+def pack_sequences(ds, token_col: str, budget: int, order_cols: list[str],
+                   key_col: str, out_col: str = "pack_id"):
+    """Token-budget sequence packing for LLM training: rows sorted by
+    ``order_cols`` within each ``key_col`` partition (e.g. language)
+    fill contiguous packs, ``pack_id = (running_sum - tokens) //
+    budget`` — the offset-based strategy, so a pack holds at most
+    ``budget + max_doc_tokens - 1`` tokens and assignment is a pure
+    function of the ordered prefix sums (deterministic at any physical
+    partitioning, and exactly the SQL window ``sum() OVER (PARTITION BY
+    key ORDER BY ...)`` arithmetic). True greedy reset-on-overflow
+    packing is NOT order-free and needs a sequential scan per key —
+    this is the distributable form web-scale packing jobs use.
+
+    Same partitioning contract as ``running_agg``: one key's rows fit a
+    worker; range-partition the order column for pathological keys.
+    """
+    import numpy as np
+
+    def _pack(group: pa.Table) -> pa.Table:
+        g = _group_sorted(group, order_cols)
+        toks = g.column(token_col).to_numpy(zero_copy_only=False)
+        start = np.cumsum(toks) - toks
+        return g.append_column(
+            out_col, pa.array(start // budget, pa.int64())
+        )
+
+    return ds.groupby(key_col).map_groups(_pack, batch_format="pyarrow")

@@ -1487,6 +1487,36 @@ FROM planted
 """
 
 
+def docs_pack_sequences(sf_dir: str):
+    """LLM-training sequence packing: per-language, docs in doc_id
+    order fill 2048-token packs (offset-based assignment — see
+    ops.window.pack_sequences)."""
+    from raydoc.ops.text import token_count_batch
+    from raydoc.ops.window import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    ds = ds.map_batches(lambda b: token_count_batch(b, "text"),
+                        batch_format="pyarrow")
+    out = pack_sequences(ds, "n_tokens", 2048, ["doc_id"], key_col="lang")
+    return out.select_columns(["doc_id", "lang", "n_tokens", "pack_id"])
+
+
+DOCS_PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+         END AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens)
+            // 2048 AS BIGINT) AS pack_id
+FROM t
+"""
+
+
 def docs_langid(sf_dir: str):
     """Language-ID heuristic (no SQL oracle — marker-argmax isn't
     reasonably SQL-expressible; validated in pytest against the lang
@@ -1975,6 +2005,7 @@ QUERIES = {
     "docs_quality": docs_quality,
     "docs_fingerprint": docs_fingerprint,
     "docs_repetition": docs_repetition,
+    "docs_pack_sequences": docs_pack_sequences,
     "docs_pii_redact": docs_pii_redact,
     "docs_langid": docs_langid,
     "docs_exact_dedup": docs_exact_dedup,
@@ -2031,6 +2062,7 @@ ORACLES = {
     "docs_quality": DOCS_QUALITY_SQL,
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
     "docs_repetition": DOCS_REPETITION_SQL,
+    "docs_pack_sequences": DOCS_PACK_SEQUENCES_SQL,
     "docs_pii_redact": DOCS_PII_REDACT_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "keyword_topn_global": KEYWORD_TOPN_SQL,

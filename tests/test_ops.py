@@ -880,3 +880,21 @@ class TestRepetitionAndPii:
         assert red[1] == "call <PHONE> or <PHONE>"
         assert red[2] == "nothing sensitive here"
         assert out.column("n_pii").to_pylist() == [1, 2, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPackSequences:
+    def test_offset_based_packing(self):
+        import ray.data as rd
+
+        from raydoc.ops.window import pack_sequences
+
+        rows = [{"k": "en", "i": i, "tok": t}
+                for i, t in enumerate([900, 900, 900, 2100, 100])] + [
+                {"k": "de", "i": 0, "tok": 3000}]
+        out = pack_sequences(rd.from_items(rows), "tok", 2048, ["i"],
+                             key_col="k").to_pandas()
+        en = out[out["k"] == "en"].sort_values("i")
+        # starts: 0, 900, 1800, 2700, 4800 -> packs 0,0,0,1,2
+        assert list(en["pack_id"]) == [0, 0, 0, 1, 2]
+        assert list(out[out["k"] == "de"]["pack_id"]) == [0]
