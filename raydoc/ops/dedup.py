@@ -449,22 +449,26 @@ def minhash_lsh_pairs(
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Append a 64-bit SimHash of whitespace tokens (count-weighted)."""
+    """Append a 64-bit SimHash of whitespace tokens (count-weighted).
+    Vectorized: distinct-token hashes (per-process cache) unpack to a
+    (T, 64) bit matrix and one weighted column-sum replaces the
+    per-token Python loop — values identical to the scalar form."""
+    shifts = np.arange(64, dtype=np.uint64)
     out = []
     for t in batch.column(text_col).to_pylist():
         toks = (t or "").lower().split()
         if not toks:
             out.append(0)
             continue
-        acc = np.zeros(64, dtype=np.int64)
-        from collections import Counter
-
-        for tok, cnt in Counter(toks).items():
-            h = stable_u64(tok)
-            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), cnt, -cnt)
+        uniq, cnt = np.unique(np.asarray(toks, dtype=object),
+                              return_counts=True)
+        th = _token_hashes(list(uniq))
+        bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        acc = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
         bitsv = (acc > 0).astype(np.uint64)
-        out.append(int((bitsv << np.arange(64, dtype=np.uint64)).sum()))
+        out.append(int((bitsv << shifts).sum()))
     return batch.append_column("simhash", pa.array(out, pa.uint64()))
 
 
