@@ -144,19 +144,48 @@ def quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     )
 
 
+_LANG_MARKER_ARRS: dict[str, pa.Array] | None = None
+
+
 def langid_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Append ``lang_pred``: marker-token argmax heuristic; "und" when
-    nothing matches. Ties break by language-code sort order."""
-    preds = []
-    for t in _texts(batch, col):
-        toks = (t or "").lower().split()
-        best, best_n = "und", 0
-        for lang in sorted(_LANG_MARKERS):
-            n = sum(1 for w in toks if w in _LANG_MARKERS[lang])
-            if n > best_n:
-                best, best_n = lang, n
-        preds.append(best)
-    return batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+    nothing matches. Ties break by language-code sort order.
+    Vectorized: one tokenize pass, one ``pc.is_in`` membership probe
+    per language over the flat token stream, segment sums per doc,
+    numpy argmax (first max == the scalar loop's strict-> winner)."""
+    import numpy as np
+
+    global _LANG_MARKER_ARRS
+    if _LANG_MARKER_ARRS is None:
+        _LANG_MARKER_ARRS = {
+            lang: pa.array(sorted(m), pa.string())
+            for lang, m in _LANG_MARKERS.items()
+        }
+    s = pc.fill_null(pc.cast(batch.column(col), pa.string()), "")
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(s)), r"\s+"
+    )
+    raw_n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    flat = pc.list_flatten(toks)
+    offsets = np.concatenate(([0], np.cumsum(raw_n)[:-1]))
+    seg_nz = raw_n > 0
+    langs = sorted(_LANG_MARKERS)
+    counts = np.zeros((len(langs), len(raw_n)), dtype=np.int64)
+    if len(flat):
+        for li, lang in enumerate(langs):
+            hit = pc.is_in(flat, value_set=_LANG_MARKER_ARRS[lang]) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            counts[li][seg_nz] = np.add.reduceat(hit, offsets[seg_nz])
+    best = counts.argmax(axis=0)
+    names = np.asarray(langs, dtype=object)
+    preds = names[best]
+    preds[counts.max(axis=0) == 0] = "und"
+    return batch.append_column("lang_pred",
+                               pa.array(preds.tolist(), type=pa.string()))
 
 
 def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
