@@ -90,6 +90,23 @@ _TOKEN_HASH_CACHE_MAX = 1 << 20
 # "a b" and "b a" hash differently); uint64 wraparound is the modulus
 _GRAM_W = np.random.RandomState(17).randint(
     1, 1 << 62, size=64, dtype=np.uint64) | np.uint64(1)
+# per-band salts: band keys are UINT64 (8 B in the LSH shuffle vs ~37 B
+# for the old "<band>:<md5hex>" strings — the bucket exchange is the
+# dedup family's one all-to-all, so its row width is the scale knob);
+# the salt keeps band i and band j buckets from colliding
+_BAND_SALT = np.random.RandomState(29).randint(
+    0, 1 << 62, size=256, dtype=np.uint64)
+
+
+def _band_keys(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """One uint64 bucket key per band: position-weighted polynomial of
+    the band's signature slice (wraparound arithmetic) + a per-band
+    salt. A cross-band collision only creates a candidate pair that the
+    signature-estimate stage then rejects — correctness never depends
+    on key uniqueness."""
+    chunks = sig.reshape(bands, rows_per_band)
+    return (chunks * _GRAM_W[None, :rows_per_band]).sum(axis=1) \
+        + _BAND_SALT[:bands]
 
 
 def _token_hashes(toks: list[str]) -> np.ndarray:
@@ -227,14 +244,13 @@ def _minhash_pairs_carry(ds, text_col, id_col, a, b, bands, rows_per_band,
                 continue  # empty doc: no signature, no bucket
             sig = _doc_minhash(t or "", a, b, shingle_k)
             sl = sig.tolist()
-            for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                ids_out.append(i)
-                band_keys.append(f"{bi}:{md5_hex(chunk.tobytes().hex())}")
-                sigs_out.append(sl)
+            keys = _band_keys(sig, bands, rows_per_band)
+            ids_out.extend([i] * bands)
+            band_keys.extend(keys.tolist())
+            sigs_out.extend([sl] * bands)
         return pa.Table.from_pydict(
             {id_col: pa.array(ids_out, pa.int64()),
-             "band_key": pa.array(band_keys, pa.string()),
+             "band_key": pa.array(band_keys, pa.uint64()),
              "sig": pa.array(sigs_out, pa.list_(pa.uint64()))}
         )
 
@@ -331,14 +347,12 @@ def minhash_lsh_pairs(
             if not (t or "").strip():
                 continue  # empty doc: no signature, no bucket
             sig = _doc_minhash(t or "", a, b, shingle_k)
-            for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                ids_out.append(i)
-                band_keys.append(f"{bi}:{md5_hex(chunk.tobytes().hex())}")
+            ids_out.extend([i] * bands)
+            band_keys.extend(_band_keys(sig, bands, rows_per_band).tolist())
         return pa.Table.from_pydict(
             {
                 id_col: pa.array(ids_out, pa.int64()),
-                "band_key": pa.array(band_keys, pa.string()),
+                "band_key": pa.array(band_keys, pa.uint64()),
             }
         )
 
