@@ -16,8 +16,8 @@ so the all-to-all exchange moves fixed-size signatures or bare
 (id, bucket) rows, never document text. MinHash picks between two
 physically different plans by input size (see minhash_lsh_pairs): a
 single-pass sig-carrying plan for small inputs and a slim
-candidate-verify plan whose bucket shuffle is ~bands x 24 B per doc at
-web scale.
+candidate-verify plan whose bucket shuffle is bands x 16 B per doc
+(int64 id + uint64 band key) at web scale.
 """
 
 from __future__ import annotations

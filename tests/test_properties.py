@@ -159,3 +159,65 @@ class TestPredicateProperties:
         # non-numeric strings take the string-compare fallback
         assert OPERATORS["="](col, v).to_pylist() == [x == v for x in xs]
         assert OPERATORS["≠"](col, v).to_pylist() == [x != v for x in xs]
+
+
+class TestTextOpProperties:
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.text(max_size=120), min_size=1, max_size=12))
+    def test_pii_redaction_idempotent_and_counted(self, texts):
+        import pyarrow as pa
+
+        from raydoc.ops.text import pii_redact_batch
+
+        b = pa.table({"text": pa.array(texts, pa.string())})
+        once = pii_redact_batch(b)
+        twice = pii_redact_batch(
+            pa.table({"text": once.column("text_redacted")}))
+        # redaction is idempotent: a scrubbed text has nothing to scrub
+        assert (twice.column("text_redacted").to_pylist()
+                == once.column("text_redacted").to_pylist())
+        assert twice.column("n_pii").to_pylist() == [0] * len(texts)
+        # and n_pii counts every substitution made
+        for t, red, n in zip(texts, once.column("text_redacted").to_pylist(),
+                             once.column("n_pii").to_pylist()):
+            assert red.count("<EMAIL>") + red.count("<PHONE>") >= 0
+            if n == 0:
+                assert red == t
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=500), min_size=1,
+                    max_size=40),
+           st.integers(min_value=1, max_value=600))
+    def test_pack_sequences_invariants(self, toks, budget):
+        import pyarrow as pa
+
+        from raydoc.ops.window import pack_sequences
+
+        import ray.data as rd
+
+        rows = [{"k": "x", "i": i, "tok": t} for i, t in enumerate(toks)]
+        out = pack_sequences(rd.from_items(rows), "tok", budget, ["i"],
+                             key_col="k").to_pandas().sort_values("i")
+        packs = list(out["pack_id"])
+        # pack ids are nondecreasing in document order and start at 0
+        assert packs[0] == 0
+        assert all(a <= b for a, b in zip(packs, packs[1:]))
+        # offset-based bound: a pack never exceeds budget + max_doc - 1
+        mx = max(toks)
+        sums = out.groupby("pack_id")["tok"].sum()
+        assert (sums <= budget + max(mx - 1, 0)).all()
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.text(alphabet="ab \n", max_size=40), min_size=1,
+                    max_size=10))
+    def test_repetition_bounds(self, texts):
+        import pyarrow as pa
+
+        from raydoc.ops.text import repetition_batch
+
+        out = repetition_batch(pa.table({"text": pa.array(texts,
+                                                          pa.string())}))
+        for d, t in zip(out.column("dup_word_frac").to_pylist(),
+                        out.column("top_word_frac").to_pylist()):
+            assert 0.0 <= d < 1.0 or d == 0.0
+            assert 0.0 <= t <= 1.0
