@@ -1113,6 +1113,27 @@ FROM events GROUP BY 1
 """
 
 
+def events_ndv_sketch(sf_dir: str):
+    """HyperLogLog distinct-user estimate per event type (no SQL
+    oracle — approximate by design; accuracy vs exact nunique is
+    asserted in pytest within the published 1.04/sqrt(m) bound)."""
+    from raydoc.ops.sketch import grouped_approx_ndv
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_approx_ndv(ds, ["event_type"], "user_id")
+
+
+def events_quantile_sketch(sf_dir: str):
+    """Histogram-sketch p50/p90 per event type (no SQL oracle —
+    approximate by design; bin-width error bound asserted in pytest
+    against the exact quantile operator)."""
+    from raydoc.ops.sketch import grouped_quantile_sketch
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantile_sketch(ds, ["event_type"], "value",
+                                   {"p50_value": 0.5, "p90_value": 0.9})
+
+
 def events_value_quantiles(sf_dir: str):
     """Exact per-group p50/p90 (quantile_cont interpolation)."""
     from raydoc.ops.relational import grouped_quantile
@@ -1995,6 +2016,8 @@ QUERIES = {
     "events_value_std": events_value_std,
     "events_multi_agg": events_multi_agg,
     "events_value_quantiles": events_value_quantiles,
+    "events_ndv_sketch": events_ndv_sketch,
+    "events_quantile_sketch": events_quantile_sketch,
     "asof_events_orders": asof_events_orders,
     "events_running_sum": events_running_sum,
     "events_lag_delta": events_lag_delta,

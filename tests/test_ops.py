@@ -898,3 +898,56 @@ class TestPackSequences:
         # starts: 0, 900, 1800, 2700, 4800 -> packs 0,0,0,1,2
         assert list(en["pack_id"]) == [0, 0, 0, 1, 2]
         assert list(out[out["k"] == "de"]["pack_id"]) == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSketches:
+    def test_hll_ndv_within_error_bound(self):
+        import ray.data as rd
+
+        from raydoc.ops.sketch import grouped_approx_ndv
+
+        rng = np.random.RandomState(3)
+        n = 30_000
+        keys = np.where(rng.rand(n) < 0.7, "big", "small")
+        vals = np.where(keys == "big", rng.randint(0, 5000, n),
+                        rng.randint(0, 50, n))
+        ds = rd.from_arrow(_t(k=keys.tolist(), v=vals.tolist())).repartition(8)
+        out = grouped_approx_ndv(ds, ["k"], "v").to_pandas().set_index("k")
+        import pandas as pd
+        exact = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"].nunique()
+        for k in ("big", "small"):
+            err = abs(out.loc[k, "ndv_approx"] - exact[k]) / exact[k]
+            assert err < 0.05, (k, out.loc[k, "ndv_approx"], exact[k])
+
+    def test_hll_string_column(self):
+        import ray.data as rd
+
+        from raydoc.ops.sketch import grouped_approx_ndv
+
+        rows = [{"k": "x", "s": f"val-{i % 400}"} for i in range(5000)]
+        out = grouped_approx_ndv(rd.from_items(rows).repartition(4),
+                                 ["k"], "s").to_pandas()
+        assert abs(out["ndv_approx"].iloc[0] - 400) / 400 < 0.05
+
+    def test_quantile_sketch_within_bin_width(self):
+        import ray.data as rd
+
+        from raydoc.ops.relational import grouped_quantile
+        from raydoc.ops.sketch import grouped_quantile_sketch
+
+        rng = np.random.RandomState(9)
+        n = 20_000
+        keys = np.where(rng.rand(n) < 0.5, "a", "b")
+        vals = rng.exponential(scale=100.0, size=n)
+        ds = rd.from_arrow(_t(k=keys.tolist(), v=vals.tolist())).repartition(8)
+        approx = grouped_quantile_sketch(
+            ds, ["k"], "v", {"p50": 0.5, "p90": 0.9}, bins=2048
+        ).to_pandas().set_index("k")
+        exact = grouped_quantile(
+            ds, ["k"], "v", {"p50": 0.5, "p90": 0.9}
+        ).to_pandas().set_index("k")
+        for k in ("a", "b"):
+            width = (vals[keys == k].max() - vals[keys == k].min()) / 2048
+            for q in ("p50", "p90"):
+                assert abs(approx.loc[k, q] - exact.loc[k, q]) <= width + 1e-9
