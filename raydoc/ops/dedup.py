@@ -494,20 +494,25 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def _bands(batch: pa.Table) -> pa.Table:
         batch = simhash_batch(batch, text_col)
-        ids, keys, hashes = [], [], []
-        for i, h, t in zip(batch.column(id_col).to_pylist(),
-                           batch.column("simhash").to_pylist(),
-                           batch.column(text_col).to_pylist()):
-            if not (t or "").strip():
-                continue  # empty docs all hash to 0: skip, like minhash
-            for bi in range(4):
-                chunk = (h >> (16 * bi)) & 0xFFFF
-                ids.append(i)
-                keys.append(f"{bi}:{chunk}")
-                hashes.append(h)
+        keep = pc.invert(pc.equal(
+            pc.utf8_trim_whitespace(
+                pc.fill_null(pc.cast(batch.column(text_col), pa.string()),
+                             "")), ""))
+        batch = batch.filter(keep)  # empty docs all hash to 0: skip
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        hs = batch.column("simhash").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        n = len(ids)
+        # vectorized 4-way band explode; int64 bkey = band*2^16 + chunk
+        # (8 B in the bucket shuffle instead of a "<band>:<chunk>" string)
+        band = np.tile(np.arange(4, dtype=np.uint64), n)
+        hrep = np.repeat(hs, 4)
+        chunk = (hrep >> (band * np.uint64(16))) & np.uint64(0xFFFF)
+        bkey = (band << np.uint64(16)) | chunk
         return pa.Table.from_pydict(
-            {id_col: pa.array(ids), "bkey": pa.array(keys, pa.string()),
-             "simhash": pa.array(hashes, pa.uint64())}
+            {id_col: pa.array(np.repeat(ids, 4)),
+             "bkey": pa.array(bkey.astype(np.int64), pa.int64()),
+             "simhash": pa.array(hrep, pa.uint64())}
         )
 
     def _pairs(group: pa.Table) -> pa.Table:
