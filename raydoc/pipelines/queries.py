@@ -1986,6 +1986,9 @@ QUERIES = {
     "docs_curation": docs_curation,
     "code_sandbox_lengths": code_sandbox_lengths,
     "udf_doc_head_upper": udf_doc_head_upper,
+    "docs_repetition": docs_repetition,
+    "docs_pack_sequences": docs_pack_sequences,
+    "docs_pii_redact": docs_pii_redact,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_revenue_topk": q3_revenue_topk,
     "q5_nation_revenue": q5_nation_revenue,
@@ -2027,9 +2030,6 @@ QUERIES = {
     "docs_token_count_bpe": docs_token_count_bpe,
     "docs_quality": docs_quality,
     "docs_fingerprint": docs_fingerprint,
-    "docs_repetition": docs_repetition,
-    "docs_pack_sequences": docs_pack_sequences,
-    "docs_pii_redact": docs_pii_redact,
     "docs_langid": docs_langid,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_minhash_pairs": docs_minhash_pairs,
