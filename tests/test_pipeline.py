@@ -143,3 +143,58 @@ class TestPartitioningScale:
         )
         bs = batch_rows_for_bytes(str(big))
         assert 8 <= bs <= 16  # ~32 MB target / 4 MB rows
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSideEffectSink:
+    def test_once_per_key_across_reruns(self, tmp_path):
+        import json
+        import os
+
+        import ray.data as rd
+
+        from raydoc.stages.sink_stage import side_effect_sink
+
+        ledger = str(tmp_path / "ledger")
+        rows = [{"to": f"u{i}@x.org", "subject": "hi", "body": f"n{i}"}
+                for i in range(20)] + [{"to": None, "subject": "bad"}]
+        ds = rd.from_items(rows)
+        out1 = side_effect_sink(ds, ledger, key_col="to").to_pandas()
+        assert (out1["sink_status"] == "sent").sum() == 20
+        assert (out1["sink_status"].str.startswith("error:missing")).sum() == 1
+        outbox = os.path.join(ledger, "outbox")
+        assert len(os.listdir(outbox)) == 20
+        # rerun: nothing re-delivered, ledger holds
+        out2 = side_effect_sink(rd.from_items(rows), ledger,
+                                key_col="to").to_pandas()
+        assert (out2["sink_status"] == "skipped:already-delivered").sum() == 20
+        assert len(os.listdir(outbox)) == 20
+        # outbox payload is the full row, durably renamed json
+        one = json.load(open(os.path.join(outbox,
+                                          sorted(os.listdir(outbox))[0])))
+        assert set(one) == {"to", "subject", "body"}
+
+    def test_failed_effect_stays_undelivered(self, tmp_path):
+        import ray.data as rd
+
+        from raydoc.stages.sink_stage import SideEffectSink
+
+        calls = []
+
+        def flaky(row):
+            calls.append(row["to"])
+            if row["to"] == "bad@x":
+                raise RuntimeError("smtp down")
+
+        st = SideEffectSink(str(tmp_path / "l2"), key_col="to",
+                            effect=flaky)
+        import pyarrow as pa
+
+        out = st(pa.table({"to": ["ok@x", "bad@x"]}))
+        assert out.column("sink_status").to_pylist() == [
+            "sent", "error:RuntimeError:smtp down"]
+        # failed key is NOT committed: a retry re-attempts it
+        out2 = st(pa.table({"to": ["ok@x", "bad@x"]}))
+        assert out2.column("sink_status").to_pylist() == [
+            "skipped:already-delivered", "error:RuntimeError:smtp down"]
+        assert calls == ["ok@x", "bad@x", "bad@x"]
