@@ -1864,6 +1864,20 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def embeddings_knn_lsh(sf_dir: str):
+    """Hyperplane-LSH approximate kNN (no SQL oracle — approximate by
+    design; recall vs brute force validated in pytest). Same output
+    shape as embeddings_knn."""
+    from raydoc.ops.similarity import knn_lsh
+    from raydoc.util import embedding_matrix
+
+    emb = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = embedding_matrix(emb.column("embedding"))[:3]
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_lsh(ds, queries, k=5)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
 def embeddings_knn_ivf(sf_dir: str):
     """IVF approximate kNN (no SQL oracle — approximate by design;
     recall vs brute force validated in pytest). Same output shape as
@@ -1982,6 +1996,7 @@ QUERIES = {
     "flagship_chunks": flagship_chunks,
     "embeddings_cosine_pairs": embeddings_cosine_pairs,
     "embeddings_knn_ivf": embeddings_knn_ivf,
+    "embeddings_knn_lsh": embeddings_knn_lsh,
     "embeddings_near_dup": embeddings_near_dup,
     "docs_curation": docs_curation,
     "code_sandbox_lengths": code_sandbox_lengths,

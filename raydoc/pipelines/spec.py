@@ -299,10 +299,13 @@ def validate_spec(spec: dict) -> None:
             _check(cond.get("operator") in OPERATORS,
                    f"stage[{i}]: unknown predicate operator {cond.get('operator')!r}")
     sink = spec.get("sink", {"op": "collect"})
-    _check(sink.get("op") in ("collect", "write_parquet", "count"),
+    _check(sink.get("op") in ("collect", "write_parquet", "count",
+                              "side_effect"),
            f"unknown sink {sink.get('op')!r}")
     if sink["op"] == "write_parquet":
         _require(sink, "path")
+    if sink["op"] == "side_effect":
+        _require(sink, "ledger_dir", "key_col")
 
 
 def run_spec(spec: dict) -> Any:
@@ -322,4 +325,10 @@ def run_spec(spec: dict) -> Any:
         return sink["path"]
     if sink["op"] == "count":
         return ds.count()
+    if sink["op"] == "side_effect":
+        from raydoc.stages.sink_stage import side_effect_sink
+
+        return side_effect_sink(ds, sink["ledger_dir"], sink["key_col"],
+                                sink.get("payload_cols"),
+                                sink.get("outbox_dir"))
     return ds

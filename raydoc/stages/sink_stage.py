@@ -88,7 +88,7 @@ class SideEffectSink:
         status = []
         for row in rows:
             key = row.get(self.key_col)
-            if not key:
+            if key is None or key == "":  # 0 is a valid key
                 # the reference's required-field rejection (email.py:63)
                 status.append(f"error:missing {self.key_col}")
                 continue
