@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "asof_events_orders",
     "docs_minhash_pairs",
     "embeddings_knn",
+    "docs_curation",
+    "docs_pii_redact",
+    "events_ndv_sketch",
 ]
 
 
