@@ -29,6 +29,7 @@ __all__ = [
     "shuffle_semi_join",
     "semi_join",
     "grouped_agg",
+    "grouped_count_distinct",
     "grouped_concat",
     "grouped_quantile",
     "top_k",
@@ -473,6 +474,35 @@ def grouped_agg(
         return pa.Table.from_pydict(out)
 
     return partial.groupby(keys).map_groups(_final, batch_format="pyarrow")
+
+
+def grouped_count_distinct(ds, keys: list[str], col: str,
+                           out_col: str = "ndv"):
+    """Exact COUNT(DISTINCT col) per key group.
+
+    Two-phase: per-batch dedup of (keys, col) inside ``map_batches``
+    (so the shuffle moves one row per distinct pair per batch, not one
+    per input row), then one groupby over the distinct pairs counting
+    unique values per key. This is the exact counterpart of
+    ``ops.sketch.grouped_approx_ndv`` — use the sketch when the
+    distinct-pair set itself is too large to shuffle.
+    """
+    cols = keys + [col]
+
+    def _local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    def _final(group: pa.Table) -> pa.Table:
+        out = {k: [group.column(k)[0].as_py()] for k in keys}
+        vals = group.column(col).combine_chunks()
+        out[out_col] = [len(pc.unique(vals))]
+        return pa.Table.from_pydict(out)
+
+    return (
+        ds.map_batches(_local_distinct, batch_format="pyarrow")
+        .groupby(keys)
+        .map_groups(_final, batch_format="pyarrow")
+    )
 
 
 def grouped_quantile(ds, keys: list[str], col: str, qs: dict[str, float]):

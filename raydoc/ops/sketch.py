@@ -26,7 +26,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["grouped_approx_ndv", "grouped_quantile_sketch"]
+__all__ = ["grouped_approx_ndv", "grouped_quantile_sketch",
+           "topk_heavy_hitters"]
 
 # splitmix64 finalizer: vectorized 64-bit avalanche for numeric columns
 _C1 = np.uint64(0xBF58476D1CE4E5B9)
@@ -220,3 +221,69 @@ def grouped_quantile_sketch(ds, keys: list[str], col: str,
         concurrency=(1, cpu_cap()),
     )
     return partials.groupby(keys).map_groups(_final, batch_format="pyarrow")
+
+
+def _mg_summarize(values, counts, capacity: int):
+    """Misra-Gries compression of an exact (value, count) multiset to
+    at most ``capacity`` counters: keep the top-``capacity`` counts and
+    subtract the first evicted count from the survivors (the standard
+    merge rule, Misra & Gries 1982 / Agarwal et al. 2013 mergeable
+    summaries). Guarantees every item with true count > N/capacity
+    survives, with counts underestimated by at most N/capacity."""
+    if len(values) <= capacity:
+        return values, counts
+    order = np.argsort(-counts, kind="stable")
+    kept = order[:capacity]
+    threshold = counts[order[capacity]]
+    new_counts = counts[kept] - threshold
+    keep = new_counts > 0
+    return [values[i] for i in kept[keep]], new_counts[keep]
+
+
+def topk_heavy_hitters(ds, col: str, k: int = 20, capacity: int = 4096):
+    """Approximate global top-k frequent values (heavy hitters) with a
+    BOUNDED-size summary, for columns whose distinct-value set is too
+    large to shuffle exactly (the unbounded-vocabulary regime where the
+    exact `keyword_topn` plan's per-batch combiner stops helping).
+
+    Phase 1 (map_batches): exact per-batch counts compressed to a
+    ``capacity``-counter Misra-Gries summary — one fixed-size row set
+    per batch. Phase 2: single-group merge (counter-wise sum then one
+    more MG compression) + top-k. Any value with true frequency
+    > N/capacity is guaranteed present; reported counts are lower
+    bounds within N/capacity of exact. Output: (value, count_lb)
+    sorted by count desc, value asc.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(col).combine_chunks())
+        vals = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        vals, cnts = _mg_summarize(vals, cnts, capacity)
+        return pa.Table.from_pydict({
+            "value": pa.array(vals, pa.string()),
+            "count_lb": pa.array(np.asarray(cnts, np.int64), pa.int64()),
+            "_g": pa.array([0] * len(vals), pa.int64()),
+        })
+
+    def _final(group: pa.Table) -> pa.Table:
+        merged = group.group_by("value").aggregate([("count_lb", "sum")])
+        vals = merged.column("value").to_pylist()
+        cnts = merged.column("count_lb_sum").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vals, cnts = _mg_summarize(vals, cnts, capacity)
+        out = pa.Table.from_pydict({
+            "value": pa.array(vals, pa.string()),
+            "count_lb": pa.array(np.asarray(cnts, np.int64), pa.int64()),
+        })
+        idx = pc.sort_indices(out, sort_keys=[("count_lb", "descending"),
+                                              ("value", "ascending")])
+        return out.take(idx.slice(0, k))
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(_final, batch_format="pyarrow")
+        .select_columns(["value", "count_lb"])
+    )

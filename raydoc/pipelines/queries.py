@@ -1113,6 +1113,46 @@ FROM events GROUP BY 1
 """
 
 
+def events_user_ndv(sf_dir: str):
+    """EXACT distinct users per event type (per-batch distinct pairs,
+    then one small groupby) — the exact counterpart of
+    events_ndv_sketch."""
+    from raydoc.ops.relational import grouped_count_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_count_distinct(ds, ["event_type"], "user_id")
+
+
+EVENTS_USER_NDV_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS ndv
+FROM events GROUP BY event_type
+"""
+
+
+def keyword_topn_sketch(sf_dir: str):
+    """Global top-20 tokens via the Misra-Gries heavy-hitters sketch.
+    On this corpus the vocabulary fits the 4096-counter capacity, so
+    the summary is EXACT and the same SQL oracle as keyword_topn_global
+    applies; at unbounded web vocabulary the counts become lower bounds
+    within N/capacity (ops/sketch.py)."""
+    from raydoc.ops.sketch import topk_heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _tok(b: pa.Table) -> pa.Table:
+        s = pc.utf8_trim_whitespace(
+            pc.fill_null(pc.cast(b.column("text"), pa.string()), ""))
+        toks = pc.split_pattern_regex(s, r"\s+")
+        flat = pc.list_flatten(toks.filter(pc.not_equal(s, "")))
+        return pa.Table.from_pydict({"token": flat})
+
+    out = topk_heavy_hitters(ds.map_batches(_tok, batch_format="pyarrow"),
+                             "token", k=20, capacity=4096)
+    return out.map_batches(
+        lambda b: b.rename_columns(["token", "n"]), batch_format="pyarrow"
+    )
+
+
 def events_ndv_sketch(sf_dir: str):
     """HyperLogLog distinct-user estimate per event type (no SQL
     oracle — approximate by design; accuracy vs exact nunique is
@@ -2034,6 +2074,8 @@ QUERIES = {
     "events_value_std": events_value_std,
     "events_multi_agg": events_multi_agg,
     "events_value_quantiles": events_value_quantiles,
+    "events_user_ndv": events_user_ndv,
+    "keyword_topn_sketch": keyword_topn_sketch,
     "events_ndv_sketch": events_ndv_sketch,
     "events_quantile_sketch": events_quantile_sketch,
     "asof_events_orders": asof_events_orders,
@@ -2088,6 +2130,8 @@ ORACLES = {
     "events_extract_k": EVENTS_EXTRACT_SQL,
     "events_sample": EVENTS_SAMPLE_SQL,
     "events_value_std": EVENTS_STD_SQL,
+    "events_user_ndv": EVENTS_USER_NDV_SQL,
+    "keyword_topn_sketch": KEYWORD_TOPN_SQL,
     "events_multi_agg": EVENTS_MULTI_AGG_SQL,
     "events_value_quantiles": EVENTS_QUANTILES_SQL,
     "asof_events_orders": ASOF_SQL,

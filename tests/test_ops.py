@@ -951,3 +951,62 @@ class TestSketches:
             width = (vals[keys == k].max() - vals[keys == k].min()) / 2048
             for q in ("p50", "p90"):
                 assert abs(approx.loc[k, q] - exact.loc[k, q]) <= width + 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHeavyHitters:
+    def test_zipf_heavy_hitters_found_with_tight_counts(self):
+        import ray.data as rd
+
+        from raydoc.ops.sketch import topk_heavy_hitters
+
+        rng = np.random.RandomState(7)
+        # zipf-ish: token i appears ~60000/(i+1) times, long random tail
+        toks = []
+        for i in range(30):
+            toks += [f"hot{i}"] * (6000 // (i + 1))
+        toks += [f"tail{j}" for j in rng.randint(0, 200000, 20000)]
+        rng.shuffle(toks)
+        n = len(toks)
+        cap = 4096
+        ds = rd.from_arrow(_t(v=toks)).repartition(8)
+        out = topk_heavy_hitters(ds, "v", k=10, capacity=cap).to_pandas()
+        from collections import Counter
+
+        exact = Counter(toks)
+        # all true top-10 present (their counts far exceed n/capacity)
+        want = [w for w, _ in exact.most_common(10)]
+        assert set(out["value"]) == set(want)
+        # counts are lower bounds within the n/capacity guarantee
+        for v, c in zip(out["value"], out["count_lb"]):
+            assert c <= exact[v]
+            assert exact[v] - c <= n / cap + 1e-9
+
+    def test_small_input_is_exact(self):
+        import ray.data as rd
+
+        from raydoc.ops.sketch import topk_heavy_hitters
+
+        ds = rd.from_arrow(_t(v=["a"] * 5 + ["b"] * 3 + ["c"]))
+        out = topk_heavy_hitters(ds, "v", k=2).to_pandas()
+        assert list(out["value"]) == ["a", "b"]
+        assert list(out["count_lb"]) == [5, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedCountDistinct:
+    def test_matches_exact_nunique(self):
+        import ray.data as rd
+
+        rng = np.random.RandomState(2)
+        n = 8000
+        keys = np.where(rng.rand(n) < 0.6, "x", "y")
+        vals = rng.randint(0, 700, n)
+        from raydoc.ops.relational import grouped_count_distinct
+
+        ds = rd.from_arrow(_t(k=keys.tolist(), v=vals.tolist())).repartition(8)
+        out = grouped_count_distinct(ds, ["k"], "v").to_pandas().set_index("k")
+        import pandas as pd
+        exact = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"].nunique()
+        assert out.loc["x", "ndv"] == exact["x"]
+        assert out.loc["y", "ndv"] == exact["y"]
