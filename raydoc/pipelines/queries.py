@@ -1113,6 +1113,29 @@ FROM events GROUP BY 1
 """
 
 
+def canvas_customer_service(sf_dir: str):
+    """Run the reference's OWN customer_service.json canvas
+    (test/dsl_examples) through the canvas interpreter, one row per
+    dialogue turn (no SQL oracle — graph execution; per-graph routing
+    is asserted in tests/test_canvas.py for all 25 reference files)."""
+    from raydoc.pipelines.canvas import run_canvas
+
+    turns = [
+        "how to install it onto the wall?",
+        "nice weather, let's chat a bit",
+        "the hash join stream keeps failing, what do i do?",
+    ]
+    res = run_canvas(
+        "/root/reference/agent/test/dsl_examples/customer_service.json",
+        sf_dir, turns)
+    return pa.table({
+        "turn": pa.array([r["turn"] for r in res], pa.int64()),
+        "input": pa.array([r["input"] for r in res], pa.string()),
+        "n_steps": pa.array([len(r["path"]) for r in res], pa.int64()),
+        "answered": pa.array([bool(r["answer"]) for r in res], pa.bool_()),
+    })
+
+
 def events_user_ndv(sf_dir: str):
     """EXACT distinct users per event type (per-batch distinct pairs,
     then one small groupby) — the exact counterpart of
@@ -2074,6 +2097,7 @@ QUERIES = {
     "events_value_std": events_value_std,
     "events_multi_agg": events_multi_agg,
     "events_value_quantiles": events_value_quantiles,
+    "canvas_customer_service": canvas_customer_service,
     "events_user_ndv": events_user_ndv,
     "keyword_topn_sketch": keyword_topn_sketch,
     "events_ndv_sketch": events_ndv_sketch,
