@@ -274,6 +274,29 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
         _b_rolling_agg),
     "code": (_v_code, _b_code),
     "udf": (_v_udf, _b_udf),
+    "approx_ndv": (
+        lambda p: _require(p, "keys", "column"),
+        lambda ds, p: __import__(
+            "raydoc.ops.sketch", fromlist=["grouped_approx_ndv"]
+        ).grouped_approx_ndv(ds, p["keys"], p["column"],
+                             p.get("precision", 12))),
+    "heavy_hitters": (
+        lambda p: _require(p, "column"),
+        lambda ds, p: __import__(
+            "raydoc.ops.sketch", fromlist=["topk_heavy_hitters"]
+        ).topk_heavy_hitters(ds, p["column"], p.get("k", 20),
+                             p.get("capacity", 4096))),
+    "count_distinct": (
+        lambda p: _require(p, "keys", "column"),
+        lambda ds, p: __import__(
+            "raydoc.ops.relational", fromlist=["grouped_count_distinct"]
+        ).grouped_count_distinct(ds, p["keys"], p["column"])),
+    "pack_sequences": (
+        lambda p: _require(p, "token_col", "budget", "order_cols", "key_col"),
+        lambda ds, p: __import__(
+            "raydoc.ops.window", fromlist=["pack_sequences"]
+        ).pack_sequences(ds, p["token_col"], p["budget"], p["order_cols"],
+                         p["key_col"])),
 }
 
 _VALID_PREDICATE_OPS = None
