@@ -21,11 +21,14 @@ Spec format:
 
 Registered stage ops (each maps to one library operator): filter,
 route, template, extract, chunk_explode, token_count, quality, langid,
-fingerprint, simhash, tumbling_window, grouped_agg, top_k, group_top_k,
-distinct_on, limit, select, broadcast_join_parquet, semi_join_parquet,
-running_agg, lag_delta, group_rank, rolling_agg, code (sandboxed
-subprocess script, the reference's Code component), udf (registered
-in-process batch callable with declared output schema).
+fingerprint, repetition, pii_redact, tumbling_window, grouped_agg,
+top_k, group_top_k, distinct_on, limit, select, broadcast_join_parquet,
+semi_join_parquet, running_agg, lag_delta, group_rank, rolling_agg,
+code (sandboxed subprocess script, the reference's Code component),
+udf (registered in-process batch callable with declared output schema),
+approx_ndv / heavy_hitters (sketches), count_distinct, pack_sequences.
+Sinks: collect, count, write_parquet, side_effect (idempotent per-key
+ledger, stages/sink_stage.py).
 """
 
 from __future__ import annotations

@@ -226,3 +226,28 @@ class TestCodeExec:
         validate_spec({**base, "stages": [
             {"op": "code", "script": "def main(a): return 1",
              "arguments": [{"name": "x", "column": "v"}]}]})
+
+
+class TestSpecNewOps:
+    def test_new_op_validation(self):
+        import pytest as _pt
+
+        from raydoc.pipelines.spec import SpecError, validate_spec
+
+        base = {"source": {"op": "read_parquet", "path": "/tmp/x.parquet"}}
+        for op, missing in (
+            ("approx_ndv", {"keys": ["k"]}),          # no column
+            ("heavy_hitters", {}),                     # no column
+            ("count_distinct", {"column": "v"}),       # no keys
+            ("pack_sequences", {"token_col": "t", "budget": 1,
+                                "order_cols": ["i"]}),  # no key_col
+        ):
+            with _pt.raises(SpecError):
+                validate_spec({**base, "stages": [{"op": op, **missing}]})
+        validate_spec({**base, "stages": [
+            {"op": "approx_ndv", "keys": ["k"], "column": "v"},
+            {"op": "repetition"}, {"op": "pii_redact"}],
+            "sink": {"op": "side_effect", "ledger_dir": "/tmp/l",
+                     "key_col": "k"}})
+        with _pt.raises(SpecError):
+            validate_spec({**base, "sink": {"op": "side_effect"}})
