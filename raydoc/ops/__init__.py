@@ -7,6 +7,12 @@ Modules:
   text        - language-ID, quality scoring, token counts, fingerprints
   dedup       - exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
   similarity  - cosine top-k (brute force + LSH-bucketed)
-  window      - event-time tumbling windows, sessionization, as-of join
+  window      - event-time tumbling windows, sessionization, as-of join,
+                LLM sequence packing
   template    - per-row template rendering (template.py:70-139)
+  sketch      - HyperLogLog NDV, histogram quantiles, heavy hitters
+  code_exec   - sandboxed-subprocess Code component + in-process UDFs
+  retrieval   - hybrid keyword+vector top-k, citation insertion
+  sql_exec    - ExeSQL extract + execute + bounded repair loop
+  sampling    - deterministic hash sampling
 """
