@@ -251,7 +251,15 @@ def run_extract_pipeline(
     # with so few slots the aggregators need their reserved cores to
     # keep up with the map side.
     if _cpus >= 16:
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.1
+        # 0.1/partition was measured at P≈cpus (sf0.1: P=25, 32 CPUs).
+        # The reservation is PER PARTITION, so at P >> cpus it silently
+        # eats the cluster (observed at sf1: P=250 reserved 25 of 32
+        # CPUs and the executor backpressured shuffle ingestion to ONE
+        # task, ~800 docs/s). Cap the TOTAL aggregator reservation at a
+        # quarter of the cluster so P can grow with the data while the
+        # map side keeps its cores.
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
+            min(0.1, (0.25 * _cpus) / P)
 
     done = committed_partitions(out_dir)
     if done:
