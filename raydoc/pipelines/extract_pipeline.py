@@ -33,16 +33,36 @@ from raydoc.stages.extract_stage import ExtractStage, explode_chunks, extract_ma
 from raydoc.state.manifest import committed_partitions, load_manifests, write_partition_atomic
 
 
-def parts_for(n_rows: int, rows_per_part: int = 4000, min_parts: int = 8) -> int:
+def parts_for(
+    n_rows: int,
+    rows_per_part: int | None = None,
+    min_parts: int = 8,
+    total_bytes: int | None = None,
+    bytes_per_part: int = 192 << 20,
+) -> int:
     """Partition count for the checkpointed output.
 
-    Each partition costs a hash-shuffle aggregator plus a write task, so
-    fewer/bigger partitions win until skew or memory bites (measured at
-    sf0.1/32 CPUs: P=16..25 ≈ 5000 docs/s, P=50 → 3500, P=200 → 1900).
-    At real scale pick rows_per_part so a partition is ~100-500 MB of
-    extracted text — the commit/resume granularity, not the parallelism
-    (tasks stay pipelined regardless)."""
-    return max(min_parts, (n_rows + rows_per_part - 1) // rows_per_part)
+    Partitions are sized by BYTES, not rows: each partition is one
+    shuffle bucket, one write task, and one resume/commit unit, so what
+    matters is how much data it holds. Row-based sizing scales P
+    linearly with the corpus (measured at 1M docs/32 CPUs: the old
+    4000-rows/part rule gave P=250 and 4.7k docs/s vs P=32 at 10.7k —
+    and at 10^12 docs it would demand 2.5e8 partitions). ~128 MB of
+    uncompressed input per partition keeps the write task's heap bounded
+    (~0.5-1 GB peak: text + chunk explode + parquet encode) while P
+    still grows linearly with DATA — a 100 TB corpus gets ~1.6M
+    partitions, each an independent commit, which is exactly the
+    resume granularity the north rule wants. (Bytes here are parquet
+    row-group ``total_byte_size`` — uncompressed — so the target holds
+    regardless of the input's codec.)
+
+    ``rows_per_part`` remains as an explicit override for callers that
+    want row-deterministic layouts (tests, tools)."""
+    if rows_per_part is not None:
+        return max(min_parts, (n_rows + rows_per_part - 1) // rows_per_part)
+    if total_bytes:
+        return max(min_parts, (total_bytes + bytes_per_part - 1) // bytes_per_part)
+    return max(min_parts, (n_rows + 31_999) // 32_000)
 
 
 def default_concurrency() -> tuple[int, int]:
@@ -187,7 +207,7 @@ def run_extract_pipeline(
     token_budget: int = 256,
     batch_size: int | None = None,
     concurrency: int | None = None,
-    rows_per_part: int = 4000,
+    rows_per_part: int | None = None,
     durable: bool = False,
 ) -> dict:
     """Checkpointed, resumable flagship run. Returns a summary dict.
@@ -208,8 +228,16 @@ def run_extract_pipeline(
         if _os.path.isdir(pages_path)
         else [pages_path]
     )
-    total_rows = sum(pq.read_metadata(f).num_rows for f in files)
-    P = num_parts or parts_for(total_rows, rows_per_part=rows_per_part)
+    total_rows = total_bytes = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        total_rows += md.num_rows
+        total_bytes += sum(
+            md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+        )
+    P = num_parts or parts_for(
+        total_rows, rows_per_part=rows_per_part, total_bytes=total_bytes
+    )
 
     # Keyed (hash) repartition requires the hash shuffle strategy, and the
     # DataContext is captured when the dataset is CREATED — set it before
@@ -240,7 +268,9 @@ def run_extract_pipeline(
         if _ray.is_initialized()
         else (_os.cpu_count() or 8)
     )
-    ctx.max_hash_shuffle_aggregators = max(2, int(_cpus) // 8)
+    ctx.max_hash_shuffle_aggregators = int(
+        _os.environ.get("RAYDOC_MAX_AGG", 0)
+    ) or max(2, int(_cpus) // 8)
     # Ray's default reserves (cluster_CPUs/2)/P CPUs per shuffle
     # aggregator — HALF the cluster held by actors that only buffer and
     # concat blocks, starving the extract tasks. On clusters of >=16
@@ -315,12 +345,15 @@ def run_extract_pipeline(
     extracted = extracted.repartition(num_blocks=P, keys=["shuffle_key"], sort=False)
 
     def _write_block(block: pa.Table) -> pa.Table:
+        import time as _time
+
         from raydoc.extract.chunker import chunk_document_arrays as _chunk_arr
         from raydoc.stages.extract_stage import _CHUNK_TYPE
 
         rows_out = []
         pids = block.column("part_id").to_numpy(zero_copy_only=False)
         for part_id in sorted(set(pids.tolist())):
+            _t0 = _time.time()
             grp = block.filter(pa.array(pids == part_id))
             # recompute chunks post-shuffle (pure per-row function),
             # slicing span fields straight out of the flattened Arrow
@@ -371,14 +404,37 @@ def run_extract_pipeline(
             chunks = explode_chunks(grp)
             ext = grp.drop_columns(["chunks", "part_id", "shuffle_key"])
             rows_out.append(
-                write_partition_atomic(out_dir, int(part_id), ext, chunks,
-                                       num_parts=P, durable=durable)
+                write_partition_atomic(
+                    out_dir, int(part_id), ext, chunks,
+                    num_parts=P, durable=durable,
+                    timing={"t_start_unix": round(_t0, 3),
+                            "wall_sec": round(_time.time() - _t0, 3)},
+                )
             )
         return pa.Table.from_pylist(rows_out)
 
     try:
+        # Throttle write concurrency to ~8 tasks per 32 cores WHEN the
+        # partition count allows more: the write task is
+        # string/allocation heavy (chunk explode + sort + zstd parquet
+        # encode over ~100 MB of text), and a full-width fleet of them
+        # thrashes the allocator/memory bus — 32 concurrent writes ran
+        # 26-87 s each where the SAME partition alone takes 3-5 s
+        # (1M docs/32 CPUs: num_cpus=1 → 196 s job, =2 → 139 s, =4 →
+        # 93 s, =8 → 112 s). num_cpus is the throttle: 4 CPUs per task
+        # ≈ cpus/8 concurrent writes, and honestly reflects the task's
+        # real footprint (>1 core of work plus ~1 GB heap). When P
+        # itself caps concurrency at ≤ cpus/4 the reservation only
+        # DELAYS overlap with the extract phase (measured at sf0.1
+        # P=8/32 CPUs: num_cpus=4 → 9.8k docs/s vs =1 → 11.4k), so
+        # small-P runs keep num_cpus=1. Env override for re-measuring
+        # on other hardware.
+        _wcpus = float(_os.environ.get("RAYDOC_WRITE_CPUS", 0)) or (
+            1.0 if P <= _cpus / 4 else min(4.0, max(1.0, _cpus / 8))
+        )
         manifests_ds = extracted.map_batches(
-            _write_block, batch_format="pyarrow", batch_size=None
+            _write_block, batch_format="pyarrow", batch_size=None,
+            num_cpus=_wcpus,
         )
         new_manifests = manifests_ds.take_all()  # tiny: one row per partition
     finally:

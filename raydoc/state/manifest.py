@@ -100,6 +100,7 @@ def write_partition_atomic(
     chunks: pa.Table,
     num_parts: int | None = None,
     durable: bool = False,
+    timing: dict | None = None,
 ) -> dict:
     """Write one partition's outputs + manifest; returns the manifest row.
 
@@ -141,6 +142,12 @@ def write_partition_atomic(
         "text_bytes": sum(len(t.encode("utf-8")) for t in texts),
         "checksum": checksum,
     }
+    if timing:
+        # per-partition lineage metrics: when the write task started on
+        # this partition and how long chunk/sort/write took — lets an
+        # operator read tail latency and write-phase concurrency straight
+        # off the manifest directory of a finished (or killed) run
+        manifest.update(timing)
     mpath = os.path.join(manifest_dir(out_dir), f"part-{part_id:05d}.json")
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
