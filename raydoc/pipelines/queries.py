@@ -2067,46 +2067,9 @@ QUERIES = {
     "docs_repetition": docs_repetition,
     "docs_pack_sequences": docs_pack_sequences,
     "docs_pii_redact": docs_pii_redact,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_revenue_topk": q3_revenue_topk,
-    "q5_nation_revenue": q5_nation_revenue,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q4_order_priority": q4_order_priority,
-    "q10_returned_topk": q10_returned_topk,
-    "q12_priority_class": q12_priority_class,
-    "q7_volume_shipping": q7_volume_shipping,
-    "q9_product_profit": q9_product_profit,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q18_large_orders": q18_large_orders,
-    "q19_disjunctive_revenue": q19_disjunctive_revenue,
-    "cust_priority_concat": cust_priority_concat,
-    "anti_customers_inactive": anti_customers_inactive,
-    "switch_route_orders": switch_route_orders,
-    "filter_parts": filter_parts,
-    "top_orders": top_orders,
-    "distinct_segments": distinct_segments,
-    "nation_region_join": nation_region_join,
-    "union_nation_keys": union_nation_keys,
-    "template_render_customers": template_render_customers,
-    "events_by_type": events_by_type,
-    "events_hourly": events_hourly,
-    "events_sessionize": events_sessionize,
-    "events_user_topk": events_user_topk,
-    "events_extract_k": events_extract_k,
-    "events_sample": events_sample,
-    "events_value_std": events_value_std,
-    "events_multi_agg": events_multi_agg,
-    "events_value_quantiles": events_value_quantiles,
-    "canvas_customer_service": canvas_customer_service,
-    "events_user_ndv": events_user_ndv,
-    "keyword_topn_sketch": keyword_topn_sketch,
-    "events_ndv_sketch": events_ndv_sketch,
-    "events_quantile_sketch": events_quantile_sketch,
-    "asof_events_orders": asof_events_orders,
-    "events_running_sum": events_running_sum,
-    "events_lag_delta": events_lag_delta,
-    "events_rolling_mean": events_rolling_mean,
-    "orders_rank_in_cust": orders_rank_in_cust,
+    # Text-analysis + dedup families next: these are first-class
+    # components of the training-data engine, so their oracle rows must
+    # land inside the driver's ~50-entry recording window.
     "docs_token_count": docs_token_count,
     "docs_token_count_bpe": docs_token_count_bpe,
     "docs_quality": docs_quality,
@@ -2123,6 +2086,52 @@ QUERIES = {
     "relevant_docs": relevant_docs,
     "hybrid_retrieval": hybrid_retrieval,
     "embeddings_knn": embeddings_knn,
+    # Relational core (TPC-H-shaped): exact fixed-point money sums.
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_revenue_topk": q3_revenue_topk,
+    "q5_nation_revenue": q5_nation_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
+    "q10_returned_topk": q10_returned_topk,
+    "q12_priority_class": q12_priority_class,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q9_product_profit": q9_product_profit,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    # One representative of each custom-operator family (asof join,
+    # sessionize, grouped agg, running window, rank) stays in-window;
+    # their variants (lag/rolling/sketch/etc.) sit past the cut and are
+    # covered by pytest + round-1 driver rows.
+    "asof_events_orders": asof_events_orders,
+    "events_sessionize": events_sessionize,
+    "events_hourly": events_hourly,
+    "events_running_sum": events_running_sum,
+    "orders_rank_in_cust": orders_rank_in_cust,
+    "cust_priority_concat": cust_priority_concat,
+    "anti_customers_inactive": anti_customers_inactive,
+    "switch_route_orders": switch_route_orders,
+    "filter_parts": filter_parts,
+    "template_render_customers": template_render_customers,
+    # ---- driver recording window (~50 entries) ends around here ----
+    "top_orders": top_orders,
+    "distinct_segments": distinct_segments,
+    "nation_region_join": nation_region_join,
+    "union_nation_keys": union_nation_keys,
+    "canvas_customer_service": canvas_customer_service,
+    "events_by_type": events_by_type,
+    "events_user_topk": events_user_topk,
+    "events_extract_k": events_extract_k,
+    "events_sample": events_sample,
+    "events_value_std": events_value_std,
+    "events_multi_agg": events_multi_agg,
+    "events_value_quantiles": events_value_quantiles,
+    "events_user_ndv": events_user_ndv,
+    "keyword_topn_sketch": keyword_topn_sketch,
+    "events_ndv_sketch": events_ndv_sketch,
+    "events_quantile_sketch": events_quantile_sketch,
+    "events_lag_delta": events_lag_delta,
+    "events_rolling_mean": events_rolling_mean,
 }
 
 ORACLES = {
