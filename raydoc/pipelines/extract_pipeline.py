@@ -423,14 +423,16 @@ def run_extract_pipeline(
         # (1M docs/32 CPUs: num_cpus=1 → 196 s job, =2 → 139 s, =4 →
         # 93 s, =8 → 112 s). num_cpus is the throttle: 4 CPUs per task
         # ≈ cpus/8 concurrent writes, and honestly reflects the task's
-        # real footprint (>1 core of work plus ~1 GB heap). When P
-        # itself caps concurrency at ≤ cpus/4 the reservation only
-        # DELAYS overlap with the extract phase (measured at sf0.1
-        # P=8/32 CPUs: num_cpus=4 → 9.8k docs/s vs =1 → 11.4k), so
-        # small-P runs keep num_cpus=1. Env override for re-measuring
-        # on other hardware.
+        # real footprint (>1 core of work plus ~1 GB heap). The gate is
+        # PARTITION SIZE, not partition count: small partitions don't
+        # thrash at any width (sf0.1, 25×24 MB partitions at width 25
+        # → 12.2k docs/s; throttling those to width 8 DELAYS overlap
+        # with the extract phase and loses ~20%), so the throttle only
+        # engages when a partition carries >96 MB uncompressed input.
+        # Env override for re-measuring on other hardware.
+        _big_parts = total_bytes / max(1, P) > 96 << 20
         _wcpus = float(_os.environ.get("RAYDOC_WRITE_CPUS", 0)) or (
-            1.0 if P <= _cpus / 4 else min(4.0, max(1.0, _cpus / 8))
+            min(4.0, max(1.0, _cpus / 8)) if _big_parts else 1.0
         )
         manifests_ds = extracted.map_batches(
             _write_block, batch_format="pyarrow", batch_size=None,
