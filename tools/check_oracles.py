@@ -2,7 +2,12 @@
 DuckDB oracle side-by-side, compare row count, column names, and an
 order-insensitive value hash. Usage:
 
-    python tools/check_oracles.py [sf_dir] [name ...]
+    python tools/check_oracles.py [--json OUT.json] [sf_dir] [name ...]
+
+``--json`` also writes driver-style rows (rows_match/schema_match/
+hash_match per query) so a full-registry run can be committed as a
+correctness artifact covering entries past the driver's ~50-entry
+recording window.
 
 Owns its Ray session (the real driver initialises Ray itself)."""
 
@@ -54,8 +59,14 @@ def value_hash(t: pa.Table) -> str:
 def main() -> int:
     import ray
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")
@@ -74,6 +85,7 @@ def main() -> int:
         )
 
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -85,10 +97,16 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL {name}: query raised {ex!r}")
             failures.append(name)
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": repr(ex)[:300]}
             continue
         dt = time.perf_counter() - t0
         if name not in oracles:
             print(f"okro {name}: rows={mine.num_rows} (rows-only, {dt:.1f}s)")
+            records[name] = {"rows_match": mine.num_rows > 0,
+                             "schema_match": None, "hash_match": None,
+                             "spark_rows": mine.num_rows,
+                             "oracle_rows": None, "err": "no_oracle"}
             continue
         try:
             ref = con.sql(oracles[name]).arrow()
@@ -117,7 +135,32 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"ok   {name}: rows={mine.num_rows} hash match ({dt:.1f}s)")
+        records[name] = {
+            "rows_match": mine.num_rows == ref.num_rows,
+            "schema_match": sorted(mine.column_names) == sorted(ref.column_names),
+            "hash_match": not probs,
+            "spark_rows": mine.num_rows,
+            "oracle_rows": ref.num_rows,
+            "err": "; ".join(probs) or None,
+        }
     ray.shutdown()
+    if json_out:
+        import datetime
+        import json as _json
+
+        payload = {
+            "_meta": {
+                "command": "python tools/check_oracles.py --json ... " + sf_dir,
+                "sf_dir": sf_dir,
+                "date": datetime.date.today().isoformat(),
+                "n_queries": len(records),
+                "note": "full-registry local run; covers entries past the "
+                        "driver's ~50-entry recording window",
+            },
+            **records,
+        }
+        with open(json_out, "w") as f:
+            _json.dump(payload, f, indent=1)
     if failures:
         print("FAILURES:", failures)
         return 1

@@ -5,8 +5,7 @@ On a real cluster:
 
     ray job submit --working-dir . -- \
         python tools/run_extract_job.py \
-        --pages s3://bucket/pages/ --out s3://bucket/extracted/ \
-        --rows-per-part 200000
+        --pages s3://bucket/pages/ --out s3://bucket/extracted/
 
 The job is resumable: re-submitting with the same --out skips every
 partition whose manifest is already committed (atomic rename protocol,
@@ -36,9 +35,10 @@ def main() -> int:
                          "factor instead of --pages")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--num-parts", type=int, default=None)
-    ap.add_argument("--rows-per-part", type=int, default=4000,
-                    help="partition sizing when --num-parts is unset; at "
-                         "real scale pick ~100-500 MB of extracted text")
+    ap.add_argument("--rows-per-part", type=int, default=None,
+                    help="explicit row-based partition sizing; default "
+                         "derives byte-targeted partitions (~192 MB of "
+                         "uncompressed input each) from parquet metadata")
     ap.add_argument("--token-budget", type=int, default=256)
     ap.add_argument("--batch-size", type=int, default=None,
                     help="rows per extract batch; default derives from "
