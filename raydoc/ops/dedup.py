@@ -38,6 +38,7 @@ __all__ = [
     "ngram_jaccard",
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
+    "contamination_screen",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -732,3 +733,87 @@ def embedding_near_dup_pairs(
         .groupby("bucket")
         .map_groups(_verify, batch_format="pyarrow")
     )
+
+
+def _doc_gram_hashes(text: str, k: int) -> np.ndarray:
+    """uint64 hash per word-k-gram of ``text`` (position-weighted
+    polynomial of per-token stable hashes, same gram function the
+    MinHash family uses). Docs with fewer than k tokens have NO
+    k-grams and return an empty array — C4-style decontamination
+    semantics, and what a string-based SQL oracle computes."""
+    toks = (text or "").lower().split()
+    if len(toks) < k:
+        return np.empty(0, dtype=np.uint64)
+    th = _token_hashes(toks)
+    if len(toks) == k:
+        return (th * _GRAM_W[:k]).sum(keepdims=True)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(th, k)  # (S, k) view, no copy
+    return (win * _GRAM_W[None, :k]).sum(axis=1)
+
+
+def contamination_screen(
+    corpus,
+    benchmark,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    broadcast_cap: int = _BROADCAST_CAP,
+):
+    """Benchmark-decontamination screen: corpus docs sharing at least
+    one word-k-gram with ANY benchmark doc, with the count of distinct
+    shared grams. The training-data op behind "remove eval-set
+    contamination before pretraining" (the reference has no analogue;
+    its nearest is exact content dedup, base.py:474).
+
+    Returns a Dataset of (id_col, n_hits:int64), one row per
+    contaminated doc; n_hits = number of DISTINCT k-grams of the doc
+    that occur anywhere in the benchmark.
+
+    Scale shape: both sides explode to uint64 gram hashes (8 B per
+    gram, never the gram strings). The membership probe is
+    ``semi_join``: benchmark gram sets small enough to broadcast are
+    ``ray.put`` once and probed per batch with no shuffle (the common
+    case — eval benchmarks are tiny next to a pretraining corpus);
+    bigger ones fall back to a hash shuffle on the gram key. The final
+    per-doc count is a partial-agg ``grouped_agg`` so the groupby
+    shuffle moves one row per (batch, doc)."""
+    from raydoc.ops.relational import grouped_agg, semi_join
+
+    def _bench_grams(b: pa.Table) -> pa.Table:
+        per_doc = [
+            _doc_gram_hashes(t, k) for t in b.column(text_col).to_pylist()
+        ]
+        flat = (
+            np.unique(np.concatenate(per_doc))
+            if per_doc
+            else np.empty(0, dtype=np.uint64)
+        )
+        return pa.Table.from_pydict({"gram": pa.array(flat, pa.uint64())})
+
+    bench_grams = benchmark.map_batches(_bench_grams, batch_format="pyarrow")
+
+    def _corpus_grams(b: pa.Table) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        grams_out: list[np.ndarray] = []
+        ids = b.column(id_col).to_pylist()
+        for i, t in zip(ids, b.column(text_col).to_pylist()):
+            u = np.unique(_doc_gram_hashes(t, k))  # distinct per doc
+            if len(u):
+                ids_out.append(np.full(len(u), i, dtype=np.int64))
+                grams_out.append(u)
+        if not ids_out:
+            return pa.Table.from_pydict(
+                {id_col: pa.array([], pa.int64()),
+                 "gram": pa.array([], pa.uint64())}
+            )
+        return pa.Table.from_pydict(
+            {id_col: pa.array(np.concatenate(ids_out)),
+             "gram": pa.array(np.concatenate(grams_out))}
+        )
+
+    corpus_grams = corpus.map_batches(_corpus_grams, batch_format="pyarrow")
+    hits = semi_join(corpus_grams, bench_grams, "gram", "gram",
+                     broadcast_cap=broadcast_cap)
+    return grouped_agg(hits, [id_col], {"n_hits": ("count", "gram")})

@@ -1,0 +1,128 @@
+"""Graph connectivity over pair/edge Datasets.
+
+The dedup family (raydoc/ops/dedup.py) emits near-duplicate PAIRS; a
+training-data pipeline usually wants duplicate CLUSTERS — "keep one doc
+per group of mutual near-dups" — which is connected components over the
+pair graph. The reference has no graph operator at all (its nearest is
+exact drop_duplicates, /root/reference/agent/component/base.py:474);
+this is one of the scale extensions SURVEY.md §2.5 calls out.
+
+Algorithm: distributed min-label propagation. Every node starts
+labelled with its own id; each round every node takes the minimum label
+among itself and its neighbours; at the fixpoint each component is
+labelled with its minimum member id. Rounds are Dataset-native — a
+tag-union-groupby message join plus a partial-agg min — so each round
+is two hash shuffles over (node, label) rows, never document payloads.
+Iteration state is materialized per round (small: 16 B per node in a
+pair), which is the standard Ray Data pattern for iterative algorithms
+— the lineage graph must not grow with the round count.
+
+Convergence: labels only ever decrease, so the global label sum is
+strictly decreasing until the fixpoint; an unchanged sum IS
+convergence (one cheap scalar aggregate per round, no change-count
+join). Worst-case rounds = graph diameter; near-dup clusters are
+low-diameter in practice, and ``max_rounds`` bounds pathological
+chains (the partial result after r rounds is each node's minimum id
+within r hops — still a valid refinement, never wrong labels).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["connected_components"]
+
+
+def connected_components(
+    pairs,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id: str = "doc_id",
+    out_label: str = "cluster_id",
+    max_rounds: int = 64,
+):
+    """Edge-list Dataset (id_a, id_b) -> (out_id, out_label) with
+    out_label = the minimum id reachable from out_id. One row per
+    distinct node appearing in the pairs (singleton docs are their own
+    trivial cluster and are not emitted — semi-join the corpus against
+    this result to act on duplicates only)."""
+    from raydoc.ops.relational import grouped_agg
+
+    import numpy as np
+
+    # node set with initial labels: each endpoint labels itself
+    def _nodes(b: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [b.column(id_a).to_numpy(zero_copy_only=False).astype(np.int64),
+             b.column(id_b).to_numpy(zero_copy_only=False).astype(np.int64)]
+        )
+        u = np.unique(both)
+        arr = pa.array(u, pa.int64())
+        return pa.Table.from_pydict({"node": arr, "label": arr})
+
+    labels = grouped_agg(
+        pairs.map_batches(_nodes, batch_format="pyarrow"),
+        ["node"], {"label": ("min", "label")},
+    ).materialize()
+
+    # undirected edges as (src, dst) message routes, both directions —
+    # computed once, reused every round
+    def _edges(b: pa.Table) -> pa.Table:
+        a = b.column(id_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column(id_b).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"src": pa.array(np.concatenate([a, c]), pa.int64()),
+             "dst": pa.array(np.concatenate([c, a]), pa.int64())}
+        )
+
+    edges = pairs.map_batches(_edges, batch_format="pyarrow").materialize()
+
+    def _label_sum(lbl) -> int:
+        return lbl.sum("label") or 0
+
+    prev_sum = _label_sum(labels)
+    for _round in range(max_rounds):
+        # message join via tag-union-groupby (one shuffle on the node
+        # key): each group holds the node's label row (dst null) and
+        # its outgoing edge rows (label null); emit (dst, label) per
+        # edge plus the node's own (node, label).
+        def _tag_label(b: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {"key": b.column("node"),
+                 "dst": pa.nulls(b.num_rows, pa.int64()),
+                 "label": b.column("label")}
+            )
+
+        def _tag_edge(b: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {"key": b.column("src"), "dst": b.column("dst"),
+                 "label": pa.nulls(b.num_rows, pa.int64())}
+            )
+
+        def _emit(group: pa.Table) -> pa.Table:
+            lab = pc.min(group.column("label")).as_py()
+            key = group.column("key")[0].as_py()
+            dsts = group.column("dst").drop_null()
+            out_nodes = [key] + dsts.to_pylist()
+            return pa.Table.from_pydict(
+                {"node": pa.array(out_nodes, pa.int64()),
+                 "label": pa.array([lab] * len(out_nodes), pa.int64())}
+            )
+
+        tagged = labels.map_batches(_tag_label, batch_format="pyarrow").union(
+            edges.map_batches(_tag_edge, batch_format="pyarrow")
+        )
+        msgs = tagged.groupby("key").map_groups(_emit, batch_format="pyarrow")
+        labels = grouped_agg(
+            msgs, ["node"], {"label": ("min", "label")}
+        ).materialize()
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:  # labels only decrease: fixpoint reached
+            break
+        prev_sum = cur_sum
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns([out_id, out_label])
+
+    return labels.map_batches(_rename, batch_format="pyarrow")

@@ -1625,6 +1625,108 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
 """
 
 
+def docs_decontaminate(sf_dir: str):
+    """Benchmark-decontamination screen: docs sharing any word-5-gram
+    with the 'src0' benchmark slice (dedup.contamination_screen —
+    benchmark gram hashes broadcast once, corpus grams probed in
+    place, partial-agg hit counts)."""
+    from raydoc.ops.dedup import contamination_screen
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    bench = docs.filter(expr="source == 'src0'")
+    corpus = docs.filter(expr="source != 'src0'")
+    return contamination_screen(corpus, bench, "text", "doc_id", k=5)
+
+
+DOCS_DECONTAMINATE_SQL = """
+WITH tok AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest([array_to_string(w[i:i+4], ' ')
+                 for i in range(1, greatest(len(w) - 4, 0) + 1)]) AS g
+  FROM tok
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+corp AS (SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0')
+SELECT doc_id, count(*) AS n_hits
+FROM corp JOIN bench USING (g)
+GROUP BY doc_id
+"""
+
+
+def docs_dup_clusters(sf_dir: str):
+    """Duplicate CLUSTERS: docs sharing any word-8-gram are edges;
+    components come from distributed min-label propagation
+    (ops/graph.py). Edges are CHAINS within each gram bucket — linear
+    in bucket size, same components as the quadratic clique — so a hot
+    gram never explodes the pair count. The oracle's recursive CTE
+    computes the full transitive closure, so a hash match proves label
+    propagation across rounds, not just 1-hop grouping."""
+    from raydoc.ops.dedup import _doc_gram_hashes
+    from raydoc.ops.graph import connected_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _grams(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids_out, grams_out = [], []
+        for i, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            u = np.unique(_doc_gram_hashes(t, 8))
+            if len(u):
+                ids_out.append(np.full(len(u), i, dtype=np.int64))
+                grams_out.append(u)
+        if not ids_out:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "gram": pa.array([], pa.uint64())}
+            )
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(np.concatenate(ids_out)),
+             "gram": pa.array(np.concatenate(grams_out))}
+        )
+
+    def _chain_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        if len(ids) < 2:
+            return pa.Table.from_pydict(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64())}
+            )
+        return pa.Table.from_pydict(
+            {"id_a": pa.array(ids[:-1], pa.int64()),
+             "id_b": pa.array(ids[1:], pa.int64())}
+        )
+
+    pairs = (
+        ds.map_batches(_grams, batch_format="pyarrow")
+        .groupby("gram")
+        .map_groups(_chain_pairs, batch_format="pyarrow")
+    )
+    return connected_components(pairs)
+
+
+DOCS_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE
+tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+grams AS (SELECT doc_id, unnest([array_to_string(w[i:i+7], ' ')
+          for i in range(1, greatest(len(w) - 7, 0) + 1)]) AS g FROM tok),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+prs AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        FROM dg a JOIN dg b USING (g) WHERE a.doc_id < b.doc_id),
+edges AS (SELECT ia AS src, ib AS dst FROM prs UNION SELECT ib, ia FROM prs),
+lab(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, l.label FROM lab l JOIN edges e ON e.src = l.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM lab GROUP BY node
+"""
+
+
 def docs_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates (no SQL oracle; pytest validates
     against planted near-duplicates and exact n-gram Jaccard)."""
@@ -2079,6 +2181,8 @@ QUERIES = {
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_simhash_pairs": docs_simhash_pairs,
+    "docs_decontaminate": docs_decontaminate,
+    "docs_dup_clusters": docs_dup_clusters,
     "keyword_topn_global": keyword_topn_global,
     "keyword_per_doc": keyword_per_doc,
     "categorize_docs": categorize_docs,
@@ -2107,13 +2211,13 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_hourly": events_hourly,
     "events_running_sum": events_running_sum,
-    "orders_rank_in_cust": orders_rank_in_cust,
-    "cust_priority_concat": cust_priority_concat,
     "anti_customers_inactive": anti_customers_inactive,
     "switch_route_orders": switch_route_orders,
     "filter_parts": filter_parts,
     "template_render_customers": template_render_customers,
     # ---- driver recording window (~50 entries) ends around here ----
+    "orders_rank_in_cust": orders_rank_in_cust,
+    "cust_priority_concat": cust_priority_concat,
     "top_orders": top_orders,
     "distinct_segments": distinct_segments,
     "nation_region_join": nation_region_join,
@@ -2180,6 +2284,8 @@ ORACLES = {
     "docs_pack_sequences": DOCS_PACK_SEQUENCES_SQL,
     "docs_pii_redact": DOCS_PII_REDACT_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
+    "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
+    "docs_dup_clusters": DOCS_DUP_CLUSTERS_SQL,
     "keyword_topn_global": KEYWORD_TOPN_SQL,
     "keyword_per_doc": KEYWORD_PER_DOC_SQL,
     "categorize_docs": CATEGORIZE_SQL,

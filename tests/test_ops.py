@@ -1010,3 +1010,66 @@ class TestGroupedCountDistinct:
         exact = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"].nunique()
         assert out.loc["x", "ndv"] == exact["x"]
         assert out.loc["y", "ndv"] == exact["y"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGraphAndDecontam:
+    def test_connected_components_chain_and_islands(self):
+        import ray.data as rd
+
+        from raydoc.ops.graph import connected_components
+
+        # chain 1-2-3-4-5 (diameter 4, multi-round), island pair 10-11,
+        # self-contained pair 20-21 listed in reverse order
+        pairs = rd.from_arrow(_t(id_a=[2, 3, 1, 4, 10, 21],
+                                 id_b=[3, 4, 2, 5, 11, 20]))
+        out = connected_components(pairs).to_pandas().sort_values("doc_id")
+        got = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                       10: 10, 11: 10, 20: 20, 21: 20}
+
+    def test_connected_components_round_cap_is_refinement(self):
+        import ray.data as rd
+
+        from raydoc.ops.graph import connected_components
+
+        # a long chain cut off after 1 round still yields labels that
+        # are each node's min id within 1 hop (valid refinement)
+        pairs = rd.from_arrow(_t(id_a=[1, 2, 3], id_b=[2, 3, 4]))
+        out = connected_components(pairs, max_rounds=1).to_pandas()
+        got = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert got[1] == 1 and got[2] == 1 and got[3] == 2 and got[4] == 3
+
+    def test_contamination_screen_distinct_hits(self):
+        import ray.data as rd
+
+        from raydoc.ops.dedup import contamination_screen
+
+        bench = rd.from_arrow(_t(doc_id=[100],
+                                 text=["alpha beta gamma delta epsilon"]))
+        corpus = rd.from_arrow(_t(
+            doc_id=[0, 1, 2],
+            text=[
+                # contains the benchmark 5-gram TWICE -> counted once
+                "x alpha beta gamma delta epsilon y alpha beta gamma "
+                "delta epsilon z",
+                "totally unrelated words that never overlap with anything "
+                "here at all",
+                "alpha beta gamma delta",  # only 4 tokens: no 5-gram
+            ],
+        ))
+        out = contamination_screen(corpus, bench, k=5).to_pandas()
+        assert dict(zip(out["doc_id"], out["n_hits"])) == {0: 1}
+
+    def test_contamination_screen_shuffle_path_matches_broadcast(self):
+        import ray.data as rd
+
+        from raydoc.ops.dedup import contamination_screen
+
+        texts = [f"w{i} w{i+1} w{i+2} common tail phrase here now" for i in range(6)]
+        bench = rd.from_arrow(_t(doc_id=[50, 51], text=texts[:2]))
+        corpus = rd.from_arrow(_t(doc_id=list(range(4)), text=texts[2:]))
+        a = contamination_screen(corpus, bench, k=5).to_pandas()
+        b = contamination_screen(corpus, bench, k=5, broadcast_cap=1).to_pandas()
+        assert sorted(map(tuple, a.values.tolist())) == \
+            sorted(map(tuple, b.values.tolist()))
