@@ -184,6 +184,16 @@ _TAG_RE = re.compile(
     r"(?P<end>>)?"
     r")"
 )
+# element-only shape for the hot path: _scan dispatches on the char
+# after '<' (letter/slash -> element, '!'/'?' -> markup handled with
+# find()), so the common case skips the comment/decl/pi alternation and
+# extracts 4 groups instead of 7. Semantics identical to _TAG_RE, which
+# remains the single-regex reference shape.
+_ELEM_RE = re.compile(
+    r"</?(?P<name>[a-zA-Z][a-zA-Z0-9:._-]*)"
+    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"
+    r"(?P<end>>)?"
+)
 # script/style content is raw text until the matching close tag
 # (html.parser's CDATA_CONTENT_ELEMENTS semantics)
 _CDATA_CLOSE = {
@@ -207,9 +217,23 @@ def _scan(html: str, tb: _TreeBuilder) -> None:
         if lt > pos:
             data = html[pos:lt]
             handle_data(unescape(data) if "&" in data else data)
-        m = _TAG_RE.match(html, lt)
+        nxt = html[lt + 1] if lt + 1 < n else ""
+        if nxt == "!" or nxt == "?":
+            # markup declarations / comments / PIs: same recovery as
+            # _TAG_RE's comment|decl|pi alternatives, via find()
+            if html.startswith("!--", lt + 1):
+                cend = find("-->", lt + 4)
+                pos = n if cend < 0 else cend + 3
+            elif html.startswith("![CDATA[", lt + 1):
+                cend = find("]]>", lt)  # marked section: skip to ']]>'
+                pos = n if cend < 0 else cend + 3
+            else:  # decl / pi: consume to the first '>' (or EOF)
+                gt = find(">", lt)
+                pos = n if gt < 0 else gt + 1
+            continue
+        m = _ELEM_RE.match(html, lt)
         if m is None:
-            if lt + 1 < n and html[lt + 1] == "/":
+            if nxt == "/":
                 # bogus end tag like '</ p>': discard to the next '>'
                 gt = find(">", lt)
                 pos = n if gt < 0 else gt + 1
@@ -217,24 +241,12 @@ def _scan(html: str, tb: _TreeBuilder) -> None:
                 handle_data("<")
                 pos = lt + 1
             continue
-        comment, decl, pi, close, name, attrs, end = m.group(
-            "comment", "decl", "pi", "close", "name", "attrs", "end"
-        )
-        if name is None:
-            if comment is not None:
-                cend = find("-->", m.end())
-                pos = n if cend < 0 else cend + 3
-            elif decl is not None and decl.startswith("![CDATA["):
-                cend = find("]]>", lt)  # marked section: skip to ']]>'
-                pos = n if cend < 0 else cend + 3
-            else:  # decl / pi
-                pos = m.end()
-            continue
+        name, attrs, end = m.group("name", "attrs", "end")
         if end is None:  # unterminated tag at EOF
             break
         name = name.lower()
         pos = m.end()
-        if close:
+        if nxt == "/":
             tb.handle_endtag(name)
             continue
         if attrs and attrs.rstrip().endswith("/"):

@@ -30,6 +30,7 @@ __all__ = [
     "repetition_batch",
     "pii_redact_batch",
     "shingles",
+    "top_salient_terms",
     "STOPWORDS",
 ]
 
@@ -260,3 +261,90 @@ def shingles(text: str, k: int) -> list[str]:
     if len(toks) <= k:
         return [" ".join(toks)]
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def top_salient_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+                      top_k: int = 3):
+    """Per-doc top-k terms by tf·(N/df) — the linear-idf tf-idf variant.
+
+    Linear idf (N/df instead of log(N/df)) is chosen deliberately: the
+    ranking key reduces to tf/df, an exactly-rounded IEEE division of
+    two integers that is bit-identical in numpy and any SQL engine,
+    where log-idf would hang the ranking on libm's last ulp. The output
+    carries only integers and strings (doc_id, term, tf, df, rank), so
+    an oracle hash comparison is exact.
+
+    Dataflow (the "global statistic, broadcast back" pattern):
+      1. document frequencies: per-batch partial DF counts (one row per
+         (batch, token)) -> partial-agg ``grouped_agg`` sum — the only
+         shuffle, and it moves token/int rows, never text;
+      2. the DF table is collected and ``ray.put`` once (vocabulary is
+         Heaps-law sublinear in corpus size; for corpora whose vocab
+         outgrows a broadcast, swap step 2 for a shuffle join on term
+         and a regroup by doc — two more all-to-alls);
+      3. per-doc scoring + local top-k inside one map_batches against
+         the per-process cached DF dict — no further shuffle.
+    """
+    import numpy as np
+    import ray
+
+    from raydoc.ops.relational import grouped_agg
+
+    def _partial_df(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for t in b.column(text_col).to_pylist():
+            cnt.update(set((t or "").lower().split()))
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(cnt.keys()), pa.string()),
+             "df": pa.array(list(cnt.values()), pa.int64())}
+        )
+
+    df_ds = grouped_agg(
+        ds.map_batches(_partial_df, batch_format="pyarrow"),
+        ["term"], {"df": ("sum", "df")},
+    )
+    parts = [p for p in ray.get(df_ds.to_arrow_refs()) if p.num_rows]
+    df_tbl = (
+        pa.concat_tables(parts) if parts
+        else pa.table({"term": pa.array([], pa.string()),
+                       "df": pa.array([], pa.int64())})
+    )
+    df_ref = ray.put(df_tbl)
+    cache_key = ("salient_df", df_ref.hex())
+
+    def _score(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from raydoc.ops.relational import _bcast_cached
+
+        df_map = _bcast_cached(
+            cache_key,
+            lambda: dict(zip(ray.get(df_ref).column("term").to_pylist(),
+                             ray.get(df_ref).column("df").to_pylist())),
+        )
+        ids_out, terms_out, tfs, dfs, ranks = [], [], [], [], []
+        for i, t in zip(b.column(id_col).to_pylist(),
+                        b.column(text_col).to_pylist()):
+            cnt = Counter((t or "").lower().split())
+            if not cnt:
+                continue
+            scored = sorted(
+                ((-(tf / df_map[term]), term, tf) for term, tf in cnt.items()),
+            )[:top_k]
+            for r, (_neg, term, tf) in enumerate(scored, start=1):
+                ids_out.append(i)
+                terms_out.append(term)
+                tfs.append(tf)
+                dfs.append(df_map[term])
+                ranks.append(r)
+        return pa.Table.from_pydict(
+            {id_col: pa.array(ids_out, pa.int64()),
+             "term": pa.array(terms_out, pa.string()),
+             "tf": pa.array(tfs, pa.int64()),
+             "df": pa.array(dfs, pa.int64()),
+             "rank": pa.array(ranks, pa.int64())}
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")

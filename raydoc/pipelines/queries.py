@@ -1727,6 +1727,34 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM lab GROUP BY node
 """
 
 
+def docs_top_terms(sf_dir: str):
+    """Per-doc top-3 salient terms by tf·(N/df) (linear-idf tf-idf;
+    ops/text.py top_salient_terms — global DF shuffle once, DF table
+    broadcast, per-doc scoring with no second shuffle)."""
+    from raydoc.ops.text import top_salient_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return top_salient_terms(ds, "text", "doc_id", top_k=3)
+
+
+DOCS_TOP_TERMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY tf::DOUBLE / df DESC, term
+         ) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, rank FROM scored WHERE rank <= 3
+"""
+
+
 def docs_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates (no SQL oracle; pytest validates
     against planted near-duplicates and exact n-gram Jaccard)."""
@@ -2216,6 +2244,7 @@ QUERIES = {
     "filter_parts": filter_parts,
     "template_render_customers": template_render_customers,
     # ---- driver recording window (~50 entries) ends around here ----
+    "docs_top_terms": docs_top_terms,
     "orders_rank_in_cust": orders_rank_in_cust,
     "cust_priority_concat": cust_priority_concat,
     "top_orders": top_orders,
@@ -2286,6 +2315,7 @@ ORACLES = {
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
     "docs_dup_clusters": DOCS_DUP_CLUSTERS_SQL,
+    "docs_top_terms": DOCS_TOP_TERMS_SQL,
     "keyword_topn_global": KEYWORD_TOPN_SQL,
     "keyword_per_doc": KEYWORD_PER_DOC_SQL,
     "categorize_docs": CATEGORIZE_SQL,

@@ -1073,3 +1073,23 @@ class TestGraphAndDecontam:
         b = contamination_screen(corpus, bench, k=5, broadcast_cap=1).to_pandas()
         assert sorted(map(tuple, a.values.tolist())) == \
             sorted(map(tuple, b.values.tolist()))
+
+    def test_top_salient_terms_ranking_and_ties(self):
+        import ray.data as rd
+
+        from raydoc.ops.text import top_salient_terms
+
+        # "rare" appears only in doc 0 (df=1, tf=2 -> ratio 2.0);
+        # "shared" in both docs (df=2); tie between "aa" and "bb"
+        # (tf=1, df=1 each) broken by term asc
+        ds = rd.from_arrow(_t(
+            doc_id=[0, 1],
+            text=["rare rare shared bb aa", "shared shared other"],
+        ))
+        out = top_salient_terms(ds, top_k=3).to_pandas()
+        d0 = out[out.doc_id == 0].sort_values("rank")
+        assert list(d0["term"]) == ["rare", "aa", "bb"]
+        assert list(d0["tf"]) == [2, 1, 1]
+        assert list(d0["df"]) == [1, 1, 1]
+        d1 = out[out.doc_id == 1].sort_values("rank")
+        assert list(d1["term"]) == ["other", "shared"]
