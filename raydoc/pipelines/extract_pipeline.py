@@ -429,10 +429,15 @@ def run_extract_pipeline(
         # → 12.2k docs/s; throttling those to width 8 DELAYS overlap
         # with the extract phase and loses ~20%), so the throttle only
         # engages when a partition carries >96 MB uncompressed input.
-        # Env override for re-measuring on other hardware.
+        # The reservation is also capped at cpus/4 so small clusters
+        # keep enough write WIDTH: at 8 CPUs / 1M docs, num_cpus=4
+        # (2 concurrent writes) serialized the write phase to 1.5k
+        # docs/s, =1 (8 concurrent) thrashed to 2.6k, =2 (4 concurrent)
+        # is the measured optimum at 3.0k. Env override for
+        # re-measuring on other hardware.
         _big_parts = total_bytes / max(1, P) > 96 << 20
         _wcpus = float(_os.environ.get("RAYDOC_WRITE_CPUS", 0)) or (
-            min(4.0, max(1.0, _cpus / 8)) if _big_parts else 1.0
+            min(4.0, max(1.0, _cpus / 4)) if _big_parts else 1.0
         )
         manifests_ds = extracted.map_batches(
             _write_block, batch_format="pyarrow", batch_size=None,
