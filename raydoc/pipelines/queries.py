@@ -2228,9 +2228,14 @@ QUERIES = {
     "q12_priority_class": q12_priority_class,
     "q7_volume_shipping": q7_volume_shipping,
     "q9_product_profit": q9_product_profit,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q18_large_orders": q18_large_orders,
-    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    # Oracle-backed round-2 additions with no round-1 driver row get
+    # in-window slots; the displaced TPC-H variants (q12/q14/q18/q19)
+    # already have hash-green rows in CORRECTNESS_r01.json and move
+    # past the cut.
+    "docs_top_terms": docs_top_terms,
+    "events_multi_agg": events_multi_agg,
+    "events_user_ndv": events_user_ndv,
+    "keyword_topn_sketch": keyword_topn_sketch,
     # One representative of each custom-operator family (asof join,
     # sessionize, grouped agg, running window, rank) stays in-window;
     # their variants (lag/rolling/sketch/etc.) sit past the cut and are
@@ -2242,9 +2247,11 @@ QUERIES = {
     "anti_customers_inactive": anti_customers_inactive,
     "switch_route_orders": switch_route_orders,
     "filter_parts": filter_parts,
-    "template_render_customers": template_render_customers,
     # ---- driver recording window (~50 entries) ends around here ----
-    "docs_top_terms": docs_top_terms,
+    "template_render_customers": template_render_customers,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "orders_rank_in_cust": orders_rank_in_cust,
     "cust_priority_concat": cust_priority_concat,
     "top_orders": top_orders,
@@ -2257,10 +2264,7 @@ QUERIES = {
     "events_extract_k": events_extract_k,
     "events_sample": events_sample,
     "events_value_std": events_value_std,
-    "events_multi_agg": events_multi_agg,
     "events_value_quantiles": events_value_quantiles,
-    "events_user_ndv": events_user_ndv,
-    "keyword_topn_sketch": keyword_topn_sketch,
     "events_ndv_sketch": events_ndv_sketch,
     "events_quantile_sketch": events_quantile_sketch,
     "events_lag_delta": events_lag_delta,
