@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["hash_sample"]
+__all__ = ["hash_sample", "stratified_hash_sample", "upsample_by_factor"]
 
 _A, _C, _M = 1103515245, 12345, 2**31
 
@@ -29,5 +29,50 @@ def hash_sample(ds, key_col: str, percent: int):
         k = pc.cast(b.column(key_col), pa.int64()).to_numpy(zero_copy_only=False)
         h = ((k * _A + _C) % _M) % 100
         return b.filter(pa.array(h < percent))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def stratified_hash_sample(ds, key_col: str, strata_col: str,
+                           rates: dict[str, int], default_percent: int = 0):
+    """Per-stratum deterministic sampling for training-mix construction
+    (e.g. downsample 'en' to 10%, keep low-resource languages whole).
+    Same LCG as :func:`hash_sample`, but the keep threshold is looked
+    up from the row's stratum. Embarrassingly parallel — no shuffle,
+    no per-stratum pass; one vectorized `if_else` chain per batch."""
+
+    def _f(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = pc.cast(b.column(key_col), pa.int64()).to_numpy(zero_copy_only=False)
+        h = pa.array(((k * _A + _C) % _M) % 100, pa.int64())
+        col = b.column(strata_col)
+        thr = pa.array(np.full(len(b), default_percent, np.int64))
+        for v, p in rates.items():
+            thr = pc.if_else(pc.equal(col, pa.scalar(v)),
+                             pa.scalar(p, pa.int64()), thr)
+        return b.filter(pc.less(h, thr))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def upsample_by_factor(ds, factor_of, rep_col: str = "rep"):
+    """Repeat each row ``factor_of(batch)[i]`` times (int >= 0), adding
+    ``rep_col`` = 1..factor within each source row. The training-mix
+    upsampling primitive: high-quality buckets repeated, low-quality
+    kept once (factor 1) or dropped (factor 0). Pure per-batch
+    ``np.repeat`` take — streams, never shuffles; output block size
+    grows by the mean factor, so callers with large factors should
+    lower ``batch_size`` upstream."""
+    import numpy as np
+
+    def _f(b: pa.Table) -> pa.Table:
+        fac = np.asarray(factor_of(b), np.int64)
+        idx = np.repeat(np.arange(len(fac), dtype=np.int64), fac)
+        out = b.take(pa.array(idx))
+        starts = np.cumsum(fac) - fac  # first output position per row
+        rep = (np.arange(idx.size, dtype=np.int64)
+               - np.repeat(starts, fac) + 1)
+        return out.append_column(rep_col, pa.array(rep, pa.int64()))
 
     return ds.map_batches(_f, batch_format="pyarrow")

@@ -1755,6 +1755,84 @@ SELECT doc_id, term, tf, df, rank FROM scored WHERE rank <= 3
 """
 
 
+def docs_sample_stratified(sf_dir: str):
+    """Per-language deterministic sampling (training-mix construction:
+    downsample the dominant language, keep low-resource ones whole).
+    Embarrassingly parallel — no shuffle."""
+    from raydoc.ops.sampling import stratified_hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return stratified_hash_sample(
+        ds, "doc_id", "lang",
+        rates={"en": 10, "de": 40, "fr": 100}, default_percent=25)
+
+
+DOCS_SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 100 <
+      CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 40
+                WHEN 'fr' THEN 100 ELSE 25 END
+"""
+
+
+def docs_mix_upsample(sf_dir: str):
+    """Quality-bucket upsampling: long documents repeated 3x, medium
+    2x, short once, each copy tagged with its rep index (training-mix
+    epoch weighting). Streams — per-batch np.repeat, no shuffle."""
+    from raydoc.ops.sampling import upsample_by_factor
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def _factor(b: pa.Table):
+        n = b.column("n_chars").to_numpy(zero_copy_only=False)
+        return np.where(n >= 350, 3, np.where(n >= 200, 2, 1))
+
+    return upsample_by_factor(ds, _factor)
+
+
+DOCS_MIX_UPSAMPLE_SQL = """
+SELECT doc_id, lang, n_chars,
+       unnest(range(1, CASE WHEN n_chars >= 350 THEN 3
+                            WHEN n_chars >= 200 THEN 2
+                            ELSE 1 END + 1)) AS rep
+FROM documents
+"""
+
+
+def events_outlier_filter(sf_dir: str):
+    """Two-pass global-quantile outlier screen: exact p99 of value
+    (quantile_cont semantics), then per-type count/sum over the
+    surviving rows. The exact pass shuffles ONE 8-byte column into a
+    single group — fine to ~1e9 rows; at true web scale swap the
+    threshold pass for ops/sketch.py's mergeable quantile sketch."""
+    from raydoc.ops.relational import grouped_quantile
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    thr_ds = grouped_quantile(
+        ds.map_batches(
+            lambda b: b.append_column("g", pa.array(np.zeros(len(b), np.int8))),
+            batch_format="pyarrow"),
+        ["g"], "value", {"p99": 0.99})
+    p99 = thr_ds.take_all()[0]["p99"]  # single scalar — driver-safe
+
+    kept = ds.map_batches(
+        lambda b: b.filter(pc.less_equal(b.column("value"),
+                                         pa.scalar(p99, pa.float64()))),
+        batch_format="pyarrow")
+    agg = grouped_agg(kept, keys=["event_type"],
+                      aggs={"n": ("count", "value"),
+                            "sum_value": ("sum", "value")})
+    return agg.map_batches(lambda b: round_col(b, "sum_value", 6),
+                           batch_format="pyarrow")
+
+
+EVENTS_OUTLIER_FILTER_SQL = """
+WITH thr AS (SELECT quantile_cont(value, 0.99) AS q FROM events)
+SELECT event_type, count(value) AS n, round(sum(value), 6) AS sum_value
+FROM events, thr WHERE value <= q GROUP BY event_type
+"""
+
+
 def docs_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates (no SQL oracle; pytest validates
     against planted near-duplicates and exact n-gram Jaccard)."""
@@ -2263,6 +2341,9 @@ QUERIES = {
     "events_user_topk": events_user_topk,
     "events_extract_k": events_extract_k,
     "events_sample": events_sample,
+    "docs_sample_stratified": docs_sample_stratified,
+    "docs_mix_upsample": docs_mix_upsample,
+    "events_outlier_filter": events_outlier_filter,
     "events_value_std": events_value_std,
     "events_value_quantiles": events_value_quantiles,
     "events_ndv_sketch": events_ndv_sketch,
@@ -2299,6 +2380,9 @@ ORACLES = {
     "events_user_topk": EVENTS_USER_TOPK_SQL,
     "events_extract_k": EVENTS_EXTRACT_SQL,
     "events_sample": EVENTS_SAMPLE_SQL,
+    "docs_sample_stratified": DOCS_SAMPLE_STRATIFIED_SQL,
+    "docs_mix_upsample": DOCS_MIX_UPSAMPLE_SQL,
+    "events_outlier_filter": EVENTS_OUTLIER_FILTER_SQL,
     "events_value_std": EVENTS_STD_SQL,
     "events_user_ndv": EVENTS_USER_NDV_SQL,
     "keyword_topn_sketch": KEYWORD_TOPN_SQL,

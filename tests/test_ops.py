@@ -1093,3 +1093,44 @@ class TestGraphAndDecontam:
         assert list(d0["df"]) == [1, 1, 1]
         d1 = out[out.doc_id == 1].sort_values("rank")
         assert list(d1["term"]) == ["other", "shared"]
+
+
+class TestSamplingMix:
+    def test_stratified_rates_and_determinism(self):
+        import ray.data as rd
+
+        from raydoc.ops.sampling import stratified_hash_sample
+
+        n = 4000
+        langs = ["en", "de", "fr", "zh"]
+        t = _t(doc_id=list(range(n)), lang=[langs[i % 4] for i in range(n)])
+        rates = {"en": 10, "de": 50, "fr": 100}
+        out = stratified_hash_sample(
+            rd.from_arrow(t), "doc_id", "lang", rates,
+            default_percent=0).to_pandas()
+        by = out.groupby("lang").size().to_dict()
+        assert by.get("fr") == n // 4          # 100% stratum kept whole
+        assert "zh" not in by                  # default 0 drops stratum
+        assert 0.05 < by["en"] / (n / 4) < 0.16
+        assert 0.40 < by["de"] / (n / 4) < 0.60
+        # identical keep set at a different partitioning
+        out2 = stratified_hash_sample(
+            rd.from_arrow(t).repartition(7), "doc_id", "lang", rates,
+            default_percent=0).to_pandas()
+        assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+    def test_upsample_factor_invariants(self):
+        import ray.data as rd
+
+        from raydoc.ops.sampling import upsample_by_factor
+
+        t = _t(doc_id=[0, 1, 2, 3], w=[3, 1, 0, 2])
+
+        def fac(b):
+            return b.column("w").to_numpy(zero_copy_only=False)
+
+        out = upsample_by_factor(rd.from_arrow(t), fac).to_pandas()
+        assert len(out) == 6                   # sum of factors
+        assert 2 not in set(out.doc_id)        # factor 0 drops the row
+        reps = out.groupby("doc_id")["rep"].apply(sorted).to_dict()
+        assert reps == {0: [1, 2, 3], 1: [1], 3: [1, 2]}

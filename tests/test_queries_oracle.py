@@ -23,6 +23,9 @@ NEW_QUERIES = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "cust_priority_concat",
+    "docs_sample_stratified",
+    "docs_mix_upsample",
+    "events_outlier_filter",
 ]
 
 
