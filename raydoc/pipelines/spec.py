@@ -26,7 +26,8 @@ top_k, group_top_k, distinct_on, limit, select, broadcast_join_parquet,
 semi_join_parquet, running_agg, lag_delta, group_rank, rolling_agg,
 code (sandboxed subprocess script, the reference's Code component),
 udf (registered in-process batch callable with declared output schema),
-approx_ndv / heavy_hitters (sketches), count_distinct, pack_sequences.
+approx_ndv / heavy_hitters (sketches), count_distinct, pack_sequences,
+hash_sample / stratified_sample (deterministic training-mix sampling).
 Sinks: collect, count, write_parquet, side_effect (idempotent per-key
 ledger, stages/sink_stage.py).
 """
@@ -300,6 +301,17 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
             "raydoc.ops.window", fromlist=["pack_sequences"]
         ).pack_sequences(ds, p["token_col"], p["budget"], p["order_cols"],
                          p["key_col"])),
+    "hash_sample": (
+        lambda p: _require(p, "key_col", "percent"),
+        lambda ds, p: __import__(
+            "raydoc.ops.sampling", fromlist=["hash_sample"]
+        ).hash_sample(ds, p["key_col"], p["percent"])),
+    "stratified_sample": (
+        lambda p: _require(p, "key_col", "strata_col", "rates"),
+        lambda ds, p: __import__(
+            "raydoc.ops.sampling", fromlist=["stratified_hash_sample"]
+        ).stratified_hash_sample(ds, p["key_col"], p["strata_col"],
+                                 p["rates"], p.get("default_percent", 0))),
 }
 
 _VALID_PREDICATE_OPS = None

@@ -251,3 +251,33 @@ class TestSpecNewOps:
                      "key_col": "k"}})
         with _pt.raises(SpecError):
             validate_spec({**base, "sink": {"op": "side_effect"}})
+
+
+class TestSpecSampling:
+    def test_validation_and_run(self, sf_dir):
+        import pytest as _pt
+
+        from raydoc.pipelines.spec import SpecError, run_spec, validate_spec
+
+        base = {"source": {"op": "read_parquet", "path": "/tmp/x.parquet"}}
+        for op, missing in (
+            ("hash_sample", {"key_col": "k"}),            # no percent
+            ("stratified_sample", {"key_col": "k",
+                                   "rates": {"a": 1}}),   # no strata_col
+        ):
+            with _pt.raises(SpecError):
+                validate_spec({**base, "stages": [{"op": op, **missing}]})
+
+        spec = {
+            "source": {"op": "read_parquet",
+                       "path": f"{sf_dir}/documents.parquet",
+                       "columns": ["doc_id", "lang"]},
+            "stages": [
+                {"op": "stratified_sample", "key_col": "doc_id",
+                 "strata_col": "lang", "rates": {"en": 100},
+                 "default_percent": 0},
+            ],
+            "sink": {"op": "collect"},
+        }
+        out = run_spec(spec).to_pandas()
+        assert len(out) > 0 and set(out["lang"]) == {"en"}
