@@ -39,6 +39,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
     "contamination_screen",
+    "segment_dedup",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -817,3 +818,187 @@ def contamination_screen(
     hits = semi_join(corpus_grams, bench_grams, "gram", "gram",
                      broadcast_cap=broadcast_cap)
     return grouped_agg(hits, [id_col], {"n_hits": ("count", "gram")})
+
+
+def _explode_segments(batch: pa.Table, text_col: str, id_col: str,
+                      seg_words: int):
+    """Vectorized doc -> non-overlapping word-segment explode.
+
+    Splits each doc into words (``pc.split_pattern``), then rebuilds the
+    flat word array's list offsets at ``seg_words`` boundaries and joins
+    each run back into one string with ``pc.binary_join`` — no Python
+    loop over words. Returns ``(ids, doc_idx, seg_no, segs, nseg)``:
+    per-segment doc id / batch-local doc index / in-doc segment number /
+    segment string, plus the per-doc segment count.
+    """
+    texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+    words = pc.split_pattern(texts, " ")
+    off = np.asarray(words.offsets, dtype=np.int64)
+    flat = words.values
+    nw = np.diff(off)
+    nseg = -(-nw // seg_words)  # ceil; "" splits to [""] so nw >= 1
+    total = int(nseg.sum())
+    doc_idx = np.repeat(np.arange(len(nw), dtype=np.int64), nseg)
+    first = np.cumsum(nseg) - nseg
+    seg_no = np.arange(total, dtype=np.int64) - first[doc_idx]
+    starts = off[:-1][doc_idx] + seg_words * seg_no
+    # each segment's end == the next segment's start (contiguous runs),
+    # so the starts themselves are valid list offsets
+    seg_offsets = pa.array(np.append(starts, off[-1]), pa.int32())
+    segs = pc.binary_join(pa.ListArray.from_arrays(seg_offsets, flat), " ")
+    ids = pc.take(batch.column(id_col).combine_chunks(),
+                  pa.array(doc_idx, pa.int64()))
+    return ids, doc_idx, seg_no, segs, nseg
+
+
+def _segment_keys(segs: pa.Array) -> pa.Array:
+    """md5 of each segment string — a fixed 16-byte comparator like
+    exact_dedup's, so banning is collision-safe (128-bit) at any corpus
+    size and matches DuckDB ``md5(seg)`` exactly."""
+    return pa.array([md5_hex(s) for s in segs.to_pylist()], pa.string())
+
+
+def segment_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+    max_docs: int = 1,
+    broadcast_cap: int = _BROADCAST_CAP,
+):
+    """Duplicated-span removal (the C4 / RefinedWeb line-dedup shape):
+    split every doc into non-overlapping ``seg_words``-word segments,
+    ban each segment text that occurs in more than ``max_docs`` DISTINCT
+    docs, drop banned segments from every doc and reassemble the
+    survivors in order. Boilerplate that repeats across a crawl (nav
+    bars, cookie banners, licence footers) disappears corpus-wide while
+    each doc keeps its unique prose. The reference's only dedup is
+    whole-content drop_duplicates (base.py:474,509); this is the
+    intra-document extension a pretraining pipeline needs.
+
+    Output: one row per input doc —
+    ``(id_col, text_clean, n_segs:int64, n_removed:int64)`` where
+    text_clean is the ' '-joined surviving segments ('' if none).
+
+    Scale shape: pass 1 explodes to per-batch-DISTINCT
+    ``(seg md5, doc)`` pairs collapsed to ``(key, n_docs_partial)``
+    rows (docs never span batches), so the counting shuffle moves one
+    33-byte row per distinct segment per batch; a partial-agg groupby
+    then yields banned keys. Pass 2 picks between two plans:
+
+    * banned count <= ``broadcast_cap``: banned-key blocks stay in the
+      object store and every worker probes them via the per-process
+      cache (``relational._bcast_cached``) — doc text is re-segmented
+      in place and NEVER shuffles.
+    * larger: slim ``(doc, seg_no, key)`` rows semi-join the banned
+      keys, the matches collapse to per-doc removal rows, and a
+      tag-union ``groupby(doc).map_groups`` co-partitions those with
+      the docs — text moves through exactly one shuffle.
+    """
+    import ray
+
+    from raydoc.ops.relational import (
+        _bcast_cached,
+        grouped_agg,
+        shuffle_semi_join,
+    )
+
+    def _partial_counts(batch: pa.Table) -> pa.Table:
+        ids, _di, _sn, segs, _ns = _explode_segments(
+            batch, text_col, id_col, seg_words)
+        pairs = pa.table({"k": _segment_keys(segs), "d": ids})
+        pairs = pairs.group_by(["k", "d"]).aggregate([])  # distinct in batch
+        part = pairs.group_by("k").aggregate([("d", "count")])
+        return pa.table({"k": part.column("k"),
+                         "n_part": part.column("d_count").cast(pa.int64())})
+
+    counts = grouped_agg(
+        ds.map_batches(_partial_counts, batch_format="pyarrow"),
+        ["k"], {"n_docs": ("sum", "n_part")},
+    )
+    banned = counts.filter(expr=f"n_docs > {int(max_docs)}") \
+        .select_columns(["k"]).materialize()
+
+    if banned.count() <= broadcast_cap:
+        refs = list(banned.to_arrow_refs())
+        cache_key = tuple(r.hex() for r in refs) + ("segdedup",)
+
+        def _load_banned():
+            tbls = [t for t in ray.get(list(refs)) if t.num_rows]
+            if not tbls:
+                return pa.array([], pa.string())
+            return pc.unique(pa.concat_arrays(
+                [c for t in tbls for c in t.column("k").chunks]))
+
+        def _clean(batch: pa.Table) -> pa.Table:
+            banned_arr = _bcast_cached(cache_key, _load_banned)
+            _ids, doc_idx, _sn, segs, nseg = _explode_segments(
+                batch, text_col, id_col, seg_words)
+            keep = pc.invert(pc.is_in(_segment_keys(segs),
+                                      value_set=banned_arr))
+            keep_np = np.asarray(keep.to_numpy(zero_copy_only=False))
+            return _reassemble(batch, id_col, doc_idx, segs, nseg, keep_np)
+
+        return ds.map_batches(_clean, batch_format="pyarrow")
+
+    # shuffle plan: only slim rows and (once) the doc text move
+    def _slim(batch: pa.Table) -> pa.Table:
+        ids, _di, seg_no, segs, _ns = _explode_segments(
+            batch, text_col, id_col, seg_words)
+        return pa.table({id_col: ids, "seg_no": pa.array(seg_no),
+                         "k": _segment_keys(segs)})
+
+    removals = shuffle_semi_join(
+        ds.map_batches(_slim, batch_format="pyarrow"), banned, "k", "k"
+    ).select_columns([id_col, "seg_no"])
+
+    def _tag_docs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b.column(id_col),
+            text_col: b.column(text_col),
+            "seg_no": pa.nulls(b.num_rows, pa.int64()),
+        })
+
+    def _tag_removals(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b.column(id_col),
+            text_col: pa.nulls(b.num_rows, pa.string()),
+            "seg_no": b.column("seg_no").cast(pa.int64()),
+        })
+
+    tagged = ds.select_columns([id_col, text_col]) \
+        .map_batches(_tag_docs, batch_format="pyarrow") \
+        .union(removals.map_batches(_tag_removals, batch_format="pyarrow"))
+
+    def _rebuild(group: pa.Table) -> pa.Table:
+        doc_rows = group.filter(pc.is_valid(group.column(text_col)))
+        removed = group.column("seg_no").drop_null().to_numpy(
+            zero_copy_only=False)
+        one = pa.table({id_col: doc_rows.column(id_col).slice(0, 1),
+                        text_col: doc_rows.column(text_col).slice(0, 1)})
+        _ids, doc_idx, seg_no, segs, nseg = _explode_segments(
+            one, text_col, id_col, seg_words)
+        keep_np = ~np.isin(seg_no, removed)
+        return _reassemble(one, id_col, doc_idx, segs, nseg, keep_np)
+
+    return tagged.groupby(id_col).map_groups(_rebuild,
+                                             batch_format="pyarrow")
+
+
+def _reassemble(batch: pa.Table, id_col: str, doc_idx: np.ndarray,
+                segs: pa.Array, nseg: np.ndarray,
+                keep: np.ndarray) -> pa.Table:
+    """Join each doc's surviving segments back into one string
+    (vectorized ``pc.binary_join`` over rebuilt list offsets)."""
+    n_docs = len(nseg)
+    keep_per_doc = np.bincount(doc_idx[keep], minlength=n_docs)
+    offsets = pa.array(
+        np.concatenate([[0], np.cumsum(keep_per_doc)]), pa.int32())
+    surv = segs.filter(pa.array(keep))
+    clean = pc.binary_join(pa.ListArray.from_arrays(offsets, surv), " ")
+    return pa.table({
+        id_col: batch.column(id_col),
+        "text_clean": clean,
+        "n_segs": pa.array(nseg.astype(np.int64)),
+        "n_removed": pa.array((nseg - keep_per_doc).astype(np.int64)),
+    })

@@ -1625,6 +1625,41 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
 """
 
 
+def docs_segment_dedup(sf_dir: str):
+    """Duplicated-span removal (the C4/RefinedWeb line-dedup shape):
+    non-overlapping word-8 segments occurring in >1 DISTINCT doc are
+    banned corpus-wide and dropped from every doc, survivors rejoined
+    in order (ops/dedup.segment_dedup — md5 segment keys, broadcast or
+    tag-union shuffle removal plan; text never shuffles on the
+    broadcast plan)."""
+    from raydoc.ops.dedup import segment_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return segment_dedup(ds, "text", "doc_id", seg_words=8, max_docs=1)
+
+
+DOCS_SEGMENT_DEDUP_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+), segs AS (
+  SELECT doc_id, (ord - 1) // 8 AS seg_no,
+         string_agg(w, ' ' ORDER BY ord) AS seg
+  FROM words GROUP BY doc_id, (ord - 1) // 8
+), counts AS (
+  SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg
+)
+SELECT s.doc_id,
+       coalesce(string_agg(CASE WHEN c.nd <= 1 THEN s.seg END,
+                           ' ' ORDER BY s.seg_no), '') AS text_clean,
+       count(*) AS n_segs,
+       CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM segs s JOIN counts c USING (seg)
+GROUP BY s.doc_id
+"""
+
+
 def docs_decontaminate(sf_dir: str):
     """Benchmark-decontamination screen: docs sharing any word-5-gram
     with the 'src0' benchmark slice (dedup.contamination_screen —
@@ -2284,6 +2319,7 @@ QUERIES = {
     "docs_fingerprint": docs_fingerprint,
     "docs_langid": docs_langid,
     "docs_exact_dedup": docs_exact_dedup,
+    "docs_segment_dedup": docs_segment_dedup,
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_simhash_pairs": docs_simhash_pairs,
@@ -2324,8 +2360,8 @@ QUERIES = {
     "events_running_sum": events_running_sum,
     "anti_customers_inactive": anti_customers_inactive,
     "switch_route_orders": switch_route_orders,
-    "filter_parts": filter_parts,
     # ---- driver recording window (~50 entries) ends around here ----
+    "filter_parts": filter_parts,
     "template_render_customers": template_render_customers,
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
@@ -2401,6 +2437,7 @@ ORACLES = {
     "docs_pack_sequences": DOCS_PACK_SEQUENCES_SQL,
     "docs_pii_redact": DOCS_PII_REDACT_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
+    "docs_segment_dedup": DOCS_SEGMENT_DEDUP_SQL,
     "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
     "docs_dup_clusters": DOCS_DUP_CLUSTERS_SQL,
     "docs_top_terms": DOCS_TOP_TERMS_SQL,

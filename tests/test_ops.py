@@ -212,6 +212,61 @@ class TestDedup:
         assert list(out["doc_id"]) == [1, 2]
         assert list(out["n_copies"]) == [3, 1]
 
+    # duplicated-span removal: both physical plans must agree with a
+    # brute-force reference on planted cross-doc boilerplate
+    _SEG_DOCS = [
+        (1, "nav home about contact privacy terms login cart "
+            "unique prose alpha beta"),
+        (2, "nav home about contact privacy terms login cart "
+            "other words entirely gamma delta"),
+        (3, "only singular content in this third document here"),
+        (4, ""),
+        (5, "nav home about contact privacy terms login cart"),  # all banned
+    ]
+
+    @staticmethod
+    def _seg_brute(docs, seg_words=8, max_docs=1):
+        segs, per = {}, {}
+        for i, t in docs:
+            ws = t.split(" ")
+            ss = [" ".join(ws[j:j + seg_words])
+                  for j in range(0, len(ws), seg_words)]
+            per[i] = ss
+            for s in set(ss):
+                segs.setdefault(s, set()).add(i)
+        banned = {s for s, d in segs.items() if len(d) > max_docs}
+        return {i: (" ".join(s for s in ss if s not in banned), len(ss),
+                    sum(s in banned for s in ss)) for i, ss in per.items()}
+
+    @pytest.mark.parametrize("cap", [1_000_000, 0])
+    def test_segment_dedup_matches_brute_force(self, cap):
+        import ray.data as rd
+
+        from raydoc.ops.dedup import segment_dedup
+
+        docs = self._SEG_DOCS
+        ds = rd.from_arrow(_t(doc_id=[d[0] for d in docs],
+                              text=[d[1] for d in docs]))
+        out = segment_dedup(ds, broadcast_cap=cap).take_all()
+        got = {r["doc_id"]: (r["text_clean"], r["n_segs"], r["n_removed"])
+               for r in out}
+        assert got == self._seg_brute(docs)
+        # the doc that was pure boilerplate survives as an empty row
+        assert got[5][0] == "" and got[5][2] == got[5][1]
+
+    def test_segment_dedup_max_docs_threshold(self):
+        import ray.data as rd
+
+        from raydoc.ops.dedup import segment_dedup
+
+        docs = self._SEG_DOCS
+        ds = rd.from_arrow(_t(doc_id=[d[0] for d in docs],
+                              text=[d[1] for d in docs]))
+        # banner appears in 3 docs; with max_docs=3 nothing is banned
+        out = segment_dedup(ds, max_docs=3).take_all()
+        assert all(r["n_removed"] == 0 for r in out)
+        assert {r["doc_id"]: r["text_clean"] for r in out} == dict(docs)
+
     def test_minhash_finds_planted_near_dups(self):
         import ray.data as rd
 
