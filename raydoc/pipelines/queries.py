@@ -1660,6 +1660,27 @@ GROUP BY s.doc_id
 """
 
 
+def docs_host_cap(sf_dir: str):
+    """Per-host document cap (the Common-Crawl curation rule "keep at
+    most K pages per host" that bounds domination by mega-hosts): keep
+    the 10 lowest-doc_id docs per source via group_top_k's
+    hash-partition + vectorized local head. Deterministic order makes
+    the cap reproducible across runs; a hot host's group must fit one
+    worker (group_top_k's documented assumption)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = group_top_k(ds, "source", "doc_id", k=10, descending=False)
+    return out.select_columns(["doc_id", "source", "n_chars"])
+
+
+DOCS_HOST_CAP_SQL = """
+SELECT doc_id, source, n_chars
+FROM (SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn <= 10
+"""
+
+
 def docs_decontaminate(sf_dir: str):
     """Benchmark-decontamination screen: docs sharing any word-5-gram
     with the 'src0' benchmark slice (dedup.contamination_screen —
@@ -2320,6 +2341,7 @@ QUERIES = {
     "docs_langid": docs_langid,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_segment_dedup": docs_segment_dedup,
+    "docs_host_cap": docs_host_cap,
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_simhash_pairs": docs_simhash_pairs,
@@ -2359,8 +2381,8 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_running_sum": events_running_sum,
     "anti_customers_inactive": anti_customers_inactive,
-    "switch_route_orders": switch_route_orders,
     # ---- driver recording window (~50 entries) ends around here ----
+    "switch_route_orders": switch_route_orders,
     "filter_parts": filter_parts,
     "template_render_customers": template_render_customers,
     "q14_promo_revenue": q14_promo_revenue,
@@ -2438,6 +2460,7 @@ ORACLES = {
     "docs_pii_redact": DOCS_PII_REDACT_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_segment_dedup": DOCS_SEGMENT_DEDUP_SQL,
+    "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
     "docs_dup_clusters": DOCS_DUP_CLUSTERS_SQL,
     "docs_top_terms": DOCS_TOP_TERMS_SQL,

@@ -221,3 +221,61 @@ class TestTextOpProperties:
                         out.column("top_word_frac").to_pylist()):
             assert 0.0 <= d < 1.0 or d == 0.0
             assert 0.0 <= t <= 1.0
+
+
+class TestSegmentDedupProperties:
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.text(alphabet="abc ", max_size=30), min_size=1,
+                    max_size=12),
+           st.integers(min_value=1, max_value=9))
+    def test_explode_reassemble_roundtrip(self, texts, seg_words):
+        import numpy as np
+        import pyarrow as pa
+
+        from raydoc.ops.dedup import _explode_segments, _reassemble
+
+        b = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        ids, doc_idx, seg_no, segs, nseg = _explode_segments(
+            b, "text", "doc_id", seg_words)
+        # segments tile each doc: joining them back with ' ' is identity
+        out = _reassemble(b, "doc_id", doc_idx, segs, nseg,
+                          np.ones(len(doc_idx), dtype=bool))
+        assert out.column("text_clean").to_pylist() == texts
+        assert out.column("n_removed").to_pylist() == [0] * len(texts)
+        # per-doc segment counts are ceil(words/seg_words)
+        for t, n in zip(texts, out.column("n_segs").to_pylist()):
+            assert n == -(-len(t.split(" ")) // seg_words)
+        # and each segment is the right slice of its doc's words
+        segs_py = segs.to_pylist()
+        for d, s, seg in zip(doc_idx, seg_no, segs_py):
+            ws = texts[d].split(" ")
+            assert seg == " ".join(ws[s * seg_words:(s + 1) * seg_words])
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.text(alphabet="ab ", max_size=20), min_size=1,
+                    max_size=10),
+           st.integers(min_value=1, max_value=4),
+           st.data())
+    def test_reassemble_arbitrary_keep_mask(self, texts, seg_words, data):
+        import numpy as np
+        import pyarrow as pa
+
+        from raydoc.ops.dedup import _explode_segments, _reassemble
+
+        b = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        ids, doc_idx, seg_no, segs, nseg = _explode_segments(
+            b, "text", "doc_id", seg_words)
+        keep = np.array(data.draw(st.lists(
+            st.booleans(), min_size=len(doc_idx), max_size=len(doc_idx))),
+            dtype=bool)
+        out = _reassemble(b, "doc_id", doc_idx, segs, nseg, keep)
+        segs_py = segs.to_pylist()
+        for d in range(len(texts)):
+            mine = out.column("text_clean")[d].as_py()
+            expect = " ".join(s for s, di, k in zip(segs_py, doc_idx, keep)
+                              if di == d and k)
+            assert mine == expect
+            assert out.column("n_removed")[d].as_py() == int(
+                (~keep[doc_idx == d]).sum())
