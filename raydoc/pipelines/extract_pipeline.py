@@ -39,6 +39,7 @@ def parts_for(
     min_parts: int = 8,
     total_bytes: int | None = None,
     bytes_per_part: int = 192 << 20,
+    cpus: int | None = None,
 ) -> int:
     """Partition count for the checkpointed output.
 
@@ -56,12 +57,24 @@ def parts_for(
     row-group ``total_byte_size`` — uncompressed — so the target holds
     regardless of the input's codec.)
 
+    ``cpus`` adds a CLUSTER-WIDTH FLOOR for small corpora: byte sizing
+    alone gave P=8 at sf0.1 (100k docs, ~1 GB uncompressed) on 32 CPUs,
+    capping the post-shuffle phase (chunk recompute + parquet write) at
+    8-wide — measured 7.2k docs/s vs 9-12k at P=32 on the same input.
+    The floor is min(cpus, n_rows // 1000) so it never manufactures
+    micro-partitions, and it is inert exactly when byte sizing matters:
+    any corpus big enough for bytes to demand more than ``cpus``
+    partitions (>= cpus x 192 MB) is unaffected.
+
     ``rows_per_part`` remains as an explicit override for callers that
     want row-deterministic layouts (tests, tools)."""
     if rows_per_part is not None:
         return max(min_parts, (n_rows + rows_per_part - 1) // rows_per_part)
     if total_bytes:
-        return max(min_parts, (total_bytes + bytes_per_part - 1) // bytes_per_part)
+        p = max(min_parts, (total_bytes + bytes_per_part - 1) // bytes_per_part)
+        if cpus:
+            p = max(p, min(int(cpus), n_rows // 1000))
+        return p
     return max(min_parts, (n_rows + 31_999) // 32_000)
 
 
@@ -235,10 +248,6 @@ def run_extract_pipeline(
         total_bytes += sum(
             md.row_group(i).total_byte_size for i in range(md.num_row_groups)
         )
-    P = num_parts or parts_for(
-        total_rows, rows_per_part=rows_per_part, total_bytes=total_bytes
-    )
-
     # Keyed (hash) repartition requires the hash shuffle strategy, and the
     # DataContext is captured when the dataset is CREATED — set it before
     # read_parquet, restore after execution.
@@ -267,6 +276,10 @@ def run_extract_pipeline(
         _ray.cluster_resources().get("CPU", 8)
         if _ray.is_initialized()
         else (_os.cpu_count() or 8)
+    )
+    P = num_parts or parts_for(
+        total_rows, rows_per_part=rows_per_part, total_bytes=total_bytes,
+        cpus=int(_cpus),
     )
     ctx.max_hash_shuffle_aggregators = int(
         _os.environ.get("RAYDOC_MAX_AGG", 0)
