@@ -312,6 +312,19 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
             "raydoc.ops.sampling", fromlist=["stratified_hash_sample"]
         ).stratified_hash_sample(ds, p["key_col"], p["strata_col"],
                                  p["rates"], p.get("default_percent", 0))),
+    "segment_dedup": (
+        lambda p: None,
+        lambda ds, p: __import__(
+            "raydoc.ops.dedup", fromlist=["segment_dedup"]
+        ).segment_dedup(ds, p.get("text_col", "text"),
+                        p.get("id_col", "doc_id"),
+                        p.get("seg_words", 8), p.get("max_docs", 1))),
+    "host_cap": (
+        lambda p: _require(p, "group_key", "k"),
+        lambda ds, p: __import__(
+            "raydoc.ops.relational", fromlist=["group_top_k"]
+        ).group_top_k(ds, p["group_key"], p.get("sort_key", "doc_id"),
+                      p["k"], descending=p.get("descending", False))),
 }
 
 _VALID_PREDICATE_OPS = None

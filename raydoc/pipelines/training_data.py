@@ -46,12 +46,21 @@ def curate_documents(
     keep_langs: tuple[str, ...] | None = None,
     near_dup_threshold: float = 0.7,
     checkpoint_dir: str | None = None,
+    span_dedup_seg_words: int | None = None,
 ):
     """Returns (kept_dataset, stats dict). Deterministic: of any
     duplicate group, the smallest id survives.
 
     ``checkpoint_dir``: park the exact-deduped corpus as Parquet there
     instead of in the object store (the scale/resume path).
+
+    ``span_dedup_seg_words``: when set, finish with duplicated-span
+    removal (dedup.segment_dedup) at that segment width — cross-doc
+    boilerplate spans are cut from the kept docs, ``text`` is replaced
+    by the cleaned text, ``n_tokens`` recomputed, and the per-doc
+    ``span_segs_removed`` count rides the output as a column (streamed,
+    not a driver stat — summing it would force a second execution of
+    the stage's lineage).
     """
     import ray.data
 
@@ -118,6 +127,9 @@ def curate_documents(
         # dataset would break the distinct groupby)
         stats["n_near_dup_removed"] = 0
         stats["n_kept"] = stats["n_after_exact_dedup"]
+        if span_dedup_seg_words:
+            deduped = _span_dedup_stage(deduped, text_col, id_col,
+                                        span_dedup_seg_words)
         return deduped, stats
 
     victims = distinct_on(victims_raw, id_col).materialize()
@@ -126,4 +138,27 @@ def curate_documents(
     stats["n_kept"] = stats["n_after_exact_dedup"] - n_victims
 
     kept = semi_join(deduped, victims, id_col, id_col, anti=True)
+    if span_dedup_seg_words:
+        kept = _span_dedup_stage(kept, text_col, id_col,
+                                 span_dedup_seg_words)
     return kept, stats
+
+
+def _span_dedup_stage(kept, text_col: str, id_col: str, seg_words: int):
+    """Cut cross-doc duplicated spans from the curated corpus: rename
+    segment_dedup's ``text_clean`` back to ``text_col``, recompute
+    ``n_tokens`` on the cleaned text, carry the removal count."""
+    from raydoc.ops.dedup import segment_dedup
+    from raydoc.ops.text import token_count_batch
+
+    sd = segment_dedup(kept, text_col, id_col, seg_words=seg_words)
+
+    def _finish(b: pa.Table) -> pa.Table:
+        out = pa.table({
+            id_col: b.column(id_col),
+            text_col: b.column("text_clean"),
+            "span_segs_removed": b.column("n_removed"),
+        })
+        return token_count_batch(out, text_col)
+
+    return sd.map_batches(_finish, batch_format="pyarrow")

@@ -281,3 +281,31 @@ class TestSpecSampling:
         }
         out = run_spec(spec).to_pandas()
         assert len(out) > 0 and set(out["lang"]) == {"en"}
+
+
+class TestSpecSegmentDedupAndHostCap:
+    def test_validation_and_run(self, sf_dir):
+        import pytest as _pt
+
+        from raydoc.pipelines.spec import SpecError, run_spec, validate_spec
+
+        base = {"source": {"op": "read_parquet", "path": "/tmp/x.parquet"}}
+        with _pt.raises(SpecError):
+            validate_spec({**base, "stages": [{"op": "host_cap",
+                                               "group_key": "source"}]})
+
+        spec = {
+            "source": {"op": "read_parquet",
+                       "path": f"{sf_dir}/documents.parquet",
+                       "columns": ["doc_id", "text", "source"]},
+            "stages": [
+                {"op": "host_cap", "group_key": "source", "k": 3},
+                {"op": "segment_dedup", "seg_words": 8},
+            ],
+            "sink": {"op": "collect"},
+        }
+        out = run_spec(spec).to_pandas()
+        # every source capped to <= 3 docs, then span-dedup schema
+        assert len(out) > 0
+        assert set(out.columns) == {"doc_id", "text_clean", "n_segs",
+                                    "n_removed"}

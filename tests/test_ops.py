@@ -726,6 +726,34 @@ class TestCuration:
                                       near_dup_threshold=0.5)
         assert sorted(kept_en.to_pandas()["doc_id"]) == [0]
 
+    def test_curation_span_dedup_stage(self):
+        import ray.data as rd
+
+        from raydoc.pipelines.training_data import curate_documents
+
+        banner = "subscribe to our newsletter follow us on social media"
+        rows = {
+            "doc_id": [0, 1, 2],
+            "text": [
+                banner + " unique alpha beta gamma delta epsilon words here",
+                banner + " completely different prose zeta eta theta words",
+                "a third document with nothing shared across the corpus ok",
+            ],
+        }
+        kept, _ = curate_documents(
+            rd.from_arrow(pa.table(rows)), min_tokens=6,
+            near_dup_threshold=0.99, span_dedup_seg_words=9,
+        )
+        out = kept.to_pandas().sort_values("doc_id").set_index("doc_id")
+        # the 9-word banner segment is cut from both carriers, text and
+        # n_tokens reflect the cleaned content, the count rides along
+        assert not out.loc[0, "text"].startswith(banner)
+        assert not out.loc[1, "text"].startswith(banner)
+        assert out.loc[2, "text"] == rows["text"][2]
+        assert list(out["span_segs_removed"]) == [1, 1, 0]
+        for i in (0, 1, 2):
+            assert out.loc[i, "n_tokens"] == len(out.loc[i, "text"].split())
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_simhash_empty_docs_do_not_pair():
