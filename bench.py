@@ -65,7 +65,7 @@ def _consume(res) -> int:
     return 0
 
 
-def run_headline(sf: float, num_cpus: int) -> dict:
+def run_headline(sf: float, num_cpus: int, runs: int = 3) -> dict:
     """Full checkpointed extraction pipeline over the pages corpus for
     this sf: read -> extract task pool -> url-hash shuffle -> atomic
     parquet + manifests.
@@ -86,15 +86,16 @@ def run_headline(sf: float, num_cpus: int) -> dict:
 
     pages = ensure_pages_parquet(sf)  # cached after first call
     walls = []
-    for run in ("cold", "steady1", "steady2"):
-        out = f"/tmp/raydoc_bench/out_sf{sf}_c{num_cpus}_{run}"
+    for run in range(runs):
+        out = f"/tmp/raydoc_bench/out_sf{sf}_c{num_cpus}_run{run}"
         if os.path.exists(out):
             shutil.rmtree(out)
         t0 = time.perf_counter()
         summary = run_extract_pipeline(pages, out)
         walls.append(time.perf_counter() - t0)
+        shutil.rmtree(out, ignore_errors=True)
     n = summary["n_docs"]
-    best_warm = min(walls[1:])
+    best_warm = min(walls[1:]) if runs > 1 else walls[0]
     return {
         "n_docs": n,
         "wall_sec": best_warm,
@@ -111,6 +112,8 @@ def run_headline(sf: float, num_cpus: int) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-sf", type=float, default=None)
+    ap.add_argument("--scaling-runs", type=int, default=3)
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
@@ -120,7 +123,7 @@ def main() -> int:
     sf = _sf_of(sf_dir)
 
     if args.scaling:
-        return scaling(sf_dir, sf)
+        return scaling(sf_dir, args.scaling_sf or sf, runs=args.scaling_runs)
 
     import ray
 
@@ -159,12 +162,21 @@ def main() -> int:
     return 0
 
 
-def scaling(sf_dir: str, sf: float) -> int:
-    """Same headline job in fresh processes at 8 and 32 CPUs."""
-    # ensure the corpus is generated once (not billed to either run)
+def scaling(sf_dir: str, sf: float, runs: int = 3) -> int:
+    """Same headline job in fresh processes at 8 and 32 CPUs.
+
+    ``--scaling-sf 1.0 --scaling-runs 2`` measures at 1M docs, where
+    each run is long enough (>>1 min) to amortize session spin-up and
+    the per-job fixed tail — the honest stand-in for the north rule's
+    N vs 4N NODES, which would never run a 10-second job per node
+    count. At sf0.1 the 32-CPU job finishes in ~9 s and fixed costs
+    eat the ratio."""
+    # ensure the corpus is generated once (not billed to either run);
+    # generation parallelism doesn't affect the cached bytes (per-row
+    # deterministic), so use the full machine
     import ray
 
-    ray.init(address="local", num_cpus=8, include_dashboard=False,
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
              logging_level="ERROR")
     from raydoc.corpus import ensure_pages_parquet
 
@@ -181,8 +193,8 @@ def scaling(sf_dir: str, sf: float) -> int:
             "from ray.data import DataContext\n"
             "DataContext.get_current().enable_progress_bars = False\n"
             "from bench import run_headline\n"
-            "print('RESULT ' + json.dumps(run_headline(%r, %d)))\n"
-            "ray.shutdown()\n" % (REPO, cpus, sf, cpus)
+            "print('RESULT ' + json.dumps(run_headline(%r, %d, runs=%d)))\n"
+            "ray.shutdown()\n" % (REPO, cpus, sf, cpus, runs)
         )
         proc = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,

@@ -442,15 +442,19 @@ def run_extract_pipeline(
         # → 12.2k docs/s; throttling those to width 8 DELAYS overlap
         # with the extract phase and loses ~20%), so the throttle only
         # engages when a partition carries >96 MB uncompressed input.
-        # The reservation is also capped at cpus/4 so small clusters
-        # keep enough write WIDTH: at 8 CPUs / 1M docs, num_cpus=4
-        # (2 concurrent writes) serialized the write phase to 1.5k
-        # docs/s, =1 (8 concurrent) thrashed to 2.6k, =2 (4 concurrent)
-        # is the measured optimum at 3.0k. Env override for
-        # re-measuring on other hardware.
+        # The reservation is num_cpus = cpus/8 — i.e. write WIDTH pinned
+        # at ~8 concurrent tasks per 32-core node, where the thrash was
+        # observed; clusters of <=8 cores never throttle. (An earlier
+        # cpus/4 rule also throttled 8-core runs; re-measured at 8
+        # CPUs it LOST throughput in both partition regimes — 1M docs:
+        # 2.46k docs/s unthrottled vs 1.8-2.1k at width 4; sf0.3/P=10:
+        # 3.43k vs 2.1k — because with so few cores the reservation
+        # starves the extract stage it overlaps with, and 8 concurrent
+        # ~1 GB writes don't thrash a whole node's allocator the way 32
+        # do.) Env override for re-measuring on other hardware.
         _big_parts = total_bytes / max(1, P) > 96 << 20
         _wcpus = float(_os.environ.get("RAYDOC_WRITE_CPUS", 0)) or (
-            min(4.0, max(1.0, _cpus / 4)) if _big_parts else 1.0
+            max(1.0, _cpus / 8) if _big_parts else 1.0
         )
         manifests_ds = extracted.map_batches(
             _write_block, batch_format="pyarrow", batch_size=None,
