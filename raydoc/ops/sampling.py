@@ -12,7 +12,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["hash_sample", "stratified_hash_sample", "upsample_by_factor"]
+__all__ = ["hash_sample", "hash_split", "stratified_hash_sample",
+           "upsample_by_factor"]
 
 _A, _C, _M = 1103515245, 12345, 2**31
 
@@ -74,5 +75,35 @@ def upsample_by_factor(ds, factor_of, rep_col: str = "rep"):
         rep = (np.arange(idx.size, dtype=np.int64)
                - np.repeat(starts, fac) + 1)
         return out.append_column(rep_col, pa.array(rep, pa.int64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def hash_split(ds, key_col: str, val_pct: int = 5, test_pct: int = 5,
+               salt: str = "split", out_col: str = "split"):
+    """Deterministic train/val/test assignment: bucket = the first 8
+    hex digits of md5("<salt>:<key>") mod 100; buckets [0, test_pct)
+    -> 'test', [test_pct, test_pct+val_pct) -> 'val', rest -> 'train'.
+
+    A per-row map — no shuffle, no global state — so the split is
+    identical at any parallelism, restart, or cluster size, a doc
+    never migrates between splits when the corpus grows, and the
+    assignment is exactly reproducible in SQL
+    (('0x' || substr(md5(...), 1, 8))::BIGINT % 100). The salt makes
+    independent splits (e.g. per experiment) uncorrelated.
+    """
+    import hashlib
+
+    lo, hi = test_pct, test_pct + val_pct
+
+    def _f(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_pylist()
+        names = []
+        for k in keys:
+            d = hashlib.md5(f"{salt}:{k}".encode()).hexdigest()
+            bucket = int(d[:8], 16) % 100
+            names.append("test" if bucket < lo
+                         else "val" if bucket < hi else "train")
+        return b.append_column(out_col, pa.array(names, pa.string()))
 
     return ds.map_batches(_f, batch_format="pyarrow")

@@ -1681,6 +1681,28 @@ WHERE rn <= 10
 """
 
 
+def docs_train_split(sf_dir: str):
+    """Deterministic train/val/test split (90/5/5): md5-bucket of the
+    doc id, per-row map with no shuffle or global state
+    (ops/sampling.hash_split) — the split is stable under any
+    parallelism and corpus growth."""
+    from raydoc.ops.sampling import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return hash_split(ds, "doc_id", val_pct=5, test_pct=5)
+
+
+DOCS_TRAIN_SPLIT_SQL = """
+SELECT doc_id, source,
+       CASE WHEN b < 5 THEN 'test' WHEN b < 10 THEN 'val'
+            ELSE 'train' END AS split
+FROM (SELECT doc_id, source,
+             ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT % 100 AS b
+      FROM documents)
+"""
+
+
 def docs_decontaminate(sf_dir: str):
     """Benchmark-decontamination screen: docs sharing any word-5-gram
     with the 'src0' benchmark slice (dedup.contamination_screen —
@@ -2342,6 +2364,7 @@ QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_segment_dedup": docs_segment_dedup,
     "docs_host_cap": docs_host_cap,
+    "docs_train_split": docs_train_split,
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_jaccard_pairs": docs_jaccard_pairs,
     "docs_simhash_pairs": docs_simhash_pairs,
@@ -2380,8 +2403,8 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_hourly": events_hourly,
     "events_running_sum": events_running_sum,
-    "anti_customers_inactive": anti_customers_inactive,
     # ---- driver recording window (~50 entries) ends around here ----
+    "anti_customers_inactive": anti_customers_inactive,
     "switch_route_orders": switch_route_orders,
     "filter_parts": filter_parts,
     "template_render_customers": template_render_customers,
@@ -2461,6 +2484,7 @@ ORACLES = {
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_segment_dedup": DOCS_SEGMENT_DEDUP_SQL,
     "docs_host_cap": DOCS_HOST_CAP_SQL,
+    "docs_train_split": DOCS_TRAIN_SPLIT_SQL,
     "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
     "docs_dup_clusters": DOCS_DUP_CLUSTERS_SQL,
     "docs_top_terms": DOCS_TOP_TERMS_SQL,

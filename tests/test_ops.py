@@ -1217,3 +1217,30 @@ class TestSamplingMix:
         assert 2 not in set(out.doc_id)        # factor 0 drops the row
         reps = out.groupby("doc_id")["rep"].apply(sorted).to_dict()
         assert reps == {0: [1, 2, 3], 1: [1], 3: [1, 2]}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashSplit:
+    def test_split_fractions_determinism_and_salt(self):
+        import ray.data as rd
+
+        from raydoc.ops.sampling import hash_split
+
+        n = 4000
+        ds = rd.from_arrow(_t(doc_id=list(range(n))))
+        out = hash_split(ds, "doc_id").to_pandas()
+        frac = out["split"].value_counts(normalize=True)
+        assert abs(frac["train"] - 0.90) < 0.03
+        assert abs(frac["val"] - 0.05) < 0.02
+        assert abs(frac["test"] - 0.05) < 0.02
+        # deterministic under repartition: same assignment per id
+        again = hash_split(rd.from_arrow(_t(doc_id=list(range(n))))
+                           .repartition(7), "doc_id").to_pandas()
+        a = out.sort_values("doc_id")["split"].tolist()
+        b = again.sort_values("doc_id")["split"].tolist()
+        assert a == b
+        # a different salt reshuffles membership but keeps fractions
+        other = hash_split(ds, "doc_id", salt="exp2").to_pandas() \
+            .sort_values("doc_id")["split"].tolist()
+        assert other != a
+        assert abs(sum(s == "train" for s in other) / n - 0.90) < 0.03
