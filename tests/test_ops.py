@@ -1244,3 +1244,21 @@ class TestHashSplit:
             .sort_values("doc_id")["split"].tolist()
         assert other != a
         assert abs(sum(s == "train" for s in other) / n - 0.90) < 0.03
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSegmentDedupPlansOnCorpus:
+    def test_shuffle_plan_matches_broadcast_on_real_docs(self, sf_dir):
+        import ray.data as rd
+
+        from raydoc.ops.dedup import segment_dedup
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        a = segment_dedup(ds, broadcast_cap=10**9).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = segment_dedup(ds, broadcast_cap=0).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+        # the corpus really exercises the op (some spans shared)
+        assert a["n_removed"].sum() > 0
