@@ -8,9 +8,10 @@ ONE JSON line:
     {"metric": "docs_per_sec_extracted", "value": N, "unit": "sec"?,
      "queries": {...per-query seconds...}, "sf": ..., "num_cpus": N}
 
---scaling: runs the headline pipeline twice in FRESH subprocesses
-(num_cpus=8 then 32) on the same input and reports both throughputs +
-scaling efficiency (sandbox stand-in for the north rule's N vs 4N
+--scaling: runs the headline pipeline in FRESH single-run
+subprocesses, ALTERNATING num_cpus=8 and 32 legs on the same input
+(noise-fair sampling), and reports best-of-N throughput per cpu count
++ scaling efficiency (sandbox stand-in for the north rule's N vs 4N
 nodes; see BASELINE.md).
 
 This script OWNS its Ray session (unlike __ray_entry__).
@@ -183,44 +184,55 @@ def scaling(sf_dir: str, sf: float, runs: int = 3) -> int:
     ensure_pages_parquet(sf)
     ray.shutdown()
 
-    results = {}
-    for cpus in (8, 32):
-        code = (
-            "import sys, json; sys.path.insert(0, %r)\n"
-            "import ray\n"
-            "ray.init(address='local', num_cpus=%d, include_dashboard=False,"
-            " logging_level='ERROR')\n"
-            "from ray.data import DataContext\n"
-            "DataContext.get_current().enable_progress_bars = False\n"
-            "from bench import run_headline\n"
-            "print('RESULT ' + json.dumps(run_headline(%r, %d, runs=%d)))\n"
-            "ray.shutdown()\n" % (REPO, cpus, sf, cpus, runs)
-        )
-        proc = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=3600,
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
-        if not line:
-            print(json.dumps({"error": f"scaling run cpus={cpus} failed",
-                              "stderr": proc.stderr[-800:]}))
-            return 1
-        results[cpus] = json.loads(line[-1][7:])
+    # ALTERNATE the legs (8, 32, 8, 32, ...), one fresh single-run
+    # process each, and take the best wall per cpu count: this sandbox
+    # has heavy co-tenant noise (identical jobs swing >2x within
+    # minutes), and sequential legs would bill whichever cpu count runs
+    # during a noisy window. Alternation samples the noise evenly;
+    # best-of-N is the run least polluted by it (same discipline as the
+    # headline bench).
+    walls: dict[int, list] = {8: [], 32: []}
+    n_docs = None
+    for _r in range(runs):
+        for cpus in (8, 32):
+            code = (
+                "import sys, json; sys.path.insert(0, %r)\n"
+                "import ray\n"
+                "ray.init(address='local', num_cpus=%d,"
+                " include_dashboard=False, logging_level='ERROR')\n"
+                "from ray.data import DataContext\n"
+                "DataContext.get_current().enable_progress_bars = False\n"
+                "from bench import run_headline\n"
+                "print('RESULT ' + json.dumps(run_headline(%r, %d, runs=1)))\n"
+                "ray.shutdown()\n" % (REPO, cpus, sf, cpus)
+            )
+            proc = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=3600,
+            )
+            line = [l for l in proc.stdout.splitlines()
+                    if l.startswith("RESULT ")]
+            if not line:
+                print(json.dumps({"error": f"scaling run cpus={cpus} failed",
+                                  "stderr": proc.stderr[-800:]}))
+                return 1
+            res = json.loads(line[-1][7:])
+            walls[cpus].append(res["wall_sec"])
+            n_docs = res["n_docs"]
 
-    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+    t8 = n_docs / min(walls[8])
+    t32 = n_docs / min(walls[32])
     eff = (t32 / t8) / 4.0
-    c8, c32 = results[8]["cold_docs_per_sec"], results[32]["cold_docs_per_sec"]
     print(json.dumps({
         "metric": "scaling_efficiency_8_to_32_cpus",
         "value": round(eff, 3),
         "docs_per_sec_8cpu": round(t8, 2),
         "docs_per_sec_32cpu": round(t32, 2),
         "speedup": round(t32 / t8, 3),
-        "cold_docs_per_sec_8cpu": round(c8, 2),
-        "cold_docs_per_sec_32cpu": round(c32, 2),
-        "cold_scaling_efficiency": round((c32 / c8) / 4.0, 3),
+        "walls_sec_8cpu": [round(w, 2) for w in walls[8]],
+        "walls_sec_32cpu": [round(w, 2) for w in walls[32]],
         "sf": sf,
-        "n_docs": results[32]["n_docs"],
+        "n_docs": n_docs,
     }))
     return 0
 
