@@ -51,27 +51,52 @@ _BROADCAST_CAP = 1_000_000
 _TEXT_BROADCAST_CAP = 100_000
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int | None = None):
     """Keep one row per distinct text (minimum id survives) and count
     copies. Groups on md5(text) so the shuffle comparator is a fixed
     16-byte key even for megabyte documents.
 
     Output columns: all input columns of the surviving row + n_copies.
+
+    The distinct-text key space is corpus-sized, so grouping BY the md5
+    key would pay one Python ``map_groups`` call per distinct document
+    (measured 4.6 s for 5k docs at sf0.1). Instead the md5 keys are
+    hash-bucketed into ``num_partitions`` coarse groups and each
+    bucket's block is deduped VECTORIZED: sort by (key, id), mark run
+    starts by adjacent-key comparison, take first-of-run rows, run
+    lengths = n_copies. One shuffle, one pass, P Python calls total.
+    ``num_partitions`` defaults to a cpu-based count; at real scale
+    pass ~total_bytes / 256 MB so a bucket fits a worker's heap.
     """
+    from raydoc.ops.relational import _cpu_cap
+
+    P = num_partitions or max(4, _cpu_cap())
 
     def _key(batch: pa.Table) -> pa.Table:
         keys = [md5_hex(t or "") for t in batch.column(text_col).to_pylist()]
-        return batch.append_column("_dk", pa.array(keys, type=pa.string()))
+        batch = batch.append_column("_dk", pa.array(keys, type=pa.string()))
+        part = np.array([int(k[:8], 16) % P for k in keys], dtype=np.int64)
+        return batch.append_column("_part", pa.array(part))
 
-    def _keep_min(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
-        row = group.take(idx.slice(0, 1)).drop_columns(["_dk"])
-        return row.append_column("n_copies", pa.array([group.num_rows], pa.int64()))
+    def _dedupe_bucket(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("_dk", "ascending"),
+                                                (id_col, "ascending")])
+        t = group.take(idx)
+        keys = t.column("_dk").combine_chunks()
+        n = len(keys)
+        starts = np.flatnonzero(
+            np.concatenate(([True], np.asarray(
+                pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
+            ))))
+        counts = np.diff(np.append(starts, n))
+        out = t.take(pa.array(starts)).drop_columns(["_dk", "_part"])
+        return out.append_column("n_copies", pa.array(counts, pa.int64()))
 
     return (
         ds.map_batches(_key, batch_format="pyarrow")
-        .groupby("_dk")
-        .map_groups(_keep_min, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(_dedupe_bucket, batch_format="pyarrow")
     )
 
 
@@ -896,12 +921,9 @@ def segment_dedup(
       the docs — text moves through exactly one shuffle.
     """
     import ray
+    from ray.data.aggregate import Sum
 
-    from raydoc.ops.relational import (
-        _bcast_cached,
-        grouped_agg,
-        shuffle_semi_join,
-    )
+    from raydoc.ops.relational import _bcast_cached, shuffle_semi_join
 
     def _partial_counts(batch: pa.Table) -> pa.Table:
         ids, _di, _sn, segs, _ns = _explode_segments(
@@ -912,10 +934,14 @@ def segment_dedup(
         return pa.table({"k": part.column("k"),
                          "n_part": part.column("d_count").cast(pa.int64())})
 
-    counts = grouped_agg(
-        ds.map_batches(_partial_counts, batch_format="pyarrow"),
-        ["k"], {"n_docs": ("sum", "n_part")},
-    )
+    # native Sum aggregate, NOT grouped_agg: the distinct-segment key
+    # space is ~corpus-sized (every unique 8-word span), and
+    # grouped_agg's per-group map_groups finalizer pays a Python call
+    # per key — measured 8.3 s for 5k docs/31k keys vs 1.4 s with the
+    # block-vectorized native aggregate. grouped_agg stays the right
+    # tool for LOW-cardinality keys with mixed agg functions.
+    counts = ds.map_batches(_partial_counts, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n_part", alias_name="n_docs"))
     banned = counts.filter(expr=f"n_docs > {int(max_docs)}") \
         .select_columns(["k"]).materialize()
 
