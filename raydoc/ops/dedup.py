@@ -176,6 +176,39 @@ def _doc_minhash(text: str, a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
     return vals.min(axis=1)
 
 
+def _distinct_pairs(pairs, num_partitions: int | None = None):
+    """Distinct (id_a, id_b) pair rows — first row per pair survives
+    (rows for the same pair carry identical estimates, so survival is
+    deterministic). Pair cardinality scales with the corpus's duplicate
+    rate (web corpora run 30-50% dups), so this is the coarse-bucket
+    vectorized plan: hash the pair into a cpu-scaled partition count,
+    sort each bucket once, mark pair boundaries by adjacent comparison
+    — P Python calls total instead of one per distinct pair."""
+    from raydoc.ops.relational import _cpu_cap
+
+    P = num_partitions or max(4, _cpu_cap())
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").combine_chunks().to_numpy(zero_copy_only=False)
+        c = b.column("id_b").combine_chunks().to_numpy(zero_copy_only=False)
+        part = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + c.astype(np.uint64)) % np.uint64(P)).astype(np.int64)
+        return b.append_column("_part", pa.array(part))
+
+    def _dedupe(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("id_a", "ascending"),
+                                            ("id_b", "ascending")])
+        t = g.take(idx)
+        a = t.column("id_a").combine_chunks().to_numpy(zero_copy_only=False)
+        c = t.column("id_b").combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (c[1:] != c[:-1]))))
+        return t.take(pa.array(starts)).drop_columns(["_part"])
+
+    return pairs.map_batches(_bucket, batch_format="pyarrow") \
+        .groupby("_part").map_groups(_dedupe, batch_format="pyarrow")
+
+
 def minhash_signatures(
     ds,
     text_col: str = "text",
@@ -312,9 +345,7 @@ def _minhash_pairs_carry(ds, text_col, id_col, a, b, bands, rows_per_band,
         .groupby("band_key")
         .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _distinct_pairs(pairs)
 
 
 def minhash_lsh_pairs(
@@ -394,14 +425,11 @@ def minhash_lsh_pairs(
             {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64())}
         )
 
-    candidates = (
+    candidates = _distinct_pairs(
         ds.map_batches(_band_rows, batch_format="pyarrow")
         .groupby("band_key")
         .map_groups(_bucket_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .materialize()  # small vs corpus; reused for ids + the attach
-    )
+    ).materialize()  # small vs corpus; reused for ids + the attach
 
     # candidate ids stay a DATASET — never collected on the driver
     # (web corpora run 30-50% duplicates; O(corpus) driver sets OOM)
@@ -568,9 +596,7 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby("bkey")
         .map_groups(_pairs, batch_format="pyarrow")
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _distinct_pairs(pairs)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
