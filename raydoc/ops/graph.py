@@ -47,9 +47,14 @@ def connected_components(
     distinct node appearing in the pairs (singleton docs are their own
     trivial cluster and are not emitted — semi-join the corpus against
     this result to act on duplicates only)."""
-    from raydoc.ops.relational import grouped_agg
+    from ray.data.aggregate import Min
+
+    from raydoc.ops.relational import _cpu_cap
 
     import numpy as np
+
+    P = max(4, _cpu_cap())
+    _MAXI64 = np.iinfo(np.int64).max
 
     # node set with initial labels: each endpoint labels itself
     def _nodes(b: pa.Table) -> pa.Table:
@@ -61,10 +66,11 @@ def connected_components(
         arr = pa.array(u, pa.int64())
         return pa.Table.from_pydict({"node": arr, "label": arr})
 
-    labels = grouped_agg(
-        pairs.map_batches(_nodes, batch_format="pyarrow"),
-        ["node"], {"label": ("min", "label")},
-    ).materialize()
+    labels = (
+        pairs.map_batches(_nodes, batch_format="pyarrow")
+        .groupby("node").aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
 
     # undirected edges as (src, dst) message routes, both directions —
     # computed once, reused every round
@@ -100,23 +106,48 @@ def connected_components(
                  "label": pa.nulls(b.num_rows, pa.int64())}
             )
 
-        def _emit(group: pa.Table) -> pa.Table:
-            lab = pc.min(group.column("label")).as_py()
-            key = group.column("key")[0].as_py()
-            dsts = group.column("dst").drop_null()
-            out_nodes = [key] + dsts.to_pylist()
+        # the node-key space is corpus-sized, so the message emit is
+        # hash-bucketed into P coarse groups and VECTORIZED per bucket
+        # (sort by key, per-run min via reduceat, np.repeat to the edge
+        # rows) instead of one Python map_groups call per node; the
+        # label min is Ray's native block-vectorized aggregate.
+        def _bucket(b: pa.Table) -> pa.Table:
+            k = b.column("key").combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            part = np.mod(k.astype(np.uint64), np.uint64(P)).astype(np.int64)
+            return b.append_column("_part", pa.array(part))
+
+        def _emit_bucket(group: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(group, sort_keys=[("key", "ascending")])
+            t = group.take(idx)
+            key = t.column("key").combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            lab = pc.fill_null(t.column("label").combine_chunks(), _MAXI64) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = t.column("dst").combine_chunks()
+            n = len(key)
+            starts = np.flatnonzero(
+                np.concatenate(([True], key[1:] != key[:-1])))
+            rmin = np.minimum.reduceat(lab, starts)
+            run_len = np.diff(np.append(starts, n))
+            run_of = np.repeat(np.arange(len(starts)), run_len)
+            dvalid = pc.is_valid(dst).to_numpy(zero_copy_only=False)
+            dnp = pc.fill_null(dst, 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            out_nodes = np.concatenate([key[starts], dnp[dvalid]])
+            out_labels = np.concatenate([rmin, rmin[run_of[dvalid]]])
             return pa.Table.from_pydict(
                 {"node": pa.array(out_nodes, pa.int64()),
-                 "label": pa.array([lab] * len(out_nodes), pa.int64())}
+                 "label": pa.array(out_labels, pa.int64())}
             )
 
         tagged = labels.map_batches(_tag_label, batch_format="pyarrow").union(
             edges.map_batches(_tag_edge, batch_format="pyarrow")
         )
-        msgs = tagged.groupby("key").map_groups(_emit, batch_format="pyarrow")
-        labels = grouped_agg(
-            msgs, ["node"], {"label": ("min", "label")}
-        ).materialize()
+        msgs = tagged.map_batches(_bucket, batch_format="pyarrow") \
+            .groupby("_part").map_groups(_emit_bucket, batch_format="pyarrow")
+        labels = msgs.groupby("node").aggregate(
+            Min("label", alias_name="label")).materialize()
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:  # labels only decrease: fixpoint reached
             break
