@@ -279,16 +279,47 @@ def _attach_pair_values(pairs, vals_ds, id_col: str, val_col: str, side: str,
         vals_ds.map_batches(_tag_vals, batch_format="pyarrow")
     )
 
-    def _merge(group: pa.Table) -> pa.Table:
-        is_val = group.column("_is_val").to_numpy(zero_copy_only=False)
-        prows = group.filter(pa.array(~is_val))
+    # the attach key space is the candidate-id set (duplicate-rate-
+    # sized), so like the other corpus-sized groupbys the merge is
+    # hash-bucketed into P coarse groups and vectorized per bucket:
+    # sort (key asc, value-rows-first), find each run's value row, and
+    # ``pc.take`` with null indices for value-less runs — list-typed
+    # values (signatures) attach zero-copy, no per-group ``as_py``.
+    from raydoc.ops.relational import _cpu_cap
+
+    P = max(4, _cpu_cap())
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        k = b.column("_k").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        part = np.mod(k.astype(np.uint64), np.uint64(P)).astype(np.int64)
+        return b.append_column("_part", pa.array(part))
+
+    def _merge_bucket(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("_k", "ascending"),
+                                                ("_is_val", "descending")])
+        t = group.take(idx)
+        k = t.column("_k").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        isv = t.column("_is_val").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n = len(k)
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        run_len = np.diff(np.append(starts, n))
+        run_of = np.repeat(np.arange(len(starts)), run_len)
+        has_val = isv[starts]
+        pair_mask = ~isv
+        take_idx = starts[run_of[pair_mask]]
+        vals = t.column("_v").combine_chunks().take(
+            pa.array(take_idx, pa.int64(),
+                     mask=~has_val[run_of[pair_mask]]))
+        prows = t.filter(pa.array(pair_mask))
         out = {c: prows.column(c) for c in cols}
-        vrows = group.filter(pa.array(is_val))
-        val = vrows.column("_v")[0].as_py() if vrows.num_rows else None
-        out[out_col] = pa.array([val] * prows.num_rows, val_type)
+        out[out_col] = vals
         return pa.Table.from_pydict(out)
 
-    return tagged.groupby("_k").map_groups(_merge, batch_format="pyarrow")
+    return tagged.map_batches(_bucket, batch_format="pyarrow") \
+        .groupby("_part").map_groups(_merge_bucket, batch_format="pyarrow")
 
 
 def _minhash_pairs_carry(ds, text_col, id_col, a, b, bands, rows_per_band,
