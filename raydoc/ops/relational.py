@@ -635,8 +635,15 @@ def distinct_on(ds, key: str, keep: str = "min", order_col: str | None = None,
     def _bucket(batch: pa.Table) -> pa.Table:
         col = batch.column(key).combine_chunks()
         if pa.types.is_integer(col.type):
-            k = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-            part = np.mod(k.astype(np.uint64), np.uint64(P)).astype(np.int64)
+            # null-safe (nulls share bucket 0) and unsigned-safe (a
+            # uint64 gram hash > 2^63 must not go through int64)
+            filled = pc.fill_null(col, 0)
+            if pa.types.is_unsigned_integer(col.type):
+                k = filled.cast(pa.uint64()).to_numpy(zero_copy_only=False)
+            else:
+                k = filled.cast(pa.int64()).to_numpy(
+                    zero_copy_only=False).astype(np.uint64)
+            part = np.mod(k, np.uint64(P)).astype(np.int64)
         else:
             part = np.fromiter(
                 (zlib.crc32(str(v).encode("utf-8", "surrogatepass")) % P
