@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "docs_minhash_pairs",
     "embeddings_knn",
     "docs_curation",
+    "docs_segment_dedup",
+    "docs_train_split",
     "docs_pii_redact",
     "events_ndv_sketch",
 ]

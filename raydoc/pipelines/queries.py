@@ -2270,13 +2270,15 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 def docs_curation(sf_dir: str):
     """End-to-end training-data curation (quality gate -> langid gate ->
-    exact dedup -> near-dup removal; pipelines/training_data.py). No SQL
-    oracle — the LSH stage isn't SQL-expressible; invariants pinned in
-    pytest. Returns the kept rows (doc_id, n_tokens)."""
+    exact dedup -> near-dup removal -> duplicated-span removal;
+    pipelines/training_data.py). No SQL oracle — the LSH stage isn't
+    SQL-expressible; invariants pinned in pytest. Returns the kept rows
+    (doc_id, n_tokens) with n_tokens counted AFTER span removal."""
     from raydoc.pipelines.training_data import curate_documents
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    kept, _stats = curate_documents(ds, min_tokens=5)
+    kept, _stats = curate_documents(ds, min_tokens=5,
+                                    span_dedup_seg_words=8)
     return kept.select_columns(["doc_id", "n_tokens"])
 
 
