@@ -1262,3 +1262,35 @@ class TestSegmentDedupPlansOnCorpus:
         assert a.equals(b)
         # the corpus really exercises the op (some spans shared)
         assert a["n_removed"].sum() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistinctOnPlans:
+    @pytest.mark.parametrize("keep", ["min", "max"])
+    def test_bucketed_plan_matches_default(self, keep):
+        import ray.data as rd
+
+        cases = [
+            # int64 keys with nulls and duplicate order values
+            pa.table({"k": pa.array([3, None, 3, 1, None, 2, 1], pa.int64()),
+                      "o": pa.array([5, 9, 1, 7, 2, 4, 7], pa.int64())}),
+            # uint64 keys above 2^63 (the gram-hash regression case)
+            pa.table({"k": pa.array([2**63 + 5, 2**63 + 5, 7, 2**64 - 1, 7],
+                                    pa.uint64()),
+                      "o": pa.array([2, 1, 9, 3, 8], pa.int64())}),
+            # string keys
+            pa.table({"k": pa.array(["b", "a", "b", None, "a"], pa.string()),
+                      "o": pa.array([1, 4, 2, 3, 5], pa.int64())}),
+        ]
+        from raydoc.ops.relational import distinct_on
+
+        for t in cases:
+            a = distinct_on(rd.from_arrow(t), "k", keep=keep, order_col="o",
+                            bucketed=False).to_pandas()
+            b = distinct_on(rd.from_arrow(t), "k", keep=keep, order_col="o",
+                            bucketed=True).to_pandas()
+            key = lambda df: sorted(
+                (str(r.k), int(r.o)) for r in df.itertuples(index=False))
+            assert key(a) == key(b), (keep, t.to_pydict(), a, b)
+            # one row per distinct key (nulls are one key)
+            assert len(b) == len(set(map(str, t.column("k").to_pylist())))
