@@ -46,6 +46,10 @@ def main() -> int:
     ap.add_argument("--durable", action="store_true",
                     help="fsync data files before each manifest commit "
                          "(power-loss-safe resume; slower writes)")
+    ap.add_argument("--report", action="store_true",
+                    help="add a write-phase timing report derived from the "
+                         "per-partition lineage manifests (start spread, "
+                         "wall percentiles, extract/write overlap)")
     args = ap.parse_args()
     if bool(args.pages) == bool(args.sf is not None):
         ap.error("exactly one of --pages / --sf is required")
@@ -69,6 +73,7 @@ def main() -> int:
         pages = args.pages
 
     t0 = time.perf_counter()
+    t0_unix = time.time()
     summary = run_extract_pipeline(
         pages, args.out,
         num_parts=args.num_parts,
@@ -79,6 +84,22 @@ def main() -> int:
     )
     summary["wall_sec"] = round(time.perf_counter() - t0, 3)
     summary["docs_per_sec"] = round(summary["n_docs"] / summary["wall_sec"], 1)
+    if args.report:
+        # operators read tail latency and extract/write overlap straight
+        # off the committed manifests — works on finished AND killed runs
+        from raydoc.state.manifest import load_manifests
+
+        mans = load_manifests(args.out)
+        ws = sorted(m["wall_sec"] for m in mans if "wall_sec" in m)
+        st = sorted(m["t_start_unix"] for m in mans if "t_start_unix" in m)
+        if ws and st:
+            summary["write_report"] = {
+                "n_committed": len(ws),
+                "first_write_at_sec": round(st[0] - t0_unix, 3),
+                "write_start_spread_sec": round(st[-1] - st[0], 3),
+                "write_wall_p50_sec": round(ws[len(ws) // 2], 3),
+                "write_wall_max_sec": round(ws[-1], 3),
+            }
     print(json.dumps(summary))
     ray.shutdown()
     return 0
