@@ -1,0 +1,201 @@
+"""Coarse-bucket vectorized grouped execution — the engine's rule for
+grouped computation over DATA-SIZED key spaces (order ids, tokens,
+users, hosts, grams).
+
+``groupby(key).map_groups(fn)`` pays one Python call per DISTINCT KEY;
+measured at 4.6 s for just 5k distinct texts (ops.dedup.exact_dedup),
+i.e. minutes per million keys of pure dispatch — not executable at
+10^9+ keys. The fix, applied uniformly here: hash the key tuple into a
+coarse partition count P (cpu-scaled by default, caller-sized to
+~total_bytes / 256 MB at scale), ``groupby("_part")`` (ONE shuffle,
+same data movement as groupby(key)), then inside each bucket either
+
+* ``bucketed_hash_apply`` — a pyarrow ``Table.group_by`` hash aggregate
+  (C++-vectorized, all types, null-safe), for order-insensitive
+  aggregates; or
+* ``bucketed_sorted_apply`` — ONE vectorized sort by (keys..., order
+  ...), run boundaries marked by adjacent compare on dictionary codes
+  (null-safe), then segment-vectorized numpy kernels (``reduceat``,
+  segmented cumsum, within-run ``arange``) over all runs at once.
+
+Either way: P Python calls TOTAL for the whole dataset, not one per
+key. Skew note: one pathological key still lands in one bucket — same
+worst case as groupby(key), no worse; salt upstream if a single key's
+rows exceed a worker.
+
+The reference interprets its graphs single-threaded on pandas frames
+(reference canvas.py:205-239) and has no grouped vocabulary to scale;
+this module is the engine's 100-TB substitute for per-key dispatch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "key_hash_u64",
+    "with_bucket",
+    "run_segments",
+    "segment_ids",
+    "bucketed_hash_apply",
+    "bucketed_sorted_apply",
+    "default_partitions",
+]
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def default_partitions(num_partitions: int | None = None) -> int:
+    """cpu-scaled coarse partition count. At cluster scale callers
+    should pass ~total_bytes / 256 MB instead so one bucket fits a
+    worker's heap (each bucket is materialized whole by map_groups)."""
+    if num_partitions:
+        return int(num_partitions)
+    from raydoc.util import cpu_cap
+
+    return max(4, cpu_cap())
+
+
+def _col_hash_u64(col) -> np.ndarray:
+    """Per-value uint64 hash of one key column. Null-safe (nulls hash
+    to 0 and co-locate), unsigned-safe (uint64 values > 2^63 never
+    round-trip through int64). Integer/temporal/bool columns hash via
+    a zero-copy-ish cast; everything else falls back to a crc32 loop
+    over the stringified values (bucketing only needs uniformity, not
+    cryptographic strength)."""
+    import zlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_unsigned_integer(t):
+        return pc.fill_null(col, 0).cast(pa.uint64()).to_numpy(
+            zero_copy_only=False)
+    if (pa.types.is_integer(t) or pa.types.is_boolean(t)
+            or pa.types.is_timestamp(t) or pa.types.is_date(t)
+            or pa.types.is_time(t)):
+        try:
+            as_int = pc.fill_null(col, 0).cast(pa.int64())
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            as_int = None
+        if as_int is not None:
+            return as_int.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return np.fromiter(
+        (zlib.crc32(str(v).encode("utf-8", "surrogatepass"))
+         if v is not None else 0
+         for v in col.to_pylist()),
+        dtype=np.uint64, count=len(col))
+
+
+def key_hash_u64(batch: pa.Table, keys: list[str]) -> np.ndarray:
+    """Combined uint64 hash of the key TUPLE per row (order-sensitive
+    multiplicative mix; uint64 wraparound is intentional)."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for k in keys:
+        with np.errstate(over="ignore"):
+            h = h * _MIX + _col_hash_u64(batch.column(k))
+    return h
+
+
+def with_bucket(ds, keys: list[str], P: int, part_col: str = "_part"):
+    """Append ``part_col`` = hash(key tuple) % P — the map-side of every
+    coarse-bucket plan."""
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        part = (key_hash_u64(batch, keys) % np.uint64(P)).astype(np.int64)
+        return batch.append_column(part_col, pa.array(part))
+
+    return ds.map_batches(_bucket, batch_format="pyarrow")
+
+
+def run_segments(t: pa.Table, keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, counts) of the key runs of a table ALREADY SORTED by
+    ``keys``. Null-safe: adjacent comparison happens on dictionary
+    codes (nulls share code -1, so an all-null key forms one run).
+    Empty-table safe: returns two empty arrays (ADVICE r02: the
+    vectorized bucket fns must not die on a 0-row group)."""
+    n = t.num_rows
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    change = np.zeros(n - 1, dtype=bool)
+    for k in keys:
+        col = t.column(k)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = pc.fill_null(
+            col.dictionary_encode().indices, -1
+        ).to_numpy(zero_copy_only=False)
+        if n > 1:
+            change |= codes[1:] != codes[:-1]
+    starts = np.flatnonzero(np.concatenate(([True], change)))
+    counts = np.diff(np.append(starts, n))
+    return starts, counts
+
+
+def segment_ids(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Dense 0..n_runs-1 segment id per ROW — feed to pandas' cython
+    ``groupby(...).cum*/rolling`` kernels for the few segmented scans
+    numpy can't express in one shot (cummin/cummax, rolling min/max)."""
+    return np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+
+
+def _coalesce_typed(ds, batch_size: int = 16384):
+    """Re-block a grouped output so every block carries the REAL output
+    schema. Ray 2.49's sort-based ``groupby(part).map_groups`` emits a
+    zero-COLUMN empty block for every sort partition holding none of
+    the P distinct bucket ids (P << shuffle partitions by design here),
+    and such blocks crash a downstream Acero ``Dataset.join`` ("No
+    match ... for key field"). A batch_size-driven identity map absorbs
+    empty blocks into its batcher (verified: typed blocks out, join
+    green) at the cost of one linear re-batching pass. batch_size
+    deliberately differs from map_groups' (None) so Ray never fuses
+    the two stages (fusion would skip the re-batching)."""
+
+    def _ident(b: pa.Table) -> pa.Table:
+        return b
+
+    return ds.map_batches(_ident, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def bucketed_hash_apply(ds, keys: list[str], fn,
+                        num_partitions: int | None = None,
+                        part_col: str = "_part"):
+    """Order-INSENSITIVE grouped apply: fn(bucket_table) -> table, where
+    the bucket holds every row of ~1/P of the key space (the fn
+    typically runs a pyarrow ``group_by`` hash aggregate inside). P
+    Python calls total."""
+    P = default_partitions(num_partitions)
+
+    def _apply(group: pa.Table) -> pa.Table:
+        return fn(group.drop_columns([part_col]))
+
+    return _coalesce_typed(
+        with_bucket(ds, keys, P, part_col)
+        .groupby(part_col)
+        .map_groups(_apply, batch_format="pyarrow"))
+
+
+def bucketed_sorted_apply(ds, keys: list[str], sort_keys, fn,
+                          num_partitions: int | None = None,
+                          part_col: str = "_part"):
+    """Order-SENSITIVE grouped apply: each bucket is sorted ONCE by
+    ``sort_keys`` (must lead with ``keys``; pyarrow (col, order) pairs),
+    then fn(sorted_table, run_starts, run_counts) -> table runs
+    segment-vectorized kernels over all key runs at once."""
+    P = default_partitions(num_partitions)
+
+    def _apply(group: pa.Table) -> pa.Table:
+        g = group.drop_columns([part_col])
+        if g.num_rows:
+            g = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        starts, counts = run_segments(g, keys)
+        return fn(g, starts, counts)
+
+    return _coalesce_typed(
+        with_bucket(ds, keys, P, part_col)
+        .groupby(part_col)
+        .map_groups(_apply, batch_format="pyarrow"))

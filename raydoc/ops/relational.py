@@ -330,7 +330,8 @@ def shuffle_semi_join(
         )
 
     keys = distinct_on(
-        right.select_columns([right_on]), right_on, bucketed=True
+        right.select_columns([right_on]), right_on, bucketed=True,
+        num_partitions=num_partitions,  # ADVICE r02: one knob end to end
     ).map_batches(_mark, batch_format="pyarrow")
     joined = left.join(
         keys,
@@ -355,6 +356,7 @@ def semi_join(
     right_on: str,
     anti: bool = False,
     broadcast_cap: int = 1_000_000,
+    num_partitions: int | None = None,
 ):
     """Semi/anti join where the RIGHT side is a Dataset whose size is
     unknown up front (e.g. LSH candidate ids). Never collects right-side
@@ -376,7 +378,8 @@ def semi_join(
 
     right_keys = right.select_columns([right_on]).materialize()
     if right_keys.count() > broadcast_cap:
-        return shuffle_semi_join(left, right_keys, left_on, right_on, anti=anti)
+        return shuffle_semi_join(left, right_keys, left_on, right_on,
+                                 anti=anti, num_partitions=num_partitions)
 
     refs = list(right_keys.to_arrow_refs())
     cache_key = tuple(r.hex() for r in refs) + (right_on, "semi_ds")
@@ -407,16 +410,21 @@ def grouped_agg(
     ds,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
+    num_partitions: int | None = None,
 ):
     """Grouped aggregation with EXPLICIT output names and partial
     pre-aggregation.
 
     ``aggs``: out_name -> (fn, column), fn in {sum,count,mean,min,max}.
     Phase 1 (map_batches) collapses each batch to one row per key with
-    partial sums/counts/mins/maxs; phase 2 shuffles only those partials
-    through ``groupby().map_groups``. mean = final sum/count (exact
-    integer-free division done once at the end).
-    """
+    partial sums/counts/mins/maxs; phase 2 hash-buckets the partials
+    into a coarse partition count and finalizes each bucket with ONE
+    pyarrow ``group_by`` hash aggregate (C++-vectorized) — P Python
+    calls total, never one per key, because callers group by
+    corpus-sized keys (q3/q18: l_orderkey; keyword_topn_global: token).
+    mean = final sum/count (exact integer-free division done once at
+    the end). ``num_partitions``: size to ~partial_bytes/256 MB at
+    scale (ops.bucketing.default_partitions)."""
     for name, (fn, _col) in aggs.items():
         if fn not in _AGG_FUNCS:
             raise ValueError(f"unsupported agg {fn} for {name}")
@@ -449,88 +457,134 @@ def grouped_agg(
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
 
-    def _final(group: pa.Table) -> pa.Table:
-        out: dict[str, list] = {k: [group.column(k)[0].as_py()] for k in keys}
+    # merge spec over the partial columns: pyarrow names the outputs
+    # "<partial_col>_<fn>" again, e.g. l_quantity_sum -> l_quantity_sum_sum
+    spec2: list[tuple[str, str]] = []
+    seen2: set[str] = set()
+    for c, f in spec:
+        pname = f"{c}_{f}"
+        if pname not in seen2:
+            spec2.append((pname, {"count": "sum"}.get(f, f)))
+            seen2.add(pname)
+
+    def _finalize_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(spec2)
+        out: dict[str, pa.ChunkedArray | pa.Array] = {
+            k: g.column(k) for k in keys
+        }
         for name, (fn, col) in aggs.items():
             if fn == "sum":
-                v = pc.sum(group.column(f"{col}_sum")).as_py()
+                v = g.column(f"{col}_sum_sum")
             elif fn == "count":
-                v = pc.sum(group.column(f"{col}_count")).as_py()
+                v = g.column(f"{col}_count_sum")
             elif fn == "mean":
-                s = pc.sum(group.column(f"{col}_sum")).as_py()
-                c = pc.sum(group.column(f"{col}_count")).as_py()
-                v = (s / c) if c else None
+                s = pc.cast(g.column(f"{col}_sum_sum"), pa.float64())
+                c = pc.cast(g.column(f"{col}_count_sum"), pa.float64())
+                nz = pc.max_element_wise(c, 1.0)
+                v = pc.if_else(pc.equal(c, 0.0),
+                               pa.nulls(g.num_rows, pa.float64()),
+                               pc.divide(s, nz))
             elif fn == "min":
-                v = pc.min(group.column(f"{col}_min")).as_py()
+                v = g.column(f"{col}_min_min")
             elif fn == "std":
-                import math
-
-                s = pc.sum(group.column(f"{col}_sum")).as_py()
-                sq = pc.sum(group.column(f"{col}__sq_sum")).as_py()
-                c2 = pc.sum(group.column(f"{col}_count")).as_py()
-                v = math.sqrt(max(sq / c2 - (s / c2) ** 2, 0.0)) if c2 else None
+                s = pc.cast(g.column(f"{col}_sum_sum"), pa.float64()
+                            ).to_numpy(zero_copy_only=False)
+                sq = pc.cast(g.column(f"{col}__sq_sum_sum"), pa.float64()
+                             ).to_numpy(zero_copy_only=False)
+                c = pc.cast(g.column(f"{col}_count_sum"), pa.float64()
+                            ).to_numpy(zero_copy_only=False)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    var = np.maximum(sq / c - (s / c) ** 2, 0.0)
+                    var = np.where(c > 0, var, np.nan)
+                v = pa.array(np.sqrt(var), pa.float64(), from_pandas=True)
             else:
-                v = pc.max(group.column(f"{col}_max")).as_py()
-            out[name] = [v]
+                v = g.column(f"{col}_max_max")
+            out[name] = v
         return pa.Table.from_pydict(out)
 
-    return partial.groupby(keys).map_groups(_final, batch_format="pyarrow")
+    from raydoc.ops.bucketing import bucketed_hash_apply
+
+    return bucketed_hash_apply(partial, keys, _finalize_bucket,
+                               num_partitions=num_partitions)
 
 
 def grouped_count_distinct(ds, keys: list[str], col: str,
-                           out_col: str = "ndv"):
-    """Exact COUNT(DISTINCT col) per key group.
+                           out_col: str = "ndv",
+                           num_partitions: int | None = None):
+    """Exact COUNT(DISTINCT col) per key group (SQL semantics: nulls
+    are not counted as a distinct value).
 
     Two-phase: per-batch dedup of (keys, col) inside ``map_batches``
     (so the shuffle moves one row per distinct pair per batch, not one
-    per input row), then one groupby over the distinct pairs counting
-    unique values per key. This is the exact counterpart of
-    ``ops.sketch.grouped_approx_ndv`` — use the sketch when the
-    distinct-pair set itself is too large to shuffle.
+    per input row), then the pairs hash-bucket by key and each bucket
+    runs ONE pyarrow ``count_distinct`` hash aggregate — P Python calls
+    total even at vocabulary-sized key spaces. This is the exact
+    counterpart of ``ops.sketch.grouped_approx_ndv`` — use the sketch
+    when the distinct-pair set itself is too large to shuffle.
     """
     cols = keys + [col]
 
     def _local_distinct(batch: pa.Table) -> pa.Table:
         return batch.select(cols).group_by(cols).aggregate([])
 
-    def _final(group: pa.Table) -> pa.Table:
-        out = {k: [group.column(k)[0].as_py()] for k in keys}
-        vals = group.column(col).combine_chunks()
-        out[out_col] = [len(pc.unique(vals))]
-        return pa.Table.from_pydict(out)
+    def _bucket_ndv(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([
+            (col, "count_distinct", pc.CountOptions(mode="only_valid"))
+        ])
+        return g.rename_columns(keys + [out_col])
 
-    return (
-        ds.map_batches(_local_distinct, batch_format="pyarrow")
-        .groupby(keys)
-        .map_groups(_final, batch_format="pyarrow")
-    )
+    from raydoc.ops.bucketing import bucketed_hash_apply
+
+    partial = ds.map_batches(_local_distinct, batch_format="pyarrow")
+    return bucketed_hash_apply(partial, keys, _bucket_ndv,
+                               num_partitions=num_partitions)
 
 
-def grouped_quantile(ds, keys: list[str], col: str, qs: dict[str, float]):
+def grouped_quantile(ds, keys: list[str], col: str, qs: dict[str, float],
+                     num_partitions: int | None = None):
     """Exact per-group continuous quantiles (linear interpolation at
     rank q*(n-1) — DuckDB's quantile_cont semantics). Quantiles aren't
     partial-aggregable exactly, so this is the one aggregate that
-    shuffles full groups; use the partial-agg path for everything else.
-    ``qs``: out_name -> quantile in [0, 1]."""
-    import numpy as np
+    shuffles full groups; use the sketch path when groups don't fit.
+    ``qs``: out_name -> quantile in [0, 1].
 
-    def _q(group: pa.Table) -> pa.Table:
-        vals = group.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-        vals = np.sort(vals[~np.isnan(vals)])  # nulls ignored, like quantile_cont
-        out: dict[str, list] = {k: [group.column(k)[0].as_py()] for k in keys}
-        n = len(vals)
+    Coarse-bucket plan: ONE sort per bucket by (keys..., col), then all
+    groups' quantiles come from vectorized gathers at
+    ``run_start + floor(q*(n_valid-1))`` — P Python calls total, so a
+    data-sized key space (per-host latency quantiles at CC scale) pays
+    no per-key dispatch. NaN values sort as nulls do (excluded)."""
+    from raydoc.ops.bucketing import bucketed_sorted_apply
+
+    sort_keys = [(k, "ascending") for k in keys] + [(col, "ascending")]
+
+    def _q_bucket(t: pa.Table, starts: np.ndarray,
+                  counts: np.ndarray) -> pa.Table:
+        out: dict[str, object] = {k: t.column(k).take(pa.array(starts))
+                                  for k in keys}
+        n_runs = len(starts)
+        vals = pc.cast(t.column(col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        # nulls and NaNs sort to the run's tail (Arrow: NaN after all
+        # numbers incl. inf, nulls last) -> the non-NaN head is contiguous
+        valid = ~np.isnan(vals) if len(vals) else np.empty(0, bool)
+        nv = (np.add.reduceat(valid.astype(np.int64), starts)
+              if n_runs else np.empty(0, np.int64))
+        empty = nv == 0
+        safe_n = np.maximum(nv, 1)
         for name, q in qs.items():
-            if n == 0:
-                out[name] = [None]
-                continue
-            pos = q * (n - 1)
-            lo = int(pos)
-            hi = min(lo + 1, n - 1)
+            pos = q * (safe_n - 1)
+            lo = pos.astype(np.int64)
+            hi = np.minimum(lo + 1, safe_n - 1)
             frac = pos - lo
-            out[name] = [float(vals[lo] + (vals[hi] - vals[lo]) * frac)]
+            v_lo = vals[starts + lo] if n_runs else np.empty(0)
+            v_hi = vals[starts + hi] if n_runs else np.empty(0)
+            res = v_lo + (v_hi - v_lo) * frac
+            res = np.where(empty, np.nan, res)
+            out[name] = pa.array(res, pa.float64(), from_pandas=True)
         return pa.Table.from_pydict(out)
 
-    return ds.groupby(keys).map_groups(_q, batch_format="pyarrow")
+    return bucketed_sorted_apply(ds, keys, sort_keys, _q_bucket,
+                                 num_partitions=num_partitions)
 
 
 def top_k(ds, key: str, k: int, descending: bool = True, tiebreak: str | None = None):
@@ -553,46 +607,83 @@ def top_k(ds, key: str, k: int, descending: bool = True, tiebreak: str | None = 
 
 
 def group_top_k(ds, group_key: str, sort_key: str, k: int, descending: bool = True,
-                tiebreak: str | None = None):
-    """Per-group top-k: hash-partition by group, vectorized local sort
-    within each group (the reference's per-query top_n, retrieval.py:100-112)."""
+                tiebreak: str | None = None, num_partitions: int | None = None):
+    """Per-group top-k (the reference's per-query top_n,
+    retrieval.py:100-112), coarse-bucketed: ONE sort per bucket by
+    (group, sort_key[, tiebreak]), within-run row index by segmented
+    arange, filter index < k — P Python calls total, so a host-sized
+    group space (docs_host_cap at CC scale: millions of hosts) pays no
+    per-key dispatch."""
+    from raydoc.ops.bucketing import bucketed_sorted_apply
+
     order = "descending" if descending else "ascending"
-    sort_keys = [(sort_key, order)] + ([(tiebreak, "ascending")] if tiebreak else [])
+    sort_keys = ([(group_key, "ascending"), (sort_key, order)]
+                 + ([(tiebreak, "ascending")] if tiebreak else []))
 
-    def _head(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=sort_keys)
-        return group.take(idx.slice(0, k))
+    def _head_bucket(t: pa.Table, starts: np.ndarray,
+                     counts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        rn = np.arange(t.num_rows, dtype=np.int64) - np.repeat(starts, counts)
+        return t.filter(pa.array(rn < k))
 
-    return ds.groupby(group_key).map_groups(_head, batch_format="pyarrow")
+    return bucketed_sorted_apply(ds, [group_key], sort_keys, _head_bucket,
+                                 num_partitions=num_partitions)
 
 
 def grouped_concat(ds, key: str, value_col: str, sep: str = "\n",
-                   order_col: str | None = None, out_col: str | None = None):
+                   order_col: str | None = None, out_col: str | None = None,
+                   num_partitions: int | None = None):
     """Grouped string concatenation — the reference's actual aggregate
     vocabulary (``"\\n".join`` of component contents, base.py:465,
-    generate.py:193, ``" - ".join`` template.py:112), distributed: hash
-    partition by key, per-group vectorized sort on ``order_col`` (pin
-    it for determinism — concat is order-sensitive), one join per
-    group. The gather is inherently linear in the group's data (no
-    partial combine shrinks a concatenation), so group size — not group
-    count — is the scale limit; the reference does this driver-side
-    single-threaded."""
+    generate.py:193, ``" - ".join`` template.py:112), distributed and
+    coarse-bucketed: ONE sort per bucket by (key, order_col) — pin
+    ``order_col`` for determinism, concat is order-sensitive — then all
+    groups join at once via run-offset list arrays + ``pc.binary_join``
+    (P Python calls total; large-list int64 offsets so a >2^31-char
+    bucket can't overflow). The gather is inherently linear in the
+    group's data (no partial combine shrinks a concatenation), so group
+    size — not group count — is the scale limit; the reference does
+    this driver-side single-threaded."""
     oc = order_col or value_col
     out = out_col or f"{value_col}_concat"
 
-    def _cat(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(oc, "ascending")])
-        vals = group.column(value_col).take(idx).to_pylist()
-        # NULL values are skipped entirely (no separator emitted),
-        # matching SQL string_agg semantics
-        return pa.Table.from_pydict(
-            {
-                key: [group.column(key)[0].as_py()],
-                out: [sep.join(str(v) for v in vals if v is not None)],
-            }
-        )
+    from raydoc.ops.bucketing import bucketed_sorted_apply
 
-    return ds.groupby(key).map_groups(_cat, batch_format="pyarrow")
+    sort_keys = [(key, "ascending"), (oc, "ascending")]
+
+    def _cat_bucket(t: pa.Table, starts: np.ndarray,
+                    counts: np.ndarray) -> pa.Table:
+        n_runs = len(starts)
+        vcol = t.column(value_col)
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        # NULL values are skipped entirely (no separator emitted),
+        # matching SQL string_agg semantics: per-run VALID counts give
+        # the list offsets over the null-filtered value array
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        nv = (np.add.reduceat(valid.astype(np.int64), starts)
+              if n_runs else np.empty(0, np.int64))
+        offsets = np.concatenate(([0], np.cumsum(nv)))
+        if pa.types.is_string(vcol.type) or pa.types.is_large_string(vcol.type):
+            svals = vcol.filter(pa.array(valid)).cast(pa.large_string())
+        else:
+            # non-string values concat via Python str() (matches the
+            # engine's historical output, e.g. True not 'true'); the
+            # loop is O(values), same order as the concat itself
+            svals = pa.array(
+                [str(v) for v in vcol.filter(pa.array(valid)).to_pylist()],
+                pa.large_string())
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), svals)
+        joined = pc.binary_join(lists, pa.scalar(sep, pa.large_string()))
+        return pa.Table.from_pydict({
+            key: t.column(key).take(pa.array(starts)),
+            out: joined.cast(pa.string()),
+        })
+
+    return bucketed_sorted_apply(ds, [key], sort_keys, _cat_bucket,
+                                 num_partitions=num_partitions)
 
 
 def distinct_on(ds, key: str, keep: str = "min", order_col: str | None = None,
@@ -652,6 +743,8 @@ def distinct_on(ds, key: str, keep: str = "min", order_col: str | None = None,
         return batch.append_column("_part", pa.array(part))
 
     def _dedupe_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # ADVICE r02: starts=[0] would mis-take
+            return group.drop_columns(["_part"])
         idx = pc.sort_indices(
             group,
             sort_keys=[(key, "ascending"),

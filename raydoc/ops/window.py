@@ -1,9 +1,14 @@
 """Event-time operators: tumbling windows, sessionization, as-of join.
 
 The reference has no event-time semantics (SURVEY.md §2.5 streaming
-note) — these are the engine's additions for event tables. All three
-follow one partitioning rule: hash-partition by entity key, order by
-timestamp INSIDE each group only (never a global sort).
+note) — these are the engine's additions for event tables. One
+partitioning rule throughout: COARSE hash buckets of the entity key
+(ops.bucketing — P Python calls total, never one per key; user-sized
+key spaces at CC scale make per-key dispatch non-executable), order by
+timestamp INSIDE each key run only (never a global sort). The one
+operator where a single hot key realistically exceeds a worker —
+a mega-user's running aggregate — has a range-partitioned carry-in
+variant (``running_agg_carry``).
 """
 
 from __future__ import annotations
@@ -17,6 +22,7 @@ __all__ = [
     "sessionize",
     "asof_join",
     "running_agg",
+    "running_agg_carry",
     "pack_sequences",
     "lag_delta",
     "group_rank",
@@ -34,183 +40,415 @@ def stamp_tumbling_window(batch: pa.Table, ts_col: str, unit: str = "hour",
 
 
 def sessionize(ds, key_col: str, ts_col: str, gap_minutes: float = 30.0,
-               agg_value_col: str | None = None):
+               agg_value_col: str | None = None,
+               num_partitions: int | None = None):
     """Gap-based sessions per key: a new session starts when the time
     since the previous event of the SAME key exceeds the gap.
 
-    One shuffle (groupby key); within each group a vectorized sort +
-    cumulative sum over gap breaks. Output one row per session:
+    Coarse-bucket plan (ops.bucketing): ONE shuffle into a cpu-scaled
+    partition count, ONE sort per bucket by (key, ts), then every key's
+    sessions come from segment-vectorized kernels at once — session
+    breaks by adjacent diff, per-session reduces by ``reduceat``,
+    per-key session numbering by a segmented arange over the session
+    table. P Python calls total (a user-sized key space pays no per-key
+    dispatch). Output one row per session:
     (key, session_id, n_events, start_ts, end_ts[, sum_value]).
     session_id numbers sessions per key from 1 in time order.
     """
+    from raydoc.ops.bucketing import bucketed_sorted_apply
+
     gap_us = int(gap_minutes * 60 * 1e6)
 
-    def _sessions(group: pa.Table) -> pa.Table:
+    def _drop_null_ts(batch: pa.Table) -> pa.Table:
         # null timestamps have no place on the timeline: drop them
         # (int64-casting a null otherwise yields a NaN float array)
-        group = group.filter(pc.is_valid(group.column(ts_col)))
-        out: dict[str, list] = {
-            key_col: [], "session_id": [], "n_events": [],
-            "start_ts": [], "end_ts": [],
-        }
-        if agg_value_col:
-            out["sum_value"] = []
-        if group.num_rows == 0:
-            # typed empty output (all-null groups): no schema drift
-            fields = [pa.field(key_col, group.schema.field(key_col).type),
+        return batch.filter(pc.is_valid(batch.column(ts_col)))
+
+    def _sessions_bucket(g: pa.Table, starts: np.ndarray,
+                         counts: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            fields = [pa.field(key_col, g.schema.field(key_col).type),
                       pa.field("session_id", pa.int64()),
                       pa.field("n_events", pa.int64()),
-                      pa.field("start_ts", pa.int64()),
-                      pa.field("end_ts", pa.int64())]
+                      pa.field("start_ts", pa.timestamp("us")),
+                      pa.field("end_ts", pa.timestamp("us"))]
             if agg_value_col:
                 fields.append(pa.field("sum_value", pa.float64()))
-            tbl = pa.Table.from_pydict(out, schema=pa.schema(fields))
-        else:
-            idx = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
-            g = group.take(idx)
-            ts = g.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
-            breaks = np.empty(len(ts), dtype=np.int64)
-            breaks[0] = 1
-            if len(ts) > 1:
-                breaks[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-            # session boundaries -> O(n) segment reduces (a per-session
-            # boolean-mask loop is O(n_sessions * n) and hangs on a key
-            # with ~1M singleton sessions)
-            starts = np.flatnonzero(breaks)
-            n_sessions = len(starts)
-            counts = np.diff(np.append(starts, len(ts)))
-            key = g.column(key_col)[0].as_py()
-            out[key_col] = [key] * n_sessions
-            out["session_id"] = list(range(1, n_sessions + 1))
-            out["n_events"] = counts.tolist()
-            out["start_ts"] = ts[starts].tolist()  # sorted: first = min
-            out["end_ts"] = ts[np.append(starts[1:], len(ts)) - 1].tolist()
-            if agg_value_col:
-                vals = g.column(agg_value_col).to_numpy(zero_copy_only=False)
-                out["sum_value"] = np.add.reduceat(
-                    vals.astype(np.float64), starts
-                ).tolist()
-        tbl = pa.Table.from_pydict(out)
-        for c in ("start_ts", "end_ts"):
-            tbl = tbl.set_column(
-                tbl.schema.get_field_index(c), c,
-                tbl.column(c).cast(pa.int64()).cast(pa.timestamp("us")),
-            )
-        return tbl
+            return pa.Table.from_pydict(
+                {f.name: [] for f in fields}, schema=pa.schema(fields))
+        ts = g.column(ts_col).combine_chunks().cast(
+            pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        brk = np.zeros(n, dtype=bool)
+        brk[starts] = True  # a key change always opens a session
+        if n > 1:
+            brk[1:] |= np.diff(ts) > gap_us
+        s_starts = np.flatnonzero(brk)
+        n_sessions = len(s_starts)
+        s_counts = np.diff(np.append(s_starts, n))
+        s_ends = np.append(s_starts[1:], n) - 1
+        # per-key session numbering: key run of each session, minus the
+        # ordinal of that run's first session (segmented arange)
+        run_of = np.searchsorted(starts, s_starts, side="right") - 1
+        first_sess = np.searchsorted(s_starts, starts, side="left")
+        session_id = np.arange(n_sessions) - first_sess[run_of] + 1
+        out: dict[str, object] = {
+            key_col: g.column(key_col).take(pa.array(s_starts)),
+            "session_id": pa.array(session_id, pa.int64()),
+            "n_events": pa.array(s_counts, pa.int64()),
+            "start_ts": pa.array(ts[s_starts]).cast(pa.timestamp("us")),
+            "end_ts": pa.array(ts[s_ends]).cast(pa.timestamp("us")),
+        }
+        if agg_value_col:
+            vals = g.column(agg_value_col).to_numpy(zero_copy_only=False)
+            out["sum_value"] = pa.array(
+                np.add.reduceat(vals.astype(np.float64), s_starts),
+                pa.float64())
+        return pa.Table.from_pydict(out)
 
-    return ds.groupby(key_col).map_groups(_sessions, batch_format="pyarrow")
+    clean = ds.map_batches(_drop_null_ts, batch_format="pyarrow")
+    return bucketed_sorted_apply(
+        clean, [key_col],
+        [(key_col, "ascending"), (ts_col, "ascending")],
+        _sessions_bucket, num_partitions=num_partitions)
 
 
-def _group_sorted(group: pa.Table, order_cols: list[str]) -> pa.Table:
-    idx = pc.sort_indices(group, sort_keys=[(c, "ascending") for c in order_cols])
-    return group.take(idx)
+
+
+def _row_index_in_run(n: int, starts: np.ndarray,
+                      counts: np.ndarray) -> np.ndarray:
+    """0-based position of each row inside its key run (segmented
+    arange) — the building block of every bucketed window kernel."""
+    return np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
 
 
 def running_agg(ds, key_col: str, order_cols: list[str], val_col: str,
-                out_col: str = "run_sum", fn: str = "sum"):
+                out_col: str = "run_sum", fn: str = "sum",
+                num_partitions: int | None = None):
     """Per-key running aggregate in ``order_cols`` order — the SQL
     window ``fn(val) OVER (PARTITION BY key ORDER BY order_cols)`` with
     a default cumulative frame. ``fn`` in {sum, count, min, max}.
 
-    One shuffle (groupby key); vectorized sort + cumulative kernel per
-    group. Output: all input columns + ``out_col``. Partitioning
-    assumption: one key's full history fits a worker (range-partition
-    the order column and carry per-partition carry-in sums for
-    pathological keys).
+    Coarse-bucket plan: ONE shuffle, ONE sort per bucket by
+    (key, order_cols), then segment-vectorized scans over every key run
+    at once — cumsum-minus-run-offset for sum, segmented arange for
+    count, pandas' cython ``groupby.cummin/cummax`` on dense segment
+    ids for min/max. P Python calls total. Partitioning assumption: one
+    key's full history fits a worker; ``running_agg_carry`` below lifts
+    that for prefix-combinable fns by range-partitioning the order
+    column with broadcast carry-ins.
     """
-    kernels = {
-        "sum": np.cumsum,
-        "count": lambda v: np.arange(1, len(v) + 1, dtype=np.int64),
-        "min": np.minimum.accumulate,
-        "max": np.maximum.accumulate,
-    }
-    if fn not in kernels:
+    if fn not in ("sum", "count", "min", "max"):
         raise ValueError(f"unsupported running fn {fn}")
 
-    def _run(group: pa.Table) -> pa.Table:
-        g = _group_sorted(group, order_cols)
-        vals = g.column(val_col).to_numpy(zero_copy_only=False)
-        return g.append_column(out_col, pa.array(kernels[fn](vals)))
+    from raydoc.ops.bucketing import bucketed_sorted_apply, segment_ids
 
-    return ds.groupby(key_col).map_groups(_run, batch_format="pyarrow")
+    sort_keys = ([(key_col, "ascending")]
+                 + [(c, "ascending") for c in order_cols])
+
+    def _run_bucket(g: pa.Table, starts: np.ndarray,
+                    counts: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(out_col, pa.array([], pa.float64()))
+        vals = g.column(val_col).to_numpy(zero_copy_only=False)
+        if fn == "sum":
+            c = np.cumsum(vals)
+            out = c - np.repeat(c[starts] - vals[starts], counts)
+        elif fn == "count":
+            out = _row_index_in_run(n, starts, counts) + 1
+        else:
+            import pandas as pd
+
+            seg = segment_ids(starts, counts)
+            s = pd.Series(vals).groupby(seg)
+            out = (s.cummin() if fn == "min" else s.cummax()).to_numpy()
+        return g.append_column(out_col, pa.array(out))
+
+    return bucketed_sorted_apply(ds, [key_col], sort_keys, _run_bucket,
+                                 num_partitions=num_partitions)
+
+
+def running_agg_carry(ds, key_col: str, order_cols: list[str], val_col: str,
+                      out_col: str = "run_sum", fn: str = "sum",
+                      num_range_parts: int = 32):
+    """``running_agg`` for PATHOLOGICAL keys whose full history exceeds
+    one worker (a mega-user's event stream): range-partition the FIRST
+    order column into ``num_range_parts`` uniform slices between the
+    global min/max, run the in-slice running aggregate per
+    (key, slice), then apply per-(key, slice) carry-ins — the exclusive
+    prefix combine of the per-slice totals, a tiny (keys x slices)
+    table prefix-scanned with the same segmented kernels and broadcast
+    back via the object store. fn in {sum, count, min, max} (the
+    prefix-combinable ones; mean = sum/count by the caller).
+
+    Within a slice, rows of one key still sort together on the
+    remaining order columns, so results are EXACTLY running_agg's as
+    long as order_cols[0] values are distinct across slices boundaries
+    — uniform slicing cuts between values, never inside a run of equal
+    values, because boundary comparison is strict (< boundary goes
+    left, >= goes right).
+    """
+    if fn not in ("sum", "count", "min", "max"):
+        raise ValueError(f"unsupported running fn {fn}")
+    import ray
+
+    from raydoc.ops.bucketing import bucketed_sorted_apply
+
+    oc0 = order_cols[0]
+
+    # 1) global [min, max] of the order column — one tiny aggregate
+    mm = ds.map_batches(
+        lambda b: pa.Table.from_pydict({
+            "lo": [pc.min(_ord_i64(b.column(oc0))).as_py()],
+            "hi": [pc.max(_ord_i64(b.column(oc0))).as_py()],
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    lo = min(r["lo"] for r in mm.take_all() if r["lo"] is not None)
+    hi = max(r["hi"] for r in mm.take_all() if r["hi"] is not None)
+    span = max(hi - lo + 1, 1)
+    R = num_range_parts
+
+    def _stamp(b: pa.Table) -> pa.Table:
+        v = _ord_i64(b.column(oc0)).to_numpy(zero_copy_only=False)
+        part = np.clip(((v - lo) * R) // span, 0, R - 1).astype(np.int64)
+        return b.append_column("_rpart", pa.array(part))
+
+    stamped = ds.map_batches(_stamp, batch_format="pyarrow")
+
+    # 2) in-slice running agg, scan segmented by the COMPOSITE key
+    #    (key, slice) so each slice restarts at zero and the carry-in
+    #    is exactly the missing prefix
+    in_slice = _running_agg_composite(
+        stamped, [key_col, "_rpart"], order_cols, val_col, out_col, fn)
+
+    # 3) per-(key, slice) totals -> exclusive prefix combine per key
+    from raydoc.ops.relational import grouped_agg
+
+    part_fn = {"sum": "sum", "count": "count", "min": "min", "max": "max"}[fn]
+    totals = grouped_agg(
+        stamped.select_columns([key_col, "_rpart", val_col]),
+        keys=[key_col, "_rpart"], aggs={"_tot": (part_fn, val_col)})
+    tot_tbl = pa.concat_tables(ray.get(list(totals.to_arrow_refs())))
+    carry = _exclusive_prefix(tot_tbl, key_col, "_rpart", "_tot", fn)
+    carry_ref = ray.put(carry)
+
+    # 4) broadcast the carry table, combine into the in-slice scans
+    def _apply_carry(b: pa.Table) -> pa.Table:
+        ct: pa.Table = ray.get(carry_ref) if isinstance(
+            carry_ref, ray.ObjectRef) else carry_ref
+        # build lookup key: "<key>\x00<rpart>"
+        def _lk(t: pa.Table) -> pa.Array:
+            return pc.binary_join_element_wise(
+                pc.cast(t.column(key_col), pa.string()),
+                pc.cast(t.column("_rpart"), pa.string()), "\x00")
+        pos = pc.index_in(_lk(b), value_set=_lk(ct))
+        cv = ct.column("_carry").take(pc.fill_null(pos, 0))
+        has = pc.is_valid(pos)
+        cur = b.column(out_col)
+        if fn in ("sum", "count"):
+            combined = pc.add(cur, pc.if_else(has, cv, pa.scalar(0).cast(cv.type)))
+        elif fn == "min":
+            combined = pc.if_else(
+                pc.and_(has, pc.is_valid(cv)),
+                pc.min_element_wise(cur, cv), cur)
+        else:
+            combined = pc.if_else(
+                pc.and_(has, pc.is_valid(cv)),
+                pc.max_element_wise(cur, cv), cur)
+        i = b.schema.get_field_index(out_col)
+        return b.set_column(i, out_col, combined).drop_columns(["_rpart"])
+
+    return in_slice.map_batches(_apply_carry, batch_format="pyarrow")
+
+
+def _ord_i64(col):
+    """Order column -> int64 (timestamps normalized to us)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us"))
+    return col.cast(pa.int64())
+
+
+def _running_agg_composite(ds, key_cols: list[str], order_cols: list[str],
+                           val_col: str, out_col: str, fn: str):
+    """running_agg generalized to a composite key tuple (internal:
+    the carry plan scans within (key, range-slice) segments)."""
+    from raydoc.ops.bucketing import bucketed_sorted_apply, segment_ids
+
+    sort_keys = ([(k, "ascending") for k in key_cols]
+                 + [(c, "ascending") for c in order_cols])
+
+    def _run_bucket(g: pa.Table, starts: np.ndarray,
+                    counts: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(out_col, pa.array([], pa.float64()))
+        vals = g.column(val_col).to_numpy(zero_copy_only=False)
+        if fn == "sum":
+            c = np.cumsum(vals)
+            out = c - np.repeat(c[starts] - vals[starts], counts)
+        elif fn == "count":
+            out = _row_index_in_run(n, starts, counts) + 1
+        else:
+            import pandas as pd
+
+            seg = segment_ids(starts, counts)
+            s = pd.Series(vals).groupby(seg)
+            out = (s.cummin() if fn == "min" else s.cummax()).to_numpy()
+        return g.append_column(out_col, pa.array(out))
+
+    return bucketed_sorted_apply(ds, key_cols, sort_keys, _run_bucket)
+
+
+def _exclusive_prefix(tot: pa.Table, key_col: str, part_col: str,
+                      val_col: str, fn: str) -> pa.Table:
+    """(key, part, total) -> (key, part, _carry) where _carry combines
+    all STRICTLY EARLIER parts of the same key (null carry for each
+    key's first part). Driver-side on a tiny (keys x slices) table."""
+    idx = pc.sort_indices(tot, sort_keys=[(key_col, "ascending"),
+                                          (part_col, "ascending")])
+    t = tot.take(idx)
+    from raydoc.ops.bucketing import run_segments
+
+    starts, counts = run_segments(t, [key_col])
+    v = t.column(val_col).to_numpy(zero_copy_only=False)
+    n = len(v)
+    if fn in ("sum", "count"):
+        c = np.cumsum(v)
+        inc = c - np.repeat(c[starts] - v[starts], counts)
+    else:
+        import pandas as pd
+
+        seg = np.repeat(np.arange(len(starts)), counts)
+        s = pd.Series(v).groupby(seg)
+        inc = (s.cummin() if fn == "min" else s.cummax()).to_numpy()
+    carry = np.empty(n, dtype=np.float64)
+    carry[:] = np.nan
+    if n > 1:
+        carry[1:] = inc[:-1]
+    carry[starts] = np.nan  # first slice of each key has no carry
+    out = pa.array(carry, pa.float64(), from_pandas=True)
+    if fn in ("sum", "count"):
+        # null carry -> 0 contribution, typed like the totals
+        out = pc.fill_null(out, 0.0).cast(t.column(val_col).type
+                                          if fn == "sum" else pa.int64())
+    return pa.Table.from_pydict({
+        key_col: t.column(key_col),
+        part_col: t.column(part_col),
+        "_carry": out,
+    })
 
 
 def lag_delta(ds, key_col: str, order_cols: list[str], val_col: str,
-              out_col: str = "delta"):
+              out_col: str = "delta", num_partitions: int | None = None):
     """``val - lag(val)`` per key in ``order_cols`` order (null for each
     key's first row) — SQL ``val - LAG(val) OVER (PARTITION BY key ORDER
-    BY order_cols)``. Same partitioning contract as ``running_agg``."""
+    BY order_cols)``. Coarse-bucket plan: one diff over the whole sorted
+    bucket, run starts reset to null — P Python calls total."""
+    from raydoc.ops.bucketing import bucketed_sorted_apply
 
-    def _delta(group: pa.Table) -> pa.Table:
-        g = _group_sorted(group, order_cols)
-        vals = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        delta = np.empty(len(vals), dtype=np.float64)
-        delta[0] = np.nan
-        if len(vals) > 1:
-            delta[1:] = vals[1:] - vals[:-1]
+    sort_keys = ([(key_col, "ascending")]
+                 + [(c, "ascending") for c in order_cols])
+
+    def _delta_bucket(g: pa.Table, starts: np.ndarray,
+                      counts: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        vals = pc.cast(g.column(val_col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        delta = np.empty(n, dtype=np.float64)
+        if n:
+            delta[0] = np.nan
+            if n > 1:
+                delta[1:] = vals[1:] - vals[:-1]
+            delta[starts] = np.nan  # each key's first row has no lag
         col = pa.array(delta, pa.float64(), from_pandas=True)  # NaN -> null
         return g.append_column(out_col, col)
 
-    return ds.groupby(key_col).map_groups(_delta, batch_format="pyarrow")
+    return bucketed_sorted_apply(ds, [key_col], sort_keys, _delta_bucket,
+                                 num_partitions=num_partitions)
 
 
 def rolling_agg(ds, key_col: str, order_cols: list[str], val_col: str,
-                window: int, out_col: str = "roll", fn: str = "mean"):
+                window: int, out_col: str = "roll", fn: str = "mean",
+                num_partitions: int | None = None):
     """Per-key rolling aggregate over the last ``window`` rows — SQL
     ``fn(val) OVER (PARTITION BY key ORDER BY order_cols ROWS BETWEEN
     window-1 PRECEDING AND CURRENT ROW)``. ``fn`` in {mean, sum, min,
     max}. Leading rows use their shorter actual frame (SQL semantics).
-    Vectorized via a zero-padded sliding window per group; same
-    partitioning contract as ``running_agg``."""
+
+    Coarse-bucket plan: sum/mean from prefix sums with the frame's left
+    edge clamped at the run start (pure numpy over the whole bucket);
+    min/max via pandas' cython ``groupby.rolling`` on dense segment ids.
+    P Python calls total."""
     if fn not in ("mean", "sum", "min", "max"):
         raise ValueError(f"unsupported rolling fn {fn}")
 
-    def _roll(group: pa.Table) -> pa.Table:
-        from numpy.lib.stride_tricks import sliding_window_view
+    from raydoc.ops.bucketing import bucketed_sorted_apply, segment_ids
 
-        g = _group_sorted(group, order_cols)
-        vals = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        n = len(vals)
-        k = min(window, n) if n else 1
-        if fn in ("min", "max"):
-            fill = np.inf if fn == "min" else -np.inf
-            pad = np.concatenate([np.full(k - 1, fill), vals])
-            win = sliding_window_view(pad, k)
-            out = win.min(axis=1) if fn == "min" else win.max(axis=1)
-        else:
-            pad = np.concatenate([np.zeros(k - 1), vals])
-            sums = sliding_window_view(pad, k).sum(axis=1)
+    sort_keys = ([(key_col, "ascending")]
+                 + [(c, "ascending") for c in order_cols])
+
+    def _roll_bucket(g: pa.Table, starts: np.ndarray,
+                     counts: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(out_col, pa.array([], pa.float64()))
+        vals = pc.cast(g.column(val_col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        if fn in ("sum", "mean"):
+            run_start = np.repeat(starts, counts)
+            i = np.arange(n, dtype=np.int64)
+            left = np.maximum(i - window + 1, run_start)
+            csum = np.concatenate(([0.0], np.cumsum(vals)))
+            sums = csum[i + 1] - csum[left]
             if fn == "sum":
                 out = sums
             else:
-                counts = np.minimum(np.arange(n) + 1, k)
-                out = sums / counts
+                out = sums / (i - left + 1)
+        else:
+            import pandas as pd
+
+            seg = segment_ids(starts, counts)
+            r = pd.Series(vals).groupby(seg).rolling(
+                window, min_periods=1)
+            out = (r.min() if fn == "min" else r.max()).to_numpy()
         return g.append_column(out_col, pa.array(out, pa.float64()))
 
-    return ds.groupby(key_col).map_groups(_roll, batch_format="pyarrow")
+    return bucketed_sorted_apply(ds, [key_col], sort_keys, _roll_bucket,
+                                 num_partitions=num_partitions)
 
 
 def group_rank(ds, key_col: str, sort_col: str, out_col: str = "rn",
                descending: bool = True, tiebreak: str | None = None,
-               k: int | None = None):
+               k: int | None = None, num_partitions: int | None = None):
     """``row_number() OVER (PARTITION BY key ORDER BY sort_col [DESC],
     tiebreak)`` with an optional ``rn <= k`` filter (per-group top-k
-    that KEEPS the rank column, unlike relational.group_top_k)."""
+    that KEEPS the rank column, unlike relational.group_top_k).
+    Coarse-bucket plan: segmented arange over the sorted bucket — P
+    Python calls total."""
+    from raydoc.ops.bucketing import bucketed_sorted_apply
+
     order = "descending" if descending else "ascending"
-    sort_keys = [(sort_col, order)] + (
+    sort_keys = [(key_col, "ascending"), (sort_col, order)] + (
         [(tiebreak, "ascending")] if tiebreak else []
     )
 
-    def _rank(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=sort_keys)
-        g = group.take(idx)
+    def _rank_bucket(g: pa.Table, starts: np.ndarray,
+                     counts: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(out_col, pa.array([], pa.int64()))
+        rn = _row_index_in_run(n, starts, counts) + 1
+        g = g.append_column(out_col, pa.array(rn, pa.int64()))
         if k is not None:
-            g = g.slice(0, k)
-        return g.append_column(
-            out_col, pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64))
-        )
+            g = g.filter(pa.array(rn <= k))
+        return g
 
-    return ds.groupby(key_col).map_groups(_rank, batch_format="pyarrow")
+    return bucketed_sorted_apply(ds, [key_col], sort_keys, _rank_bucket,
+                                 num_partitions=num_partitions)
 
 
 def asof_join(
@@ -326,12 +564,21 @@ def pack_sequences(ds, token_col: str, budget: int, order_cols: list[str],
     """
     import numpy as np
 
-    def _pack(group: pa.Table) -> pa.Table:
-        g = _group_sorted(group, order_cols)
+    from raydoc.ops.bucketing import bucketed_sorted_apply
+
+    sort_keys = ([(key_col, "ascending")]
+                 + [(c, "ascending") for c in order_cols])
+
+    def _pack_bucket(g: pa.Table, starts: np.ndarray,
+                     counts: np.ndarray) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.array([], pa.int64()))
         toks = g.column(token_col).to_numpy(zero_copy_only=False)
-        start = np.cumsum(toks) - toks
+        c = np.cumsum(toks)
+        # segmented EXCLUSIVE prefix: inclusive minus self, run-reset
+        start = (c - np.repeat(c[starts] - toks[starts], counts)) - toks
         return g.append_column(
             out_col, pa.array(start // budget, pa.int64())
         )
 
-    return ds.groupby(key_col).map_groups(_pack, batch_format="pyarrow")
+    return bucketed_sorted_apply(ds, [key_col], sort_keys, _pack_bucket)

@@ -78,9 +78,24 @@ def _tokens(text: str) -> list[str]:
 
 
 def _render(template: str, state: dict) -> str:
-    """{slot} substitution: exact state key, or component-id prefix
-    match ("baidu" -> "baidu:0"), else the slot is left in place (the
+    """Two-pass render mirroring the reference Template component
+    (template.py:115-139): (1) sandboxed Jinja render against the state
+    — ``{% if %}`` / ``{% for %}`` conditionals work, render errors
+    silently pass the content through unrendered, exactly like the
+    reference's bare ``except: pass``; then (2) literal {slot}
+    substitution: exact state key, or component-id prefix match
+    ("baidu" -> "baidu:0"), else the slot is left in place (the
     reference leaves unknown inputs unresolved too)."""
+    from raydoc.ops.template import jinja_template
+
+    tpl, _refs = jinja_template(template)
+    if tpl is not None:
+        try:
+            template = tpl.render(
+                {k.split(":")[0] if ":" in k else k: v
+                 for k, v in state.items()} | dict(state))
+        except Exception:
+            pass
 
     def _sub(m: re.Match) -> str:
         slot = m.group(1)
