@@ -80,6 +80,9 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return batch.append_column("_part", pa.array(part))
 
     def _dedupe_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # ADVICE r02: starts=[0] would mis-take
+            return group.drop_columns(["_dk", "_part"]).append_column(
+                "n_copies", pa.array([], pa.int64()))
         idx = pc.sort_indices(group, sort_keys=[("_dk", "ascending"),
                                                 (id_col, "ascending")])
         t = group.take(idx)
@@ -196,6 +199,8 @@ def _distinct_pairs(pairs, num_partitions: int | None = None):
         return b.append_column("_part", pa.array(part))
 
     def _dedupe(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # ADVICE r02: starts=[0] would mis-take
+            return g.drop_columns(["_part"])
         idx = pc.sort_indices(g, sort_keys=[("id_a", "ascending"),
                                             ("id_b", "ascending")])
         t = g.take(idx)
@@ -251,7 +256,8 @@ def _pair_id_rows(id_col: str):
 
 
 def _attach_pair_values(pairs, vals_ds, id_col: str, val_col: str, side: str,
-                        carry: dict, val_type: pa.DataType):
+                        carry: dict, val_type: pa.DataType,
+                        num_partitions: int | None = None):
     """Set ``<val_col>_<side>`` on each (id_a, id_b, *carry) pair row by
     co-partitioning pair rows and (id, value) rows on that side's id —
     the tag-union-``groupby.map_groups`` pattern (Ray's Dataset.join
@@ -287,7 +293,10 @@ def _attach_pair_values(pairs, vals_ds, id_col: str, val_col: str, side: str,
     # values (signatures) attach zero-copy, no per-group ``as_py``.
     from raydoc.ops.relational import _cpu_cap
 
-    P = max(4, _cpu_cap())
+    # ADVICE r02: expose the bucket-count knob — at scale a bucket is
+    # ~pairs/P rows and must fit one worker's heap, so callers size
+    # P ~ total_bytes/256MB instead of the cpu default
+    P = num_partitions or max(4, _cpu_cap())
 
     def _bucket(b: pa.Table) -> pa.Table:
         k = b.column("_k").combine_chunks().to_numpy(
@@ -913,7 +922,8 @@ def _explode_segments(batch: pa.Table, text_col: str, id_col: str,
     per-segment doc id / batch-local doc index / in-doc segment number /
     segment string, plus the per-doc segment count.
     """
-    texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+    texts = pc.fill_null(
+        batch.column(text_col).combine_chunks().cast(pa.string()), "")
     words = pc.split_pattern(texts, " ")
     off = np.asarray(words.offsets, dtype=np.int64)
     flat = words.values
@@ -925,9 +935,12 @@ def _explode_segments(batch: pa.Table, text_col: str, id_col: str,
     seg_no = np.arange(total, dtype=np.int64) - first[doc_idx]
     starts = off[:-1][doc_idx] + seg_words * seg_no
     # each segment's end == the next segment's start (contiguous runs),
-    # so the starts themselves are valid list offsets
-    seg_offsets = pa.array(np.append(starts, off[-1]), pa.int32())
-    segs = pc.binary_join(pa.ListArray.from_arrays(seg_offsets, flat), " ")
+    # so the starts themselves are valid list offsets. int64 LARGE-list
+    # offsets (ADVICE r02): a batch whose total word count exceeds 2^31
+    # must not overflow int32 offset construction.
+    seg_offsets = pa.array(np.append(starts, off[-1]), pa.int64())
+    segs = pc.binary_join(
+        pa.LargeListArray.from_arrays(seg_offsets, flat), " ")
     ids = pc.take(batch.column(id_col).combine_chunks(),
                   pa.array(doc_idx, pa.int64()))
     return ids, doc_idx, seg_no, segs, nseg
@@ -947,6 +960,7 @@ def segment_dedup(
     seg_words: int = 8,
     max_docs: int = 1,
     broadcast_cap: int = _BROADCAST_CAP,
+    num_partitions: int | None = None,
 ):
     """Duplicated-span removal (the C4 / RefinedWeb line-dedup shape):
     split every doc into non-overlapping ``seg_words``-word segments,
@@ -974,8 +988,14 @@ def segment_dedup(
       in place and NEVER shuffles.
     * larger: slim ``(doc, seg_no, key)`` rows semi-join the banned
       keys, the matches collapse to per-doc removal rows, and a
-      tag-union ``groupby(doc).map_groups`` co-partitions those with
-      the docs — text moves through exactly one shuffle.
+      tag-union co-partitions those with the docs — text moves through
+      exactly one shuffle and the rebuild is coarse-bucketed (P Python
+      calls total, every doc of a bucket exploded/reassembled in one
+      vectorized pass).
+
+    Null-text docs are dropped by BOTH plans (pinned by pytest): the
+    SQL-equivalent ``string_split(NULL)`` drops them, and a doc with no
+    text has no segments to dedup.
     """
     import ray
     from ray.data.aggregate import Sum
@@ -1014,6 +1034,7 @@ def segment_dedup(
                 [c for t in tbls for c in t.column("k").chunks]))
 
         def _clean(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.is_valid(batch.column(text_col)))
             banned_arr = _bcast_cached(cache_key, _load_banned)
             _ids, doc_idx, _sn, segs, nseg = _explode_segments(
                 batch, text_col, id_col, seg_words)
@@ -1026,6 +1047,7 @@ def segment_dedup(
 
     # shuffle plan: only slim rows and (once) the doc text move
     def _slim(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(text_col)))
         ids, _di, seg_no, segs, _ns = _explode_segments(
             batch, text_col, id_col, seg_words)
         return pa.table({id_col: ids, "seg_no": pa.array(seg_no),
@@ -1036,9 +1058,12 @@ def segment_dedup(
     ).select_columns([id_col, "seg_no"])
 
     def _tag_docs(b: pa.Table) -> pa.Table:
+        # null-text docs drop in BOTH plans (ADVICE r02: the plans must
+        # agree, and the SQL oracle's string_split(NULL) drops them too)
+        b = b.filter(pc.is_valid(b.column(text_col)))
         return pa.table({
             id_col: b.column(id_col),
-            text_col: b.column(text_col),
+            text_col: b.column(text_col).cast(pa.string()),
             "seg_no": pa.nulls(b.num_rows, pa.int64()),
         })
 
@@ -1053,19 +1078,44 @@ def segment_dedup(
         .map_batches(_tag_docs, batch_format="pyarrow") \
         .union(removals.map_batches(_tag_removals, batch_format="pyarrow"))
 
-    def _rebuild(group: pa.Table) -> pa.Table:
-        doc_rows = group.filter(pc.is_valid(group.column(text_col)))
-        removed = group.column("seg_no").drop_null().to_numpy(
-            zero_copy_only=False)
-        one = pa.table({id_col: doc_rows.column(id_col).slice(0, 1),
-                        text_col: doc_rows.column(text_col).slice(0, 1)})
-        _ids, doc_idx, seg_no, segs, nseg = _explode_segments(
-            one, text_col, id_col, seg_words)
-        keep_np = ~np.isin(seg_no, removed)
-        return _reassemble(one, id_col, doc_idx, segs, nseg, keep_np)
+    # rebuild is coarse-bucketed and VECTORIZED over all docs of a
+    # bucket at once (ADVICE r02: the former per-doc map_groups paid
+    # one Python call + one _explode_segments per document, exactly on
+    # the plan that engages for the largest corpora): sort the bucket
+    # by (doc, seg_no), explode every doc row in one pass, and map each
+    # removal row to its exploded segment index by searchsorted into
+    # the sorted doc-id array + per-doc first-segment offsets.
+    def _rebuild_bucket(t: pa.Table, starts: np.ndarray,
+                        counts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {id_col: pa.array([], t.schema.field(id_col).type),
+                 "text_clean": pa.array([], pa.string()),
+                 "n_segs": pa.array([], pa.int64()),
+                 "n_removed": pa.array([], pa.int64())})
+        valid = pc.is_valid(t.column(text_col))
+        doc_rows = t.filter(valid)
+        rem = t.filter(pc.invert(valid))
+        _ids, doc_idx, _sn, segs, nseg = _explode_segments(
+            doc_rows, text_col, id_col, seg_words)
+        first = np.cumsum(nseg) - nseg
+        doc_ids = doc_rows.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.ones(int(nseg.sum()), dtype=bool)
+        if rem.num_rows and len(doc_ids):
+            rem_ids = rem.column(id_col).to_numpy(zero_copy_only=False)
+            rem_seg = rem.column("seg_no").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(doc_ids, rem_ids)
+            pos_c = np.clip(pos, 0, len(doc_ids) - 1)
+            ok = (doc_ids[pos_c] == rem_ids) & (rem_seg < nseg[pos_c])
+            keep[first[pos_c[ok]] + rem_seg[ok].astype(np.int64)] = False
+        return _reassemble(doc_rows, id_col, doc_idx, segs, nseg, keep)
 
-    return tagged.groupby(id_col).map_groups(_rebuild,
-                                             batch_format="pyarrow")
+    from raydoc.ops.bucketing import bucketed_sorted_apply
+
+    return bucketed_sorted_apply(
+        tagged, [id_col],
+        [(id_col, "ascending"), ("seg_no", "ascending")],
+        _rebuild_bucket, num_partitions=num_partitions)
 
 
 def _reassemble(batch: pa.Table, id_col: str, doc_idx: np.ndarray,
@@ -1076,9 +1126,11 @@ def _reassemble(batch: pa.Table, id_col: str, doc_idx: np.ndarray,
     n_docs = len(nseg)
     keep_per_doc = np.bincount(doc_idx[keep], minlength=n_docs)
     offsets = pa.array(
-        np.concatenate([[0], np.cumsum(keep_per_doc)]), pa.int32())
+        np.concatenate([[0], np.cumsum(keep_per_doc)]), pa.int64())
     surv = segs.filter(pa.array(keep))
-    clean = pc.binary_join(pa.ListArray.from_arrays(offsets, surv), " ")
+    if isinstance(surv, pa.ChunkedArray):
+        surv = surv.combine_chunks()
+    clean = pc.binary_join(pa.LargeListArray.from_arrays(offsets, surv), " ")
     return pa.table({
         id_col: batch.column(id_col),
         "text_clean": clean,

@@ -41,6 +41,7 @@ def connected_components(
     out_id: str = "doc_id",
     out_label: str = "cluster_id",
     max_rounds: int = 64,
+    num_partitions: int | None = None,
 ):
     """Edge-list Dataset (id_a, id_b) -> (out_id, out_label) with
     out_label = the minimum id reachable from out_id. One row per
@@ -53,7 +54,8 @@ def connected_components(
 
     import numpy as np
 
-    P = max(4, _cpu_cap())
+    # ADVICE r02: knob exposed — size P ~ message_bytes/256MB at scale
+    P = num_partitions or max(4, _cpu_cap())
     _MAXI64 = np.iinfo(np.int64).max
 
     # node set with initial labels: each endpoint labels itself
@@ -118,6 +120,10 @@ def connected_components(
             return b.append_column("_part", pa.array(part))
 
         def _emit_bucket(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:  # ADVICE r02: reduceat dies on empty
+                return pa.Table.from_pydict(
+                    {"node": pa.array([], pa.int64()),
+                     "label": pa.array([], pa.int64())})
             idx = pc.sort_indices(group, sort_keys=[("key", "ascending")])
             t = group.take(idx)
             key = t.column("key").combine_chunks().to_numpy(

@@ -935,6 +935,26 @@ SELECT c_custkey, 'Customer ' || c_name || ' in segment ' || c_mktsegment AS ren
 FROM customer
 """
 
+
+def template_render_conditional(sf_dir: str):
+    """Jinja2 conditional template (r03; reference template.py:115-125
+    renders via SandboxedEnvironment BEFORE literal substitution): the
+    ``{% if %}`` branch is taken per row, then the literal ``{c_name}``
+    pass fills the remainder — oracle = the equivalent SQL CASE."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    tpl = ("{% if c_acctbal >= 0 %}OK{% else %}NEG{% endif %} {c_name}")
+    ds = ds.map_batches(render_op(tpl, out_col="rendered"),
+                        batch_format="pyarrow")
+    return ds.select_columns(["c_custkey", "rendered"])
+
+
+TEMPLATE_CONDITIONAL_SQL = """
+SELECT c_custkey,
+       (CASE WHEN c_acctbal >= 0 THEN 'OK' ELSE 'NEG' END) || ' ' || c_name
+         AS rendered
+FROM customer
+"""
+
 # --------------------------------------------------------------------------
 # events: windows, sessions, as-of, regex extract, per-group top-k
 
@@ -2556,6 +2576,7 @@ QUERIES = {
     "switch_route_orders": switch_route_orders,
     "filter_parts": filter_parts,
     "template_render_customers": template_render_customers,
+    "template_render_conditional": template_render_conditional,
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -2607,6 +2628,7 @@ ORACLES = {
     "nation_region_join": NATION_REGION_SQL,
     "union_nation_keys": UNION_NATION_SQL,
     "template_render_customers": TEMPLATE_SQL,
+    "template_render_conditional": TEMPLATE_CONDITIONAL_SQL,
     "events_by_type": EVENTS_BY_TYPE_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,

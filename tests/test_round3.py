@@ -1,0 +1,172 @@
+"""Round-3 additions: coarse-bucket grouped execution (ops/bucketing),
+carry-in running aggregates, Jinja2 template rendering, and the
+segment_dedup null-text pin (ADVICE r02)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(t: pa.Table):
+    import ray.data as rd
+
+    return rd.from_arrow(t)
+
+
+class TestBucketingUnits:
+    def test_run_segments_null_safe_multi_key(self):
+        from raydoc.ops.bucketing import run_segments
+
+        t = pa.table({
+            "a": pa.array([1, 1, 1, None, None, 2], pa.int64()),
+            "b": pa.array(["x", "x", "y", "y", "y", "y"], pa.string()),
+        })
+        starts, counts = run_segments(t, ["a", "b"])
+        assert starts.tolist() == [0, 2, 3, 5]
+        assert counts.tolist() == [2, 1, 2, 1]
+
+    def test_run_segments_empty(self):
+        from raydoc.ops.bucketing import run_segments
+
+        t = pa.table({"a": pa.array([], pa.int64())})
+        starts, counts = run_segments(t, ["a"])
+        assert len(starts) == 0 and len(counts) == 0
+
+    def test_key_hash_uint64_above_2_63(self):
+        from raydoc.ops.bucketing import key_hash_u64
+
+        t = pa.table({"k": pa.array([2**63 + 5, 7, None], pa.uint64())})
+        h = key_hash_u64(t, ["k"])
+        assert h.dtype == np.uint64 and len(h) == 3
+
+    def test_hash_apply_small_and_empty_buckets(self, ray_session):
+        # 3 distinct keys << default P: most buckets are EMPTY — the
+        # apply must survive and the output must stay joinable
+        from raydoc.ops.bucketing import bucketed_hash_apply
+
+        t = pa.table({"k": pa.array([1, 2, 3, 1], pa.int64()),
+                      "v": pa.array([10, 20, 30, 40], pa.int64())})
+
+        def _agg(b: pa.Table) -> pa.Table:
+            g = b.group_by(["k"]).aggregate([("v", "sum")])
+            return g.rename_columns(["k", "s"])
+
+        out = bucketed_hash_apply(_ds(t), ["k"], _agg)
+        joined = out.join(_ds(pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                                        "name": ["a", "b", "c"]})),
+                          join_type="inner", num_partitions=4, on=("k",))
+        got = {r["k"]: (r["s"], r["name"]) for r in joined.take_all()}
+        assert got == {1: (50, "a"), 2: (20, "b"), 3: (30, "c")}
+
+
+class TestRunningAggCarry:
+    @pytest.mark.parametrize("fn", ["sum", "count", "min", "max"])
+    def test_matches_plain_running_agg_on_one_giant_key(self, ray_session, fn):
+        import ray.data as rd
+
+        from raydoc.ops.window import running_agg, running_agg_carry
+
+        rng = np.random.RandomState(3)
+        n = 5000
+        t = pa.table({
+            "user": pa.array(["mega"] * (n - 100) + ["tiny"] * 100),
+            "ts": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(rng.randint(-50, 50, size=n).astype(np.float64)),
+        })
+        # many small blocks so one key genuinely spans blocks
+        ds = rd.from_arrow(t).repartition(16)
+        a = running_agg(ds, "user", ["ts"], "v", out_col="r", fn=fn) \
+            .to_pandas().sort_values(["user", "ts"]).reset_index(drop=True)
+        b = running_agg_carry(ds, "user", ["ts"], "v", out_col="r", fn=fn,
+                              num_range_parts=8) \
+            .to_pandas().sort_values(["user", "ts"]).reset_index(drop=True)
+        assert len(a) == len(b) == n
+        assert np.allclose(a["r"].astype(float), b["r"].astype(float))
+
+    def test_boundary_equal_order_values_stay_together(self, ray_session):
+        # equal order values must land in ONE range slice (strict
+        # boundary), so the scan over them is unaffected
+        import ray.data as rd
+
+        from raydoc.ops.window import running_agg, running_agg_carry
+
+        t = pa.table({
+            "user": pa.array(["u"] * 12),
+            "ts": pa.array([0, 0, 1, 1, 1, 2, 2, 3, 3, 3, 3, 4], pa.int64()),
+            "eid": pa.array(list(range(12)), pa.int64()),
+            "v": pa.array([1.0] * 12),
+        })
+        ds = rd.from_arrow(t).repartition(4)
+        a = running_agg(ds, "user", ["ts", "eid"], "v", out_col="r") \
+            .to_pandas().sort_values("eid")["r"].tolist()
+        b = running_agg_carry(ds, "user", ["ts", "eid"], "v", out_col="r",
+                              num_range_parts=3) \
+            .to_pandas().sort_values("eid")["r"].tolist()
+        assert a == b == [float(i + 1) for i in range(12)]
+
+
+class TestJinjaTemplates:
+    def test_conditional_and_literal_passes(self):
+        from raydoc.ops.template import render_batch
+
+        b = pa.table({"name": ["ann", "bo"], "bal": [5.0, -2.0]})
+        out = render_batch(
+            b, "{% if bal >= 0 %}OK{% else %}NEG{% endif %} {name}")
+        assert out.column("rendered").to_pylist() == ["OK ann", "NEG bo"]
+
+    def test_loop_render(self):
+        from raydoc.ops.template import render_batch
+
+        b = pa.table({"tags": [["a", "b"], ["c"]]})
+        out = render_batch(b, "{% for t in tags %}<{{ t }}>{% endfor %}")
+        assert out.column("rendered").to_pylist() == ["<a><b>", "<c>"]
+
+    def test_render_error_passes_template_through(self):
+        # StrictUndefined + swallowed exception = reference parity
+        # (template.py:123-125): unrendered content survives
+        from raydoc.ops.template import render_batch
+
+        b = pa.table({"name": ["x"]})
+        out = render_batch(b, "{% if nope %}y{% endif %} {name}")
+        assert out.column("rendered").to_pylist() == [
+            "{% if nope %}y{% endif %} x"]
+
+    def test_plain_templates_skip_jinja(self):
+        from raydoc.ops.template import jinja_template
+
+        tpl, refs = jinja_template("hello {name}")
+        assert tpl is None and refs == frozenset()
+
+    def test_canvas_render_conditional(self):
+        from raydoc.pipelines.canvas import _render
+
+        out = _render(
+            "{% if mood == 'good' %}great{% else %}meh{% endif %} {user}",
+            {"mood": "good", "user": "ann"})
+        assert out == "great ann"
+        out2 = _render("{{ gen }}!", {"gen:0": "hi"})
+        assert out2 == "hi!"
+
+
+class TestSegmentDedupNullPin:
+    @pytest.mark.parametrize("cap", [10**9, 0])
+    def test_null_text_docs_drop_in_both_plans(self, ray_session, cap):
+        from raydoc.ops.dedup import segment_dedup
+
+        boiler = " ".join(f"b{i}" for i in range(8))
+        ids, texts = [], []
+        for d in range(30):
+            ids.append(d)
+            texts.append(boiler + " " + " ".join(
+                f"u{d}w{i}" for i in range(9)))
+        ids.append(99)
+        texts.append(None)
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        out = segment_dedup(_ds(t), "text", "doc_id", broadcast_cap=cap) \
+            .to_pandas()
+        assert 99 not in set(out["doc_id"])
+        assert len(out) == 30
+        assert (out["n_removed"] >= 1).all()  # boilerplate gone everywhere
