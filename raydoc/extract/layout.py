@@ -122,59 +122,83 @@ class LayoutModel:
 
     # -- layout algorithms (real) -----------------------------------------
     def split_columns(self, blocks: list[dict]) -> list[list[dict]]:
-        """Detect a 2-column layout: if non-cell block x-centers form two
-        clusters separated by a gap spanning the page middle, split;
-        else one column. Returns columns left-to-right."""
+        """Detect a k-column layout (k >= 1): sort non-cell block
+        x-centers and split at EVERY gap exceeding ``col_gap`` whose
+        midpoint lies in the page interior — so 2- and 3-column pages
+        both resolve (r03; r02 handled exactly 2). Returns columns
+        left-to-right."""
         body = [b for b in blocks if b["kind"] != "cell"]
         if len(body) < 2:
             return [blocks]
         centers = sorted((b["bbox"][0] + b["bbox"][2]) / 2 for b in body)
-        gaps = [(centers[i + 1] - centers[i], i) for i in range(len(centers) - 1)]
-        best_gap, at = max(gaps)
-        mid = (centers[at] + centers[at + 1]) / 2
-        if best_gap < self.col_gap or not (PAGE_W * 0.3 < mid < PAGE_W * 0.7):
+        bounds: list[float] = []
+        for i in range(len(centers) - 1):
+            gap = centers[i + 1] - centers[i]
+            mid = (centers[i] + centers[i + 1]) / 2
+            if gap >= self.col_gap and PAGE_W * 0.15 < mid < PAGE_W * 0.85:
+                bounds.append(mid)
+        if not bounds:
             return [blocks]
-        left = [b for b in blocks if (b["bbox"][0] + b["bbox"][2]) / 2 <= mid]
-        right = [b for b in blocks if (b["bbox"][0] + b["bbox"][2]) / 2 > mid]
-        return [left, right]
+        cols: list[list[dict]] = [[] for _ in range(len(bounds) + 1)]
+        for b in blocks:
+            c = (b["bbox"][0] + b["bbox"][2]) / 2
+            k = sum(c > m for m in bounds)
+            cols[k].append(b)
+        return [c for c in cols if c]
 
     def reading_order(self, blocks: list[dict]) -> list[dict]:
         """Column split, then top-to-bottom / left-to-right within each
-        column; table cells are pulled out and appended as reconstructed
-        tables after the body text (they sit below it in the fake corpus
-        and in most real single-table pages)."""
+        column. A table is placed AT ITS PAGE POSITION (r03; r02 always
+        appended it last): body blocks whose vertical center is above
+        the table's top read first, then the reconstructed table, then
+        the rest — the order a human reads a table sandwiched between
+        paragraphs."""
         cells = [b for b in blocks if b["kind"] == "cell"]
         body = [b for b in blocks if b["kind"] != "cell"]
-        ordered: list[dict] = []
-        for col in self.split_columns(body):
-            ordered.extend(
-                sorted(col, key=lambda b: (b["bbox"][1], b["bbox"][0]))
-            )
-        if cells:
-            ordered.append(
-                {"kind": "table", "text": self.table_structure(cells),
-                 "bbox": [0, 0, 0, 0]}
-            )
-        return ordered
+
+        def _cols(bs: list[dict]) -> list[dict]:
+            out: list[dict] = []
+            for col in self.split_columns(bs):
+                out.extend(
+                    sorted(col, key=lambda b: (b["bbox"][1], b["bbox"][0]))
+                )
+            return out
+
+        if not cells:
+            return _cols(body)
+        t_top = min(c["bbox"][1] for c in cells)
+        above = [b for b in body
+                 if (b["bbox"][1] + b["bbox"][3]) / 2 < t_top]
+        below = [b for b in body
+                 if (b["bbox"][1] + b["bbox"][3]) / 2 >= t_top]
+        table = {"kind": "table", "text": self.table_structure(cells),
+                 "bbox": [0, t_top, PAGE_W, t_top]}
+        return _cols(above) + [table] + _cols(below)
 
     def table_structure(self, cells: list[dict]) -> str:
-        """Cell-grid reconstruction: cluster y-centers into rows (within
-        row_tol), sort cells in each row by x -> 'a | b | c' lines."""
+        """Cell-grid reconstruction: cluster cells into rows by their
+        TOP edge (within row_tol) — a ROW-SPANNING cell shares its top
+        with the row it starts in, so it reads once, in that row (r03;
+        center-clustering put tall cells between rows). Cells in each
+        row sort by x; a COL-SPANNING cell is simply one wide entry of
+        its row -> 'a | b | c' lines."""
         if not cells:
             return ""
-        ys = np.array([(c["bbox"][1] + c["bbox"][3]) / 2 for c in cells])
+        ys = np.array([c["bbox"][1] for c in cells])
         order = np.argsort(ys, kind="stable")
         rows: list[list[int]] = []
         cur: list[int] = []
-        last_y = None
+        row_y = None  # anchor = the row's FIRST top (not a drifting last)
         for i in order:
             y = ys[i]
-            if last_y is None or y - last_y <= self.row_tol:
+            if row_y is None or y - row_y <= self.row_tol:
                 cur.append(int(i))
+                if row_y is None:
+                    row_y = y
             else:
                 rows.append(cur)
                 cur = [int(i)]
-            last_y = y
+                row_y = y
         rows.append(cur)
         lines = []
         for row in rows:

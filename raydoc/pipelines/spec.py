@@ -96,6 +96,23 @@ def _b_extract(ds, p):
     )
 
 
+def _b_layout(ds, p):
+    """PDF layout parse as a first-class spec stage (north star: actor
+    pools hosting stateful layout models): MixedExtractStage dispatches
+    per payload, so HTML and FPDF documents stream through one op."""
+    from raydoc.pipelines.extract_pipeline import default_concurrency
+    from raydoc.stages.layout_stage import MixedExtractStage, PdfExtractStage
+
+    cls = PdfExtractStage if p.get("pdf_only") else MixedExtractStage
+    return ds.map_batches(
+        cls,
+        batch_format="pyarrow",
+        batch_size=p.get("batch_size", 64),
+        fn_constructor_kwargs={"token_budget": p.get("token_budget", 256)},
+        concurrency=default_concurrency(),
+    )
+
+
 def _b_chunk_explode(ds, p):
     from raydoc.stages.extract_stage import explode_chunks
 
@@ -249,6 +266,7 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
     "route": (lambda p: _require(p, "branches"), _b_route),
     "template": (lambda p: _require(p, "template"), _b_template),
     "extract": (lambda p: None, _b_extract),
+    "layout": (lambda p: None, _b_layout),
     "chunk_explode": (lambda p: None, _b_chunk_explode),
     "token_count": (lambda p: None, _map_b("token_count_batch")),
     "quality": (lambda p: None, _map_b("quality_batch")),

@@ -38,6 +38,82 @@ class TestLayoutModel:
         with pytest.raises(NotImplementedError):
             LayoutModel(codec="pdfminer")
 
+    # --- r03 topologies: 3 columns, spans, table between paragraphs ---
+
+    @staticmethod
+    def _pdf(pages) -> bytes:
+        import json as _json
+
+        return b"FPDF" + _json.dumps(pages).encode()
+
+    def test_three_column_reading_order(self):
+        model = LayoutModel()
+        cols = {"L": 36.0, "M": 216.0, "R": 416.0}
+        blocks = []
+        golden = []
+        for tag in ("L", "M", "R"):
+            x0 = cols[tag]
+            for bi in range(2):
+                blocks.append({"bbox": [x0, 60 + 40 * bi, x0 + 150,
+                                        90 + 40 * bi],
+                               "kind": "text", "text": f"{tag}{bi}"})
+        golden = ["L0", "L1", "M0", "M1", "R0", "R1"]
+        blocks = blocks[::-1]  # storage order reversed
+        res = model.extract(self._pdf([blocks]))
+        assert res["status"] == "ok"
+        assert res["text"] == "\n".join(golden)
+
+    def test_colspan_header_row(self):
+        # full-width header cell spanning both columns reads as its own
+        # row, once
+        model = LayoutModel()
+        cells = [
+            {"bbox": [36, 100, 400, 116], "kind": "cell", "text": "HEADER"},
+            {"bbox": [36, 130, 200, 146], "kind": "cell", "text": "a1"},
+            {"bbox": [220, 130, 400, 146], "kind": "cell", "text": "b1"},
+            {"bbox": [36, 160, 200, 176], "kind": "cell", "text": "a2"},
+            {"bbox": [220, 160, 400, 176], "kind": "cell", "text": "b2"},
+        ]
+        assert model.table_structure(cells) == \
+            "HEADER\na1 | b1\na2 | b2"
+
+    def test_rowspan_cell_reads_in_its_top_row(self):
+        # first-column cell spans two rows: it must read ONCE, in the
+        # row it starts in (top-edge clustering; center-clustering
+        # would orphan it between rows)
+        model = LayoutModel()
+        cells = [
+            {"bbox": [36, 100, 200, 146], "kind": "cell", "text": "TALL"},
+            {"bbox": [220, 100, 400, 116], "kind": "cell", "text": "b1"},
+            {"bbox": [220, 130, 400, 146], "kind": "cell", "text": "b2"},
+        ]
+        assert model.table_structure(cells) == "TALL | b1\nb2"
+
+    def test_table_between_paragraphs(self):
+        # the table reads at its PAGE POSITION, not appended last
+        model = LayoutModel()
+        blocks = [
+            {"bbox": [36, 60, 576, 90], "kind": "text", "text": "above"},
+            {"bbox": [36, 120, 300, 136], "kind": "cell", "text": "a"},
+            {"bbox": [320, 120, 576, 136], "kind": "cell", "text": "b"},
+            {"bbox": [36, 180, 576, 210], "kind": "text", "text": "below"},
+        ]
+        res = model.extract(self._pdf([blocks]))
+        assert res["text"] == "above\na | b\nbelow"
+
+    def test_two_col_page_with_full_width_table_below(self):
+        # columns resolve above the table; the table closes the page
+        model = LayoutModel()
+        blocks = [
+            {"bbox": [36, 60, 280, 90], "kind": "text", "text": "L0"},
+            {"bbox": [320, 60, 576, 90], "kind": "text", "text": "R0"},
+            {"bbox": [36, 100, 280, 130], "kind": "text", "text": "L1"},
+            {"bbox": [36, 640, 300, 656], "kind": "cell", "text": "c1"},
+            {"bbox": [320, 640, 576, 656], "kind": "cell", "text": "c2"},
+        ]
+        res = model.extract(self._pdf([blocks[::-1]]))
+        assert res["text"] == "L0\nL1\nR0\nc1 | c2"
+
     def test_garbage_payload_in_band_error(self):
         res = LayoutModel().extract(b"\x00\x01junk")
         assert res["status"] == "error" and res["text"] == ""
@@ -229,6 +305,40 @@ class TestCodeExec:
 
 
 class TestSpecNewOps:
+    @pytest.mark.usefixtures("ray_session")
+    def test_spec_layout_op_mixed_corpus(self, tmp_path):
+        # the `layout` op is a first-class spec stage (r03): a mixed
+        # HTML + fake-PDF parquet streams through one actor-pool stage
+        import pyarrow.parquet as pq
+
+        from raydoc.pipelines.spec import run_spec
+
+        rows_url, rows_payload, goldens = [], [], {}
+        for i in range(6):
+            payload, golden = make_fake_pdf(i)
+            rows_url.append(f"pdf://{i}")
+            rows_payload.append(payload)
+            goldens[f"pdf://{i}"] = golden
+        rows_url.append("http://h")
+        rows_payload.append(b"<html><body><p>plain html body text here"
+                            b" with enough words to keep</p></body></html>")
+        t = pa.table({"url": pa.array(rows_url),
+                      "payload": pa.array(rows_payload, pa.binary())})
+        p = str(tmp_path / "mixed.parquet")
+        pq.write_table(t, p)
+        spec = {
+            "source": {"op": "read_parquet", "path": p},
+            "stages": [{"op": "layout"},
+                       {"op": "select", "columns": ["url", "text",
+                                                    "status"]}],
+            "sink": {"op": "collect"},
+        }
+        out = run_spec(spec).to_pandas().set_index("url")
+        for u, g in goldens.items():
+            assert out.loc[u, "text"] == g
+        assert "plain html body text" in out.loc["http://h", "text"]
+        assert (out["status"] == "ok").all()
+
     def test_new_op_validation(self):
         import pytest as _pt
 
