@@ -114,22 +114,40 @@ def grouped_approx_ndv(ds, keys: list[str], col: str,
                 pa.array(regs.reshape(-1), pa.uint8()), m)
         )
 
-    def _final(group: pa.Table) -> pa.Table:
-        regs = np.asarray(group.column("_hll").to_pylist(),
-                          dtype=np.uint8).max(axis=0)
-        est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-        zeros = int((regs == 0).sum())
-        if est <= 2.5 * m and zeros:
-            est = m * np.log(m / zeros)  # linear-counting correction
-        out = {k: [group.column(k)[0].as_py()] for k in keys}
-        out[out_col] = [int(round(est))]
+    def _final_bucket(t: pa.Table, starts: np.ndarray,
+                      counts: np.ndarray) -> pa.Table:
+        # register merge for EVERY key run of the bucket at once:
+        # zero-copy decode of the fixed-size register rows to an (n, m)
+        # matrix, per-run elementwise max via 2-D reduceat, vectorized
+        # estimator (r03: the per-key map_groups final paid one Python
+        # call per key — NDV-per-host is a corpus-sized key space)
+        out: dict[str, object] = {k: t.column(k).take(pa.array(starts))
+                                  for k in keys}
+        n = t.num_rows
+        if n == 0:
+            out[out_col] = pa.array([], pa.int64())
+            return pa.Table.from_pydict(out)
+        col = t.column("_hll")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        regs = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.uint8).reshape(n, m)
+        rmax = np.maximum.reduceat(regs, starts, axis=0)
+        est = alpha * m * m / np.sum(
+            np.power(2.0, -rmax.astype(np.float64)), axis=1)
+        zeros = (rmax == 0).sum(axis=1)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lc = m * np.log(np.where(zeros > 0, m / np.maximum(zeros, 1), 1.0))
+        est = np.where(small, lc, est)
+        out[out_col] = pa.array(np.round(est).astype(np.int64))
         return pa.Table.from_pydict(out)
 
-    return (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(keys)
-        .map_groups(_final, batch_format="pyarrow")
-    )
+    from raydoc.ops.bucketing import bucketed_sorted_apply
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow")
+    return bucketed_sorted_apply(
+        partial, keys, [(k, "ascending") for k in keys], _final_bucket)
 
 
 def grouped_quantile_sketch(ds, keys: list[str], col: str,
@@ -143,6 +161,12 @@ def grouped_quantile_sketch(ds, keys: list[str], col: str,
     bucket. Worst-case error = (hi - lo) / bins per group. Exact
     ``grouped_quantile`` shuffles FULL groups; this shuffles
     ``bins * 8`` bytes per (batch, group).
+
+    Cardinality contract: LOW-cardinality keys only (event types,
+    languages) — the per-group [lo, hi] table is broadcast as a driver
+    dict and each (batch, group) emits a bins-wide row, both linear in
+    group COUNT. For data-sized key spaces use the exact
+    ``grouped_quantile`` (coarse-bucketed, flat in key count).
     """
     import ray
 

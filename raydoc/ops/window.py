@@ -503,47 +503,70 @@ def asof_join(
     lt = left.map_batches(_tag_left, batch_format="pyarrow")
     rt = right.map_batches(_tag_right, batch_format="pyarrow")
 
-    def _merge(group: pa.Table) -> pa.Table:
-        side = np.array(group.column("_side").to_pylist())
-        ts = group.column("_ts").to_numpy(zero_copy_only=False)
-        lmask, rmask = side == "L", side == "R"
-        lrows = group.filter(pa.array(lmask))
-        if lrows.num_rows == 0:
+    # coarse-bucket merge (r03; the r02 per-key map_groups paid one
+    # Python call per entity key): sort each bucket ONCE by
+    # (key, ts, R-before-L, tiebreak). In that order, each left row's
+    # match is simply THE LAST RIGHT ROW SEEN BEFORE IT within its key
+    # run — a cumulative-count scan, vectorized over the whole bucket:
+    #   r_seen[i]   = count of R rows at positions <= i   (cumsum)
+    #   r_before_run= r_seen just before each key run's start
+    #   match       = r_seen[i] - 1, valid iff r_seen[i] > r_before_run
+    # R rows sorted tiebreak-ASC at equal ts, so "last seen" = largest
+    # tiebreak, and R-before-L at equal ts implements rts <= lts.
+    def _merge_bucket(t: pa.Table, starts: np.ndarray,
+                      counts: np.ndarray) -> pa.Table:
+        is_r = pc.equal(t.column("_side"), "R").to_numpy(
+            zero_copy_only=False)
+        n = t.num_rows
+        if n == 0 or not (~is_r).any():
             return pa.Table.from_pydict(
-                {c: pa.array([], _out_type(c)) for c in left_schema_cols + right_cols}
-            )
-        rrows = group.filter(pa.array(rmask))
-        lts = ts[lmask]
+                {c: pa.array([], t.schema.field(c).type
+                             if c in t.column_names else pa.null())
+                 for c in left_schema_cols + right_cols})
+        r_seen = np.cumsum(is_r)
+        r_before = np.repeat(
+            np.where(starts > 0, r_seen[np.maximum(starts - 1, 0)], 0),
+            counts)
+        lmask = ~is_r
+        match = r_seen[lmask] - 1          # index into R rows, in order
+        valid = r_seen[lmask] > r_before[lmask]
+        lrows = t.filter(pa.array(lmask))
+        rrows = t.filter(pa.array(is_r))
         out = {c: lrows.column(c) for c in left_schema_cols}
         if rrows.num_rows == 0:
             for c in right_cols:
-                out[c] = pa.nulls(lrows.num_rows, _rtype(rrows, c))
+                out[c] = pa.nulls(lrows.num_rows,
+                                  rrows.schema.field(c).type)
             return pa.Table.from_pydict(out)
-        rts = ts[rmask]
-        if right_tiebreak:
-            tb = rrows.column(right_tiebreak).to_numpy(zero_copy_only=False)
-            rorder = np.lexsort((tb, rts))  # ts asc, tiebreak asc -> last wins
-        else:
-            rorder = np.argsort(rts, kind="stable")
-        rts_sorted = rts[rorder]
-        # index of latest right with rts <= lts
-        pos = np.searchsorted(rts_sorted, lts, side="right") - 1
-        take = np.where(pos >= 0, rorder[np.clip(pos, 0, None)], 0)
-        null_mask = pa.array(pos < 0)
+        take = pa.array(np.where(valid, match, 0), pa.int64())
+        null_mask = pa.array(~valid)
         for c in right_cols:
-            col = rrows.column(c).take(pa.array(take, pa.int64()))
-            col = pc.if_else(null_mask, pa.nulls(lrows.num_rows, col.type), col)
-            out[c] = col
+            col = rrows.column(c).take(take)
+            out[c] = pc.if_else(null_mask,
+                                pa.nulls(lrows.num_rows, col.type), col)
         return pa.Table.from_pydict(out)
 
-    def _rtype(rrows: pa.Table, c: str):
-        return rrows.schema.field(c).type
+    # numeric side order: R=0 sorts before L=1 at equal (key, ts)
+    def _with_order(b: pa.Table) -> pa.Table:
+        isl = pc.cast(pc.equal(b.column("_side"), "L"), pa.int8())
+        b = b.append_column("_lorder", isl)
+        if not right_tiebreak:
+            return b
+        if right_tiebreak in b.column_names:
+            tb = b.column(right_tiebreak)
+        else:  # left rows carry a null tiebreak
+            tb = pa.nulls(b.num_rows, pa.int64())
+        return b.append_column("_tb", pc.cast(tb, pa.float64()))
 
-    def _out_type(c: str):  # only hit for fully-empty groups
-        return pa.null()
+    merged = lt.union(rt).map_batches(_with_order, batch_format="pyarrow")
+    sort_keys = [("_k", "ascending"), ("_ts", "ascending"),
+                 ("_lorder", "ascending")]
+    if right_tiebreak:
+        sort_keys.append(("_tb", "ascending"))
 
-    merged = lt.union(rt)
-    return merged.groupby("_k").map_groups(_merge, batch_format="pyarrow")
+    from raydoc.ops.bucketing import bucketed_sorted_apply
+
+    return bucketed_sorted_apply(merged, ["_k"], sort_keys, _merge_bucket)
 
 
 def pack_sequences(ds, token_col: str, budget: int, order_cols: list[str],

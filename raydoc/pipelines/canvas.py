@@ -46,7 +46,42 @@ from collections import Counter
 __all__ = ["load_canvas", "run_canvas"]
 
 _SLOT_RE = re.compile(r"\{([A-Za-z0-9_:@-]+)\}")
-_MAX_STEPS = 24  # loop cap (canvas.py:332-360)
+_MAX_STEPS = 24  # hard backstop on top of suffix-pattern detection
+
+
+def _find_loop(path: list[str], max_loops: int = 6):
+    """Suffix-pattern cycle detection, reference parity (r03;
+    canvas.py:332-360): reverse the walked path, trim at the first
+    answer/iterationitem (a dialogue boundary, not a cycle member),
+    then test whether some prefix of the reversed path repeats more
+    than ``max_loops`` times back-to-back. Returns the human-readable
+    ``a => b => a => b`` pattern, or False — so the error names WHICH
+    cycle looped instead of a flat step count."""
+    rev = path[::-1]
+    if len(rev) < 2:
+        return False
+    for i, p in enumerate(rev):
+        low = p.lower()
+        if low.startswith("answer") or low.startswith("iterationitem"):
+            rev = rev[:i]
+            break
+    if len(rev) < 2:
+        return False
+    for loc in range(2, len(rev) // 2):
+        pat = ",".join(rev[0:loc])
+        path_str = ",".join(rev)
+        if len(pat) >= len(path_str):
+            return False
+        loop = max_loops
+        while path_str.startswith(pat) and loop >= 0:
+            loop -= 1
+            if len(pat) + 1 >= len(path_str):
+                return False
+            path_str = path_str[len(pat) + 1:]
+        if loop < 0:
+            names = " => ".join(p.split(":")[0] for p in rev[0:loc])
+            return names + " => " + names
+    return False
 
 _SEARCH_LIKE = {"baidu", "duckduckgo", "google", "bing", "wikipedia",
                 "arxiv", "googlescholar", "github"}
@@ -381,6 +416,9 @@ def run_canvas(path_or_dict, sf_dir: str | None = None,
             steps += 1
             cur = frontier.pop(0)
             path.append(cur)
+            loop = _find_loop(path)
+            if loop:  # reference raises OverflowError (canvas.py:262)
+                raise OverflowError(f"Too much loops: {loop}")
             upstream = _upstream_of(cur)
             if _cname(cur) == "answer":
                 answer = upstream

@@ -150,6 +150,50 @@ class TestJinjaTemplates:
         assert out2 == "hi!"
 
 
+class TestSuffixLoopDetection:
+    def test_find_loop_detects_two_node_cycle(self):
+        from raydoc.pipelines.canvas import _find_loop
+
+        path = ["begin", "gen:0", "switch:0"] + \
+            ["gen:0", "switch:0"] * 8
+        got = _find_loop(path)
+        assert got and "switch => gen" in got
+
+    def test_find_loop_ignores_answer_boundary(self):
+        from raydoc.pipelines.canvas import _find_loop
+
+        # repeats BEFORE an answer are dialogue turns, not a cycle
+        path = (["gen:0", "switch:0"] * 8) + ["answer:0", "gen:0"]
+        assert _find_loop(path) is False
+
+    def test_find_loop_short_paths_and_no_repeat(self):
+        from raydoc.pipelines.canvas import _find_loop
+
+        assert _find_loop(["a"]) is False
+        assert _find_loop(["a", "b", "c", "d"]) is False
+
+    def test_cyclic_canvas_raises_overflow_with_pattern(self):
+        from raydoc.pipelines.canvas import run_canvas
+
+        # generate:0 <-> generate:1 ping-pong with no router exit
+        dsl = {"components": {
+            "begin": {"obj": {"component_name": "Begin", "params": {}},
+                      "downstream": ["answer:0"], "upstream": []},
+            "answer:0": {"obj": {"component_name": "Answer", "params": {}},
+                         "downstream": ["generate:0"], "upstream": ["begin"]},
+            "generate:0": {"obj": {"component_name": "Generate",
+                                   "params": {"llm_id": "x"}},
+                           "downstream": ["generate:1"],
+                           "upstream": ["answer:0", "generate:1"]},
+            "generate:1": {"obj": {"component_name": "Generate",
+                                   "params": {"llm_id": "x"}},
+                           "downstream": ["generate:0"],
+                           "upstream": ["generate:0"]},
+        }}
+        with pytest.raises(OverflowError, match="generate"):
+            run_canvas(dsl, user_inputs=["hi"])
+
+
 class TestSegmentDedupNullPin:
     @pytest.mark.parametrize("cap", [10**9, 0])
     def test_null_text_docs_drop_in_both_plans(self, ray_session, cap):
