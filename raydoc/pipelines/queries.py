@@ -2053,14 +2053,15 @@ def keyword_topn_global(sf_dir: str):
     ds = _read(sf_dir, "documents", ["text"])
 
     def _explode(b: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        cnt: Counter = Counter()
-        for t in b.column("text").to_pylist():
-            cnt.update((t or "").split())
+        # fully Arrow-vectorized per-batch combiner (r03; was a Python
+        # Counter loop): whitespace split -> flatten -> value_counts
+        texts = pc.fill_null(b.column("text").combine_chunks(), "")
+        toks = pc.list_flatten(pc.utf8_split_whitespace(texts))
+        toks = toks.filter(pc.not_equal(toks, ""))  # edge empties, like str.split
+        vc = pc.value_counts(toks)
         return pa.Table.from_pydict(
-            {"token": pa.array(list(cnt.keys()), pa.string()),
-             "n": pa.array(list(cnt.values()), pa.int64())}
+            {"token": vc.field("values"),
+             "n": vc.field("counts").cast(pa.int64())}
         )
 
     partial = ds.map_batches(_explode, batch_format="pyarrow")
