@@ -100,10 +100,14 @@ def sessionize(ds, key_col: str, ts_col: str, gap_minutes: float = 30.0,
             "end_ts": pa.array(ts[s_ends]).cast(pa.timestamp("us")),
         }
         if agg_value_col:
-            vals = g.column(agg_value_col).to_numpy(zero_copy_only=False)
-            out["sum_value"] = pa.array(
-                np.add.reduceat(vals.astype(np.float64), s_starts),
-                pa.float64())
+            vals = pc.cast(g.column(agg_value_col), pa.float64()).to_numpy(
+                zero_copy_only=False)
+            valid = ~np.isnan(vals)
+            s = np.add.reduceat(np.where(valid, vals, 0.0), s_starts)
+            nv = np.add.reduceat(valid.astype(np.int64), s_starts)
+            out["sum_value"] = pa.array(  # SQL sum: nulls skipped,
+                np.where(nv > 0, s, np.nan),  # all-null session -> NULL
+                pa.float64(), from_pandas=True)
         return pa.Table.from_pydict(out)
 
     clean = ds.map_batches(_drop_null_ts, batch_format="pyarrow")
@@ -148,25 +152,58 @@ def running_agg(ds, key_col: str, order_cols: list[str], val_col: str,
 
     def _run_bucket(g: pa.Table, starts: np.ndarray,
                     counts: np.ndarray) -> pa.Table:
-        n = g.num_rows
-        if n == 0:
-            return g.append_column(out_col, pa.array([], pa.float64()))
-        vals = g.column(val_col).to_numpy(zero_copy_only=False)
-        if fn == "sum":
-            c = np.cumsum(vals)
-            out = c - np.repeat(c[starts] - vals[starts], counts)
-        elif fn == "count":
-            out = _row_index_in_run(n, starts, counts) + 1
-        else:
-            import pandas as pd
-
-            seg = segment_ids(starts, counts)
-            s = pd.Series(vals).groupby(seg)
-            out = (s.cummin() if fn == "min" else s.cummax()).to_numpy()
-        return g.append_column(out_col, pa.array(out))
+        return g.append_column(
+            out_col, _running_kernel(g, starts, counts, val_col, fn))
 
     return bucketed_sorted_apply(ds, [key_col], sort_keys, _run_bucket,
                                  num_partitions=num_partitions)
+
+
+def _seg_cumsum(v: np.ndarray, starts: np.ndarray,
+                counts: np.ndarray) -> np.ndarray:
+    c = np.cumsum(v)
+    return c - np.repeat(c[starts] - v[starts], counts)
+
+
+def _running_kernel(g: pa.Table, starts: np.ndarray, counts: np.ndarray,
+                    val_col: str, fn: str) -> pa.Array:
+    """SQL-semantics running scan over the key runs of a sorted bucket:
+    NULL values are SKIPPED (``fn(val) OVER ...`` in SQL never poisons
+    the scan the way numpy's NaN-propagating cumsum would) and the
+    output is NULL only while the frame holds no non-null value yet."""
+    n = g.num_rows
+    if n == 0:
+        return pa.array([], pa.float64() if fn != "count" else pa.int64())
+    vals = pc.cast(g.column(val_col), pa.float64()).to_numpy(
+        zero_copy_only=False)
+    valid = ~np.isnan(vals)
+    nvalid = _seg_cumsum(valid.astype(np.int64), starts, counts)
+    if fn == "count":
+        return pa.array(nvalid, pa.int64())
+    if fn == "sum":
+        s = _seg_cumsum(np.where(valid, vals, 0.0), starts, counts)
+        out = np.where(nvalid > 0, s, np.nan)
+    else:
+        import pandas as pd
+
+        from raydoc.ops.bucketing import segment_ids
+
+        seg = segment_ids(starts, counts)
+        s = pd.Series(vals).groupby(seg)
+        scan = (s.cummin() if fn == "min" else s.cummax()).to_numpy()
+        # pandas leaves NaN at rows whose own value is NaN; SQL carries
+        # the prior extremum forward — forward-fill within the run
+        out = scan.copy()
+        bad = np.isnan(out)
+        if bad.any():
+            idx = np.arange(n)
+            last = np.where(bad, 0, idx)
+            np.maximum.accumulate(last, out=last)
+            run_start = np.repeat(starts, counts)
+            take = np.maximum(last, run_start)
+            out = np.where(np.isnan(out[take]), np.nan, out[take])
+            out = np.where(nvalid > 0, out, np.nan)
+    return pa.array(out, pa.float64(), from_pandas=True)
 
 
 def running_agg_carry(ds, key_col: str, order_cols: list[str], val_col: str,
@@ -283,22 +320,8 @@ def _running_agg_composite(ds, key_cols: list[str], order_cols: list[str],
 
     def _run_bucket(g: pa.Table, starts: np.ndarray,
                     counts: np.ndarray) -> pa.Table:
-        n = g.num_rows
-        if n == 0:
-            return g.append_column(out_col, pa.array([], pa.float64()))
-        vals = g.column(val_col).to_numpy(zero_copy_only=False)
-        if fn == "sum":
-            c = np.cumsum(vals)
-            out = c - np.repeat(c[starts] - vals[starts], counts)
-        elif fn == "count":
-            out = _row_index_in_run(n, starts, counts) + 1
-        else:
-            import pandas as pd
-
-            seg = segment_ids(starts, counts)
-            s = pd.Series(vals).groupby(seg)
-            out = (s.cummin() if fn == "min" else s.cummax()).to_numpy()
-        return g.append_column(out_col, pa.array(out))
+        return g.append_column(
+            out_col, _running_kernel(g, starts, counts, val_col, fn))
 
     return bucketed_sorted_apply(ds, key_cols, sort_keys, _run_bucket)
 
@@ -402,12 +425,17 @@ def rolling_agg(ds, key_col: str, order_cols: list[str], val_col: str,
             run_start = np.repeat(starts, counts)
             i = np.arange(n, dtype=np.int64)
             left = np.maximum(i - window + 1, run_start)
-            csum = np.concatenate(([0.0], np.cumsum(vals)))
+            valid = ~np.isnan(vals)
+            # SQL semantics: NULL values neither poison the sum nor
+            # count toward AVG's divisor; an all-null frame is NULL
+            csum = np.concatenate(([0.0], np.cumsum(
+                np.where(valid, vals, 0.0))))
+            ccnt = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
             sums = csum[i + 1] - csum[left]
-            if fn == "sum":
-                out = sums
-            else:
-                out = sums / (i - left + 1)
+            nv = ccnt[i + 1] - ccnt[left]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.where(nv > 0, sums if fn == "sum" else sums / nv,
+                               np.nan)
         else:
             import pandas as pd
 
@@ -415,7 +443,8 @@ def rolling_agg(ds, key_col: str, order_cols: list[str], val_col: str,
             r = pd.Series(vals).groupby(seg).rolling(
                 window, min_periods=1)
             out = (r.min() if fn == "min" else r.max()).to_numpy()
-        return g.append_column(out_col, pa.array(out, pa.float64()))
+        return g.append_column(
+            out_col, pa.array(out, pa.float64(), from_pandas=True))
 
     return bucketed_sorted_apply(ds, [key_col], sort_keys, _roll_bucket,
                                  num_partitions=num_partitions)

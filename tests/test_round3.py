@@ -107,6 +107,116 @@ class TestRunningAggCarry:
         assert a == b == [float(i + 1) for i in range(12)]
 
 
+class TestWindowFamilyVsPandas:
+    """Plan-agreement property checks: the bucketed window kernels must
+    match pandas' reference scans on adversarial inputs the events
+    oracle table lacks — null values, duplicate order keys, single-row
+    and singleton-session groups."""
+
+    @staticmethod
+    def _table(seed: int, n: int = 400, n_keys: int = 37) -> pa.Table:
+        rng = np.random.RandomState(seed)
+        vals = rng.randint(-9, 9, size=n).astype(np.float64)
+        vals[rng.rand(n) < 0.05] = np.nan  # nulls in the value column
+        return pa.table({
+            "k": pa.array(rng.randint(0, n_keys, size=n).astype(np.int64)),
+            "o": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(vals, pa.float64(), from_pandas=True),
+        })
+
+    @staticmethod
+    def _duck_window(t: pa.Table, expr: str) -> np.ndarray:
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", t)
+        return con.execute(
+            f"SELECT {expr} OVER (PARTITION BY k ORDER BY o) AS r "
+            "FROM t ORDER BY k, o").fetchdf()["r"].to_numpy(dtype=float)
+
+    def test_running_scans_match_duckdb_with_nulls(self, ray_session):
+        # SQL semantics: NULL values are skipped, never poison the scan
+        from raydoc.ops.window import running_agg
+
+        t = self._table(1)
+        for fn, expr in (("sum", "sum(v)"), ("count", "count(v)"),
+                         ("min", "min(v)"), ("max", "max(v)")):
+            got = running_agg(_ds(t), "k", ["o"], "v", out_col="r", fn=fn) \
+                .to_pandas().sort_values(["k", "o"])["r"].to_numpy(float)
+            want = self._duck_window(t, expr)
+            assert np.allclose(got, want, equal_nan=True), fn
+
+    def test_group_rank_with_sort_ties(self, ray_session):
+        import pandas as pd
+
+        from raydoc.ops.window import group_rank
+
+        rng = np.random.RandomState(2)
+        t = pa.table({
+            "k": pa.array(rng.randint(0, 9, 200).astype(np.int64)),
+            "s": pa.array(rng.randint(0, 5, 200).astype(np.int64)),  # ties
+            "tb": pa.array(np.arange(200, dtype=np.int64)),
+        })
+        out = group_rank(_ds(t), "k", "s", out_col="rn",
+                         descending=True, tiebreak="tb") \
+            .to_pandas().sort_values(["k", "rn"])
+        pdf = t.to_pandas().sort_values(
+            ["k", "s", "tb"], ascending=[True, False, True])
+        pdf["rn"] = pdf.groupby("k").cumcount() + 1
+        a = out[["k", "s", "tb", "rn"]].reset_index(drop=True)
+        b = pdf.sort_values(["k", "rn"])[["k", "s", "tb", "rn"]] \
+            .reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_rolling_matches_duckdb_with_nulls(self, ray_session):
+        import duckdb
+
+        from raydoc.ops.window import rolling_agg
+
+        t = self._table(3)
+        con = duckdb.connect()
+        con.register("t", t)
+        for fn, expr in (("mean", "avg(v)"), ("sum", "sum(v)"),
+                         ("min", "min(v)"), ("max", "max(v)")):
+            got = rolling_agg(_ds(t), "k", ["o"], "v", window=4,
+                              out_col="r", fn=fn) \
+                .to_pandas().sort_values(["k", "o"])["r"].to_numpy(float)
+            want = con.execute(
+                f"SELECT {expr} OVER (PARTITION BY k ORDER BY o ROWS "
+                "BETWEEN 3 PRECEDING AND CURRENT ROW) AS r "
+                "FROM t ORDER BY k, o").fetchdf()["r"].to_numpy(dtype=float)
+            assert np.allclose(got, want, equal_nan=True), fn
+
+    def test_sessionize_singletons_and_one_key(self, ray_session):
+        from raydoc.ops.window import sessionize
+
+        ts = pa.array(
+            np.array([0, 10**9, 3 * 10**9, 10 ** 13], dtype="datetime64[us]"
+                     ).astype("datetime64[us]"))
+        t = pa.table({"u": pa.array([7, 7, 7, 7], pa.int64()), "ts": ts})
+        out = sessionize(_ds(t), "u", "ts", gap_minutes=1.0) \
+            .to_pandas().sort_values("session_id")
+        # gaps: 1000s and ~larger => 3 sessions (first two events 1000s
+        # apart > 60s gap => separate)
+        assert list(out["n_events"]) == [1, 1, 1, 1]
+        assert list(out["session_id"]) == [1, 2, 3, 4]
+
+    def test_pack_sequences_exclusive_prefix(self, ray_session):
+        from raydoc.ops.window import pack_sequences
+
+        t = pa.table({
+            "lang": pa.array(["en"] * 5 + ["de"] * 3),
+            "i": pa.array(list(range(8)), pa.int64()),
+            "tok": pa.array([600, 600, 600, 600, 600, 2000, 100, 2000],
+                            pa.int64()),
+        })
+        out = pack_sequences(_ds(t), "tok", 2048, ["i"], key_col="lang") \
+            .to_pandas().sort_values("i")
+        # en: starts 0,600,1200,1800,2400 -> packs 0,0,0,0,1
+        # de: starts 0,2000,2100 -> packs 0,0,1
+        assert list(out["pack_id"]) == [0, 0, 0, 0, 1, 0, 0, 1]
+
+
 class TestJinjaTemplates:
     def test_conditional_and_literal_passes(self):
         from raydoc.ops.template import render_batch
