@@ -37,10 +37,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names). Queries
-    absent here (langid heuristic scores, docs_curation's LSH stage,
-    approximate kNN variants, the flagship chunk table) are
-    non-SQL-expressible and get the driver's rows-only check; the
-    flagship TEXT itself is hash-checked via flagship_text_hash."""
+    absent here (docs_curation's LSH stage, approximate kNN variants,
+    the flagship extract/chunk tables) are non-SQL-expressible and get
+    the driver's rows-only check; the flagship TEXT itself is
+    hash-checked via flagship_text_hash."""
     from raydoc.pipelines.queries import ORACLES
 
     return dict(ORACLES)

@@ -96,7 +96,9 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         out = t.take(pa.array(starts)).drop_columns(["_dk", "_part"])
         return out.append_column("n_copies", pa.array(counts, pa.int64()))
 
-    return (
+    from raydoc.ops.bucketing import _coalesce_typed
+
+    return _coalesce_typed(
         ds.map_batches(_key, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(_dedupe_bucket, batch_format="pyarrow")
@@ -210,8 +212,11 @@ def _distinct_pairs(pairs, num_partitions: int | None = None):
             ([True], (a[1:] != a[:-1]) | (c[1:] != c[:-1]))))
         return t.take(pa.array(starts)).drop_columns(["_part"])
 
-    return pairs.map_batches(_bucket, batch_format="pyarrow") \
-        .groupby("_part").map_groups(_dedupe, batch_format="pyarrow")
+    from raydoc.ops.bucketing import _coalesce_typed
+
+    return _coalesce_typed(
+        pairs.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("_part").map_groups(_dedupe, batch_format="pyarrow"))
 
 
 def minhash_signatures(

@@ -761,11 +761,13 @@ def distinct_on(ds, key: str, keep: str = "min", order_col: str | None = None,
             np.concatenate(([True], codes[1:] != codes[:-1])))
         return t.take(pa.array(starts)).drop_columns(["_part"])
 
-    return (
-        ds.map_batches(_bucket, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(_dedupe_bucket, batch_format="pyarrow")
-    )
+    from raydoc.ops.bucketing import _coalesce_typed
+
+    return _coalesce_typed(  # few distinct keys << shuffle partitions
+        ds.map_batches(_bucket, batch_format="pyarrow")  # would otherwise
+        .groupby("_part")                                # emit zero-column
+        .map_groups(_dedupe_bucket, batch_format="pyarrow")  # empty blocks
+    )                                                    # that crash joins
 
 
 def union_all(*datasets):

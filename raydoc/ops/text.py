@@ -290,16 +290,28 @@ def top_salient_terms(ds, text_col: str = "text", id_col: str = "doc_id",
 
     from raydoc.ops.relational import grouped_agg
 
-    def _partial_df(b: pa.Table) -> pa.Table:
-        from collections import Counter
+    def _tok_pairs(b: pa.Table) -> pa.Table:
+        """(doc_id, term, tf) rows — one Arrow pass (r03; was a Python
+        Counter loop per doc): whitespace split, flatten, hash group by
+        (doc, term) with a ones-sum for tf."""
+        texts = pc.utf8_lower(pc.fill_null(
+            b.column(text_col).combine_chunks().cast(pa.string()), ""))
+        toks = pc.utf8_split_whitespace(texts)
+        nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        ids = b.column(id_col).combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(nw)), nw)))
+        pairs = pa.table({"d": ids, "term": flat,
+                          "one": pa.array(np.ones(len(flat), np.int64))})
+        pairs = pairs.filter(pc.not_equal(pairs.column("term"), ""))
+        g = pairs.group_by(["d", "term"]).aggregate([("one", "sum")])
+        return g.rename_columns(["d", "term", "tf"])
 
-        cnt: Counter = Counter()
-        for t in b.column(text_col).to_pylist():
-            cnt.update(set((t or "").lower().split()))
-        return pa.Table.from_pydict(
-            {"term": pa.array(list(cnt.keys()), pa.string()),
-             "df": pa.array(list(cnt.values()), pa.int64())}
-        )
+    def _partial_df(b: pa.Table) -> pa.Table:
+        g = _tok_pairs(b)
+        part = g.group_by("term").aggregate([("d", "count")])
+        return pa.table({"term": part.column("term"),
+                         "df": part.column("d_count").cast(pa.int64())})
 
     df_ds = grouped_agg(
         ds.map_batches(_partial_df, batch_format="pyarrow"),
@@ -315,36 +327,44 @@ def top_salient_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     cache_key = ("salient_df", df_ref.hex())
 
     def _score(b: pa.Table) -> pa.Table:
-        from collections import Counter
-
+        # fully vectorized per-doc top-k (r03; was a Counter + sorted()
+        # per document): (doc, term, tf) rows, df via index_in against
+        # the broadcast DF table, ONE sort by (doc, score desc, term),
+        # segmented-arange rank filter
+        from raydoc.ops.bucketing import run_segments
         from raydoc.ops.relational import _bcast_cached
 
-        df_map = _bcast_cached(
+        df_terms, df_vals = _bcast_cached(
             cache_key,
-            lambda: dict(zip(ray.get(df_ref).column("term").to_pylist(),
-                             ray.get(df_ref).column("df").to_pylist())),
+            lambda: (ray.get(df_ref).column("term").combine_chunks(),
+                     ray.get(df_ref).column("df").combine_chunks()),
         )
-        ids_out, terms_out, tfs, dfs, ranks = [], [], [], [], []
-        for i, t in zip(b.column(id_col).to_pylist(),
-                        b.column(text_col).to_pylist()):
-            cnt = Counter((t or "").lower().split())
-            if not cnt:
-                continue
-            scored = sorted(
-                ((-(tf / df_map[term]), term, tf) for term, tf in cnt.items()),
-            )[:top_k]
-            for r, (_neg, term, tf) in enumerate(scored, start=1):
-                ids_out.append(i)
-                terms_out.append(term)
-                tfs.append(tf)
-                dfs.append(df_map[term])
-                ranks.append(r)
-        return pa.Table.from_pydict(
-            {id_col: pa.array(ids_out, pa.int64()),
-             "term": pa.array(terms_out, pa.string()),
-             "tf": pa.array(tfs, pa.int64()),
-             "df": pa.array(dfs, pa.int64()),
-             "rank": pa.array(ranks, pa.int64())}
-        )
+        g = _tok_pairs(b)
+        if g.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        pos = pc.index_in(g.column("term").combine_chunks(),
+                          value_set=df_terms)
+        dfv = df_vals.take(pc.fill_null(pos, 0))
+        score = pc.divide(pc.cast(g.column("tf"), pa.float64()),
+                          pc.cast(dfv, pa.float64()))
+        t = pa.table({"d": g.column("d"), "term": g.column("term"),
+                      "tf": g.column("tf").cast(pa.int64()),
+                      "df": dfv.cast(pa.int64()), "s": score})
+        idx = pc.sort_indices(t, sort_keys=[("d", "ascending"),
+                                            ("s", "descending"),
+                                            ("term", "ascending")])
+        t = t.take(idx)
+        starts, counts = run_segments(t, ["d"])
+        rank = (np.arange(t.num_rows, dtype=np.int64)
+                - np.repeat(starts, counts) + 1)
+        t = t.append_column("rank", pa.array(rank, pa.int64()))
+        t = t.filter(pa.array(rank <= top_k))
+        return pa.table({id_col: t.column("d"), "term": t.column("term"),
+                         "tf": t.column("tf"), "df": t.column("df"),
+                         "rank": t.column("rank")})
 
     return ds.map_batches(_score, batch_format="pyarrow")

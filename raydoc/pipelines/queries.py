@@ -1622,14 +1622,45 @@ FROM t
 
 
 def docs_langid(sf_dir: str):
-    """Language-ID heuristic (no SQL oracle — marker-argmax isn't
-    reasonably SQL-expressible; validated in pytest against the lang
-    column instead)."""
+    """Language-ID heuristic, oracle-checked (r03): the marker-argmax
+    IS SQL-expressible — per-language marker-token counts over the
+    whitespace-split lowered text, argmax with ties broken by language
+    code order, 'und' at zero. The oracle SQL is GENERATED from the
+    same ``_LANG_MARKERS`` constants the kernel uses, so the two can't
+    drift."""
     from raydoc.ops.text import langid_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     ds = ds.map_batches(lambda b: langid_batch(b, "text"), batch_format="pyarrow")
     return ds.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def _langid_sql() -> str:
+    from raydoc.ops.text import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+    cnt_cols = ",\n       ".join(
+        "sum(CASE WHEN w IN ({}) THEN 1 ELSE 0 END) AS c_{}".format(
+            ", ".join("'" + m + "'" for m in sorted(_LANG_MARKERS[lang])),
+            lang)
+        for lang in langs)
+    mx = "greatest({})".format(", ".join(f"c_{lang}" for lang in langs))
+    case = ("CASE WHEN {mx} = 0 THEN 'und' ".format(mx=mx)
+            + " ".join(f"WHEN c_{lang} = {mx} THEN '{lang}'"
+                       for lang in langs) + " END")
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents),
+cnt AS (SELECT doc_id, lang,
+       {cnt_cols}
+  FROM tok GROUP BY doc_id, lang)
+SELECT doc_id, lang, {case} AS lang_pred FROM cnt
+"""
+
+
+DOCS_LANGID_SQL = _langid_sql()
 
 
 def docs_exact_dedup(sf_dir: str):
@@ -2662,6 +2693,7 @@ ORACLES = {
     "docs_train_split": DOCS_TRAIN_SPLIT_SQL,
     "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
     "docs_dup_clusters": DOCS_DUP_CLUSTERS_SQL,
+    "docs_langid": DOCS_LANGID_SQL,
     "docs_minhash_pairs": DOCS_NEARDUP_PAIRS_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_PAIRS_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_PAIRS_SQL,
@@ -2678,8 +2710,7 @@ ORACLES = {
     "code_sandbox_lengths": CODE_SANDBOX_LENGTHS_SQL,
     "udf_doc_head_upper": UDF_DOC_HEAD_UPPER_SQL,
     # intentionally no oracle (driver does rows-only checks):
-    # docs_langid (heuristic n-gram scores aren't SQL), docs_curation
-    # (LSH stage), embeddings_knn_ivf/_lsh (approximate by design),
-    # flagship_chunks (chunk table; the text itself is covered by
-    # flagship_text_hash's golden-hash oracle)
+    # docs_curation (LSH stage isn't SQL), embeddings_knn_ivf/_lsh
+    # (approximate by design), flagship_extract/flagship_chunks (the
+    # extracted text itself is hash-checked via flagship_text_hash)
 }
