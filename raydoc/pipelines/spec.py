@@ -294,6 +294,23 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
     "rolling_agg": (
         lambda p: _require(p, "key_col", "order_cols", "val_col", "window"),
         _b_rolling_agg),
+    "sessionize": (
+        lambda p: _require(p, "key_col", "ts_col"),
+        lambda ds, p: __import__(
+            "raydoc.ops.window", fromlist=["sessionize"]
+        ).sessionize(ds, p["key_col"], p["ts_col"],
+                     p.get("gap_minutes", 30.0),
+                     p.get("agg_value_col"))),
+    "asof_join_parquet": (
+        lambda p: _require(p, "path", "key", "right_key", "left_ts",
+                           "right_ts", "right_cols"),
+        lambda ds, p: __import__(
+            "raydoc.ops.window", fromlist=["asof_join"]
+        ).asof_join(ds,
+                    __import__("ray.data", fromlist=["read_parquet"])
+                    .read_parquet(p["path"]),
+                    p["key"], p["right_key"], p["left_ts"], p["right_ts"],
+                    p["right_cols"], p.get("right_tiebreak"))),
     "code": (_v_code, _b_code),
     "udf": (_v_udf, _b_udf),
     "approx_ndv": (

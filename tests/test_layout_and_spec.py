@@ -339,6 +339,35 @@ class TestSpecNewOps:
         assert "plain html body text" in out.loc["http://h", "text"]
         assert (out["status"] == "ok").all()
 
+    @pytest.mark.usefixtures("ray_session")
+    def test_spec_sessionize_and_asof(self, sf_dir):
+        from raydoc.pipelines.spec import run_spec
+
+        out = run_spec({
+            "source": {"op": "read_parquet",
+                       "path": f"{sf_dir}/events.parquet",
+                       "columns": ["user_id", "ts"]},
+            "stages": [{"op": "sessionize", "key_col": "user_id",
+                        "ts_col": "ts", "gap_minutes": 30.0}],
+            "sink": {"op": "collect"},
+        }).to_pandas()
+        assert {"user_id", "session_id", "n_events"} <= set(out.columns)
+        assert len(out) > 0 and (out["n_events"] >= 1).all()
+
+        out2 = run_spec({
+            "source": {"op": "read_parquet",
+                       "path": f"{sf_dir}/events.parquet",
+                       "columns": ["event_id", "user_id", "ts"]},
+            "stages": [{"op": "asof_join_parquet",
+                        "path": f"{sf_dir}/orders.parquet",
+                        "key": "user_id", "right_key": "o_custkey",
+                        "left_ts": "ts", "right_ts": "o_orderdate",
+                        "right_cols": ["o_orderkey"],
+                        "right_tiebreak": "o_orderkey"}],
+            "sink": {"op": "collect"},
+        }).to_pandas()
+        assert "o_orderkey" in out2.columns and len(out2) > 0
+
     def test_new_op_validation(self):
         import pytest as _pt
 
