@@ -89,25 +89,38 @@ def connected_components(
     def _label_sum(lbl) -> int:
         return lbl.sum("label") or 0
 
+    # message join via tag-union-groupby (one shuffle on the node
+    # key): each group holds the node's label row (dst null) and
+    # its outgoing edge rows (label null); emit (dst, label) per
+    # edge plus the node's own (node, label).
+    def _tag_label(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"key": b.column("node"),
+             "dst": pa.nulls(b.num_rows, pa.int64()),
+             "label": b.column("label")}
+        )
+
+    def _tag_edge(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"key": b.column("src"), "dst": b.column("dst"),
+             "label": pa.nulls(b.num_rows, pa.int64())}
+        )
+
+    # pointer jumping (r03): each node's LABEL TABLE itself, read as
+    # (src=label, dst=node) edges, propagates label[label[n]] to n —
+    # the classic hook + jump, so a chain of length L (exactly what the
+    # per-gram chain pair generation emits for an L-doc dup cluster)
+    # converges in O(log L) supersteps instead of L one-hop rounds.
+    def _label_as_edges(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(b.column("node"), b.column("label")))
+        b = b.filter(keep)  # self-labeled nodes jump nowhere
+        return pa.Table.from_pydict(
+            {"src": b.column("label"), "dst": b.column("node")}
+        )
+
     prev_sum = _label_sum(labels)
+    converged = False
     for _round in range(max_rounds):
-        # message join via tag-union-groupby (one shuffle on the node
-        # key): each group holds the node's label row (dst null) and
-        # its outgoing edge rows (label null); emit (dst, label) per
-        # edge plus the node's own (node, label).
-        def _tag_label(b: pa.Table) -> pa.Table:
-            return pa.Table.from_pydict(
-                {"key": b.column("node"),
-                 "dst": pa.nulls(b.num_rows, pa.int64()),
-                 "label": b.column("label")}
-            )
-
-        def _tag_edge(b: pa.Table) -> pa.Table:
-            return pa.Table.from_pydict(
-                {"key": b.column("src"), "dst": b.column("dst"),
-                 "label": pa.nulls(b.num_rows, pa.int64())}
-            )
-
         # the node-key space is corpus-sized, so the message emit is
         # hash-bucketed into P coarse groups and VECTORIZED per bucket
         # (sort by key, per-run min via reduceat, np.repeat to the edge
@@ -147,17 +160,41 @@ def connected_components(
                  "label": pa.array(out_labels, pa.int64())}
             )
 
+        jump_edges = labels.map_batches(_label_as_edges,
+                                        batch_format="pyarrow")
         tagged = labels.map_batches(_tag_label, batch_format="pyarrow").union(
-            edges.map_batches(_tag_edge, batch_format="pyarrow")
+            edges.map_batches(_tag_edge, batch_format="pyarrow"),
+            jump_edges.map_batches(_tag_edge, batch_format="pyarrow"),
         )
         msgs = tagged.map_batches(_bucket, batch_format="pyarrow") \
             .groupby("_part").map_groups(_emit_bucket, batch_format="pyarrow")
+        # repartition BOUNDS the per-round block count: the sort-based
+        # aggregate emits one block per input block, and the 3-way
+        # union would otherwise compound blocks geometrically across
+        # rounds (measured: round walls 14 -> 19 -> 46 s at 110k nodes
+        # from task-count growth alone, data constant at 16 B/node)
         labels = msgs.groupby("node").aggregate(
-            Min("label", alias_name="label")).materialize()
+            Min("label", alias_name="label")).repartition(P).materialize()
         cur_sum = _label_sum(labels)
+        import os as _os
+        if _os.environ.get("RAYDOC_CC_DEBUG"):
+            import time as _time
+            print(f"CCDBG round={_round} sum={cur_sum} t={_time.time():.1f}",
+                  flush=True)
         if cur_sum == prev_sum:  # labels only decrease: fixpoint reached
+            converged = True
             break
         prev_sum = cur_sum
+
+    if not converged:
+        # one-hop-per-round propagation converges in diameter(G) rounds;
+        # near-dup clusters have tiny diameters, so exhausting the cap
+        # means the input is NOT that shape — non-converged labels are
+        # silently WRONG cluster ids, so fail loudly instead (r03)
+        raise RuntimeError(
+            f"connected_components did not converge within max_rounds="
+            f"{max_rounds}; a component's diameter exceeds the round cap "
+            "— raise max_rounds (cost: one shuffle per extra round)")
 
     def _rename(b: pa.Table) -> pa.Table:
         return b.rename_columns([out_id, out_label])

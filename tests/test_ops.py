@@ -1111,17 +1111,20 @@ class TestGraphAndDecontam:
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                        10: 10, 11: 10, 20: 20, 21: 20}
 
-    def test_connected_components_round_cap_is_refinement(self):
+    def test_connected_components_round_cap_raises_not_refines(self):
         import ray.data as rd
 
         from raydoc.ops.graph import connected_components
 
-        # a long chain cut off after 1 round still yields labels that
-        # are each node's min id within 1 hop (valid refinement)
+        # r03 contract change: a cut-off run used to return partial
+        # ("refined") labels — silently WRONG cluster ids. Now it
+        # raises; with pointer jumping a 4-chain converges in 2 rounds.
         pairs = rd.from_arrow(_t(id_a=[1, 2, 3], id_b=[2, 3, 4]))
-        out = connected_components(pairs, max_rounds=1).to_pandas()
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_rounds=1).materialize()
+        out = connected_components(pairs, max_rounds=8).to_pandas()
         got = dict(zip(out["doc_id"], out["cluster_id"]))
-        assert got[1] == 1 and got[2] == 1 and got[3] == 2 and got[4] == 3
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1}
 
     def test_contamination_screen_distinct_hits(self):
         import ray.data as rd

@@ -260,6 +260,24 @@ class TestJinjaTemplates:
         assert out2 == "hi!"
 
 
+class TestConnectedComponentsConvergence:
+    def test_non_convergence_raises_instead_of_wrong_labels(self, ray_session):
+        import ray.data as rd
+
+        from raydoc.ops.graph import connected_components
+
+        n = 12  # chain of diameter 11 > max_rounds=3
+        t = pa.table({"id_a": pa.array(np.arange(n - 1), pa.int64()),
+                      "id_b": pa.array(np.arange(1, n), pa.int64())})
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(rd.from_arrow(t), max_rounds=3) \
+                .materialize()
+        # and with enough rounds the same chain resolves to min-id 0
+        out = connected_components(rd.from_arrow(t), max_rounds=16) \
+            .to_pandas()
+        assert set(out["cluster_id"]) == {0} and len(out) == n
+
+
 class TestSuffixLoopDetection:
     def test_find_loop_detects_two_node_cycle(self):
         from raydoc.pipelines.canvas import _find_loop
