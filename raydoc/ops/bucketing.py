@@ -161,6 +161,40 @@ def _coalesce_typed(ds, batch_size: int = 16384):
                           batch_size=batch_size)
 
 
+def clique_pair_indices(starts: np.ndarray,
+                        counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Row-index pairs (i, j), i < j, within every key run of a sorted
+    bucket — the LSH "all pairs in a bucket" clique, fully vectorized
+    (total = sum of C(L, 2) over runs; the quadratic blow-up of a hot
+    bucket is inherent to LSH, not to this kernel — upstream plans keep
+    buckets small by excluding degenerate docs)."""
+    n = int(counts.sum())
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    row_in_run = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    reps = np.repeat(counts, counts) - row_in_run - 1
+    total = int(reps.sum())
+    ai = np.repeat(np.arange(n, dtype=np.int64), reps)
+    out_start = np.cumsum(reps) - reps
+    delta = np.arange(total, dtype=np.int64) - np.repeat(out_start, reps)
+    bi = np.repeat(np.arange(1, n + 1, dtype=np.int64), reps) + delta
+    return ai, bi
+
+
+def popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — hamming distances over
+    simhash xors without a Python loop."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        x *= np.uint64(0x0101010101010101)
+    return (x >> np.uint64(56)).astype(np.int64)
+
+
 def bucketed_hash_apply(ds, keys: list[str], fn,
                         num_partitions: int | None = None,
                         part_col: str = "_part"):

@@ -359,37 +359,41 @@ def _minhash_pairs_carry(ds, text_col, id_col, a, b, bands, rows_per_band,
              "sig": pa.array(sigs_out, pa.list_(pa.uint64()))}
         )
 
-    def _bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2:
-            return pa.Table.from_pydict(
-                {"id_a": pa.array([], pa.int64()),
-                 "id_b": pa.array([], pa.int64()),
-                 "est_jaccard": pa.array([], pa.float64())}
-            )
-        ids = group.column(id_col).to_pylist()
-        sigs = np.asarray(group.column("sig").to_pylist(), dtype=np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids = [ids[i] for i in order]
-        sigs = sigs[order]
-        ia, ib, est = [], [], []
-        for x in range(n - 1):
-            matches = (sigs[x + 1 :] == sigs[x][None, :]).mean(axis=1)
-            for off, m in enumerate(matches):
-                if m >= threshold and ids[x] != ids[x + 1 + off]:
-                    ia.append(ids[x])
-                    ib.append(ids[x + 1 + off])
-                    est.append(float(m))
+    # coarse-bucketed vectorized clique + inline estimate (r03; was one
+    # Python map_groups call per distinct band key): signatures decode
+    # zero-copy to an (n, P) matrix, pair indices come from one
+    # segmented computation, estimates from a single matrix compare.
+    def _pairs_bucket(t: pa.Table, starts: np.ndarray,
+                      counts: np.ndarray) -> pa.Table:
+        from raydoc.ops.bucketing import clique_pair_indices
+        from raydoc.util import embedding_matrix
+
+        empty = pa.Table.from_pydict(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "est_jaccard": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        ids = t.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sigs = embedding_matrix(t.column("sig"), dtype=np.uint64)
+        ai, bi = clique_pair_indices(starts, counts)
+        if len(ai) == 0:
+            return empty
+        est = (sigs[ai] == sigs[bi]).mean(axis=1)
+        keep = (est >= threshold) & (ids[ai] != ids[bi])
         return pa.Table.from_pydict(
-            {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
-             "est_jaccard": pa.array(est, pa.float64())}
+            {"id_a": pa.array(ids[ai][keep], pa.int64()),
+             "id_b": pa.array(ids[bi][keep], pa.int64()),
+             "est_jaccard": pa.array(est[keep], pa.float64())}
         )
 
-    pairs = (
-        ds.map_batches(_band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
-    )
+    from raydoc.ops.bucketing import bucketed_sorted_apply
+
+    pairs = bucketed_sorted_apply(
+        ds.map_batches(_band_rows, batch_format="pyarrow"),
+        ["band_key"], [("band_key", "ascending"), (id_col, "ascending")],
+        _pairs_bucket)
     return _distinct_pairs(pairs)
 
 
@@ -459,21 +463,42 @@ def minhash_lsh_pairs(
             }
         )
 
-    def _bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column(id_col).to_pylist()))
-        ia, ib = [], []
-        for x in range(len(ids) - 1):
-            for y in range(x + 1, len(ids)):
-                ia.append(ids[x])
-                ib.append(ids[y])
+    # candidate pair generation is coarse-bucketed and VECTORIZED
+    # (r03): sort each bucket ONCE by (band_key, id), dedupe adjacent
+    # (band_key, id) rows, then every band bucket's clique pairs come
+    # from one segmented index computation — P Python calls total
+    # instead of one map_groups call per DISTINCT BAND KEY (a
+    # corpus-sized key space: ~bands x docs / cluster_size).
+    def _clique_bucket(t: pa.Table, starts: np.ndarray,
+                       counts: np.ndarray) -> pa.Table:
+        from raydoc.ops.bucketing import clique_pair_indices, run_segments
+
+        ids = t.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        if len(ids) == 0:
+            z = pa.array([], pa.int64())
+            return pa.Table.from_pydict({"id_a": z, "id_b": z})
+        keys = t.column("band_key").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = np.concatenate(
+            ([True], (keys[1:] != keys[:-1]) | (ids[1:] != ids[:-1])))
+        t2 = t.filter(pa.array(keep))
+        ids = ids[keep]
+        s2, c2 = run_segments(t2, ["band_key"])
+        ai, bi = clique_pair_indices(s2, c2)
         return pa.Table.from_pydict(
-            {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64())}
+            {"id_a": pa.array(ids[ai], pa.int64()),
+             "id_b": pa.array(ids[bi], pa.int64())}
         )
 
+    from raydoc.ops.bucketing import bucketed_sorted_apply
+
     candidates = _distinct_pairs(
-        ds.map_batches(_band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
+        bucketed_sorted_apply(
+            ds.map_batches(_band_rows, batch_format="pyarrow"),
+            ["band_key"],
+            [("band_key", "ascending"), (id_col, "ascending")],
+            _clique_bucket)
     ).materialize()  # small vs corpus; reused for ids + the attach
 
     # candidate ids stay a DATASET — never collected on the driver
@@ -615,32 +640,41 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
              "simhash": pa.array(hrep, pa.uint64())}
         )
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        hs = group.column("simhash").to_pylist()
-        order = np.argsort(ids, kind="stable")
-        ia, ib, dist = [], [], []
-        for xi in range(len(order) - 1):
-            x = order[xi]
-            for yi in range(xi + 1, len(order)):
-                y = order[yi]
-                if ids[x] == ids[y]:
-                    continue
-                d = bin(hs[x] ^ hs[y]).count("1")
-                if d <= max_hamming:
-                    ia.append(ids[x])
-                    ib.append(ids[y])
-                    dist.append(d)
+    # coarse-bucketed vectorized clique + hamming verify (r03; was one
+    # Python map_groups call per distinct 16-bit chunk bucket): sorted
+    # by (bkey, id), every bucket's candidate pairs come from one
+    # segmented index computation, hamming from a SWAR popcount over
+    # the xor'd signatures — no per-pair Python.
+    def _pairs_bucket(t: pa.Table, starts: np.ndarray,
+                      counts: np.ndarray) -> pa.Table:
+        from raydoc.ops.bucketing import clique_pair_indices, popcount_u64
+
+        z = pa.array([], pa.int64())
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"id_a": z, "id_b": z, "hamming": z})
+        ids = t.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        hs = t.column("simhash").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        ai, bi = clique_pair_indices(starts, counts)
+        if len(ai) == 0:
+            return pa.Table.from_pydict(
+                {"id_a": z, "id_b": z, "hamming": z})
+        d = popcount_u64(np.bitwise_xor(hs[ai], hs[bi]))
+        keep = (d <= max_hamming) & (ids[ai] != ids[bi])
         return pa.Table.from_pydict(
-            {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
-             "hamming": pa.array(dist, pa.int64())}
+            {"id_a": pa.array(ids[ai][keep], pa.int64()),
+             "id_b": pa.array(ids[bi][keep], pa.int64()),
+             "hamming": pa.array(d[keep], pa.int64())}
         )
 
-    pairs = (
-        ds.map_batches(_bands, batch_format="pyarrow")
-        .groupby("bkey")
-        .map_groups(_pairs, batch_format="pyarrow")
-    )
+    from raydoc.ops.bucketing import bucketed_sorted_apply
+
+    pairs = bucketed_sorted_apply(
+        ds.map_batches(_bands, batch_format="pyarrow"),
+        ["bkey"], [("bkey", "ascending"), (id_col, "ascending")],
+        _pairs_bucket)
     return _distinct_pairs(pairs)
 
 
