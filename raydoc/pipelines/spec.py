@@ -14,7 +14,7 @@ component/__init__.py:56-59, base.py:109-161). Differences by design:
 
 Spec format:
 
-    {"source": {"op": "read_parquet", "path": ...,
+    {"source": {"op": "read_parquet" | "read_csv" | "read_json", "path": ...,
                 "columns": [...optional...]},
      "stages": [{"op": <name>, ...params...}, ...],
      "sink":   {"op": "write_parquet", "path": ...} | {"op": "collect"}}
@@ -373,7 +373,8 @@ def validate_spec(spec: dict) -> None:
     _check(isinstance(spec, dict), "spec must be a dict")
     _check("source" in spec, "spec needs a 'source'")
     src = spec["source"]
-    _check(src.get("op") == "read_parquet", "source.op must be 'read_parquet'")
+    _check(src.get("op") in ("read_parquet", "read_csv", "read_json"),
+           "source.op must be read_parquet | read_csv | read_json")
     _require(src, "path")
     for i, st in enumerate(spec.get("stages", [])):
         op = st.get("op")
@@ -401,7 +402,16 @@ def run_spec(spec: dict) -> Any:
 
     validate_spec(spec)
     src = spec["source"]
-    ds = rd.read_parquet(src["path"], columns=src.get("columns"))
+    if src["op"] == "read_csv":
+        ds = rd.read_csv(src["path"])
+        if src.get("columns"):
+            ds = ds.select_columns(src["columns"])
+    elif src["op"] == "read_json":
+        ds = rd.read_json(src["path"])
+        if src.get("columns"):
+            ds = ds.select_columns(src["columns"])
+    else:
+        ds = rd.read_parquet(src["path"], columns=src.get("columns"))
     for st in spec.get("stages", []):
         params = {k: v for k, v in st.items() if k != "op"}
         ds = STAGE_REGISTRY[st["op"]][1](ds, params)

@@ -260,6 +260,78 @@ class TestJinjaTemplates:
         assert out2 == "hi!"
 
 
+class TestSpecFileSources:
+    def test_csv_and_json_sources(self, ray_session, tmp_path):
+        import json as _json
+
+        import pandas as pd
+
+        from raydoc.pipelines.spec import run_spec
+
+        df = pd.DataFrame({"k": ["a", "b", "a"], "v": [1, 2, 3]})
+        csv = str(tmp_path / "t.csv")
+        df.to_csv(csv, index=False)
+        jsonl = str(tmp_path / "t.json")
+        with open(jsonl, "w") as f:
+            for r in df.to_dict("records"):
+                f.write(_json.dumps(r) + "\n")
+        for path, op in ((csv, "read_csv"), (jsonl, "read_json")):
+            out = run_spec({
+                "source": {"op": op, "path": path},
+                "stages": [{"op": "grouped_agg", "keys": ["k"],
+                            "aggs": {"s": {"fn": "sum", "column": "v"}}}],
+                "sink": {"op": "collect"},
+            }).to_pandas().sort_values("k").reset_index(drop=True)
+            assert list(out["k"]) == ["a", "b"]
+            assert list(out["s"]) == [4, 2]
+
+
+class TestGroupedOpsNullKeysVsDuckdb:
+    """Null KEY handling: Arrow's hash group-by and DuckDB both treat
+    NULL as one group — pin the bucketed plans to that."""
+
+    @staticmethod
+    def _t():
+        rng = np.random.RandomState(7)
+        k = rng.randint(0, 9, 300).astype(np.float64)
+        k[rng.rand(300) < 0.1] = np.nan
+        return pa.table({
+            "k": pa.array(k, pa.float64(), from_pandas=True),
+            "v": pa.array(rng.randint(0, 100, 300).astype(np.int64)),
+        })
+
+    def test_grouped_agg_null_keys(self, ray_session):
+        import duckdb
+
+        from raydoc.ops.relational import grouped_agg
+
+        t = self._t()
+        got = grouped_agg(_ds(t), ["k"], {"s": ("sum", "v"),
+                                          "n": ("count", "v")}) \
+            .to_pandas().sort_values("k", na_position="last") \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute(
+            "SELECT k, sum(v) AS s, count(v) AS n FROM t GROUP BY k "
+            "ORDER BY k NULLS LAST").fetchdf()
+        assert len(got) == len(want)
+        assert (got["s"].to_numpy() == want["s"].to_numpy()).all()
+        assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+
+    def test_group_top_k_null_keys(self, ray_session):
+        from raydoc.ops.relational import group_top_k
+
+        t = self._t()
+        out = group_top_k(_ds(t), "k", "v", k=2, descending=True,
+                          tiebreak="v").to_pandas()
+        # the null-key group also yields <= 2 rows
+        nulls = out[out["k"].isna()]
+        assert 1 <= len(nulls) <= 2
+        per = out.groupby("k", dropna=False).size()
+        assert (per <= 2).all()
+
+
 class TestConnectedComponentsConvergence:
     def test_non_convergence_raises_instead_of_wrong_labels(self, ray_session):
         import ray.data as rd
