@@ -1050,12 +1050,11 @@ def segment_dedup(
         return pa.table({"k": part.column("k"),
                          "n_part": part.column("d_count").cast(pa.int64())})
 
-    # native Sum aggregate, NOT grouped_agg: the distinct-segment key
-    # space is ~corpus-sized (every unique 8-word span), and
-    # grouped_agg's per-group map_groups finalizer pays a Python call
-    # per key — measured 8.3 s for 5k docs/31k keys vs 1.4 s with the
-    # block-vectorized native aggregate. grouped_agg stays the right
-    # tool for LOW-cardinality keys with mixed agg functions.
+    # native Sum aggregate: one shuffle and a block-vectorized combine
+    # for the single-fn sum over the corpus-sized distinct-segment key
+    # space (r03 note: grouped_agg's finalize is now coarse-bucketed
+    # too, so either works; the native aggregate still saves the extra
+    # bucket-stamp map stage for this single-fn case).
     counts = ds.map_batches(_partial_counts, batch_format="pyarrow") \
         .groupby("k").aggregate(Sum("n_part", alias_name="n_docs"))
     banned = counts.filter(expr=f"n_docs > {int(max_docs)}") \

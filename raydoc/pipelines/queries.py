@@ -1715,9 +1715,11 @@ def docs_host_cap(sf_dir: str):
     """Per-host document cap (the Common-Crawl curation rule "keep at
     most K pages per host" that bounds domination by mega-hosts): keep
     the 10 lowest-doc_id docs per source via group_top_k's
-    hash-partition + vectorized local head. Deterministic order makes
-    the cap reproducible across runs; a hot host's group must fit one
-    worker (group_top_k's documented assumption)."""
+    coarse-bucket plan (one sort per bucket + segmented-arange rank —
+    millions of hosts pay P Python calls total, not one per host).
+    Deterministic order makes the cap reproducible across runs; a hot
+    host's BUCKET must fit one worker (size num_partitions to
+    ~bytes/256MB at scale)."""
     ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
     out = group_top_k(ds, "source", "doc_id", k=10, descending=False)
     return out.select_columns(["doc_id", "source", "n_chars"])
