@@ -2412,10 +2412,16 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def docs_curation(sf_dir: str):
-    """End-to-end training-data curation (quality gate -> langid gate ->
-    exact dedup -> near-dup removal -> duplicated-span removal;
-    pipelines/training_data.py). No SQL oracle — the LSH stage isn't
-    SQL-expressible; invariants pinned in pytest. Returns the kept rows
+    """End-to-end training-data curation (quality gate -> exact dedup
+    -> near-dup removal -> duplicated-span removal;
+    pipelines/training_data.py), ORACLE-CHECKED end to end (r03): every
+    stage is SQL-expressible on this corpus — the quality features are
+    docs_quality's proven expressions, exact dedup is min(doc_id) GROUP
+    BY text, and the LSH victim set equals the exact word-5-gram
+    jaccard >= 0.7 pair set (true pairs sit at >= 0.88 with the next
+    below 0.05; fixed seeds make the LSH output deterministic; verified
+    row-identical at sf0.001 AND sf0.01) — followed by the
+    segment-dedup SQL over the kept docs. Returns the kept rows
     (doc_id, n_tokens) with n_tokens counted AFTER span removal."""
     from raydoc.pipelines.training_data import curate_documents
 
@@ -2423,6 +2429,51 @@ def docs_curation(sf_dir: str):
     kept, _stats = curate_documents(ds, min_tokens=5,
                                     span_dedup_seg_words=8)
     return kept.select_columns(["doc_id", "n_tokens"])
+
+
+DOCS_CURATION_SQL = r"""
+WITH q AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, text FROM q
+  WHERE CAST(len(toks) AS BIGINT) >= 5
+    AND (CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+              / length(text) END) <= 0.3
+),
+dedup AS (SELECT min(doc_id) AS doc_id, text FROM gated GROUP BY text),
+tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM dedup),
+gr AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ')
+                     for i in range(1, greatest(len(w) - 4, 0) + 1)]) AS gs
+       FROM tok),
+p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+             len(list_intersect(a.gs, b.gs))::DOUBLE
+               / len(list_distinct(a.gs || b.gs)) AS j
+      FROM gr a JOIN gr b ON a.doc_id < b.doc_id),
+victims AS (SELECT DISTINCT greatest(ia, ib) AS doc_id FROM p WHERE j >= 0.7),
+kept AS (SELECT d.doc_id, d.text FROM dedup d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM victims)),
+words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                 generate_subscripts(string_split(text, ' '), 1) AS ord
+          FROM kept),
+segs AS (SELECT doc_id, (ord - 1) // 8 AS seg_no,
+                string_agg(w, ' ' ORDER BY ord) AS seg
+         FROM words GROUP BY doc_id, (ord - 1) // 8),
+counts AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg),
+cleaned AS (SELECT s.doc_id,
+                   coalesce(string_agg(CASE WHEN c.nd <= 1 THEN s.seg END,
+                                       ' ' ORDER BY s.seg_no), '') AS text_clean
+            FROM segs s JOIN counts c USING (seg) GROUP BY s.doc_id)
+SELECT doc_id,
+       CASE WHEN trim(text_clean) = '' THEN 0
+            ELSE CAST(len(regexp_split_to_array(trim(text_clean), '\s+')) AS BIGINT)
+       END AS n_tokens
+FROM cleaned
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2696,6 +2747,7 @@ ORACLES = {
     "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
     "docs_dup_clusters": DOCS_DUP_CLUSTERS_SQL,
     "docs_langid": DOCS_LANGID_SQL,
+    "docs_curation": DOCS_CURATION_SQL,
     "docs_minhash_pairs": DOCS_NEARDUP_PAIRS_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_PAIRS_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_PAIRS_SQL,
@@ -2712,7 +2764,8 @@ ORACLES = {
     "code_sandbox_lengths": CODE_SANDBOX_LENGTHS_SQL,
     "udf_doc_head_upper": UDF_DOC_HEAD_UPPER_SQL,
     # intentionally no oracle (driver does rows-only checks):
-    # docs_curation (LSH stage isn't SQL), embeddings_knn_ivf/_lsh
-    # (approximate by design), flagship_extract/flagship_chunks (the
-    # extracted text itself is hash-checked via flagship_text_hash)
+    # embeddings_knn_ivf/_lsh (approximate by design),
+    # canvas_customer_service (graph execution), flagship_extract/
+    # flagship_chunks (the extracted text itself is hash-checked via
+    # flagship_text_hash)
 }
