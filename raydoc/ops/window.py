@@ -242,13 +242,22 @@ def running_agg_carry(ds, key_col: str, order_cols: list[str], val_col: str,
         }),
         batch_format="pyarrow",
     ).materialize()
-    lo = min(r["lo"] for r in mm.take_all() if r["lo"] is not None)
-    hi = max(r["hi"] for r in mm.take_all() if r["hi"] is not None)
+    _rows = mm.take_all()
+    _los = [r["lo"] for r in _rows if r["lo"] is not None]
+    _his = [r["hi"] for r in _rows if r["hi"] is not None]
+    lo = min(_los) if _los else 0  # all-null order column: one slice
+    hi = max(_his) if _his else 0
     span = max(hi - lo + 1, 1)
     R = num_range_parts
 
     def _stamp(b: pa.Table) -> pa.Table:
-        v = _ord_i64(b.column(oc0)).to_numpy(zero_copy_only=False)
+        # null order values: int64-casting a null yields NaN and an
+        # undefined int64 clip (ADVICE r03). Route them explicitly to
+        # the slice of the global max, where the in-slice sort's
+        # nulls-at-end placement reproduces running_agg's ordering
+        # (nulls sort at the end of each key).
+        v = pc.fill_null(_ord_i64(b.column(oc0)), hi).to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
         part = np.clip(((v - lo) * R) // span, 0, R - 1).astype(np.int64)
         return b.append_column("_rpart", pa.array(part))
 
@@ -284,16 +293,25 @@ def running_agg_carry(ds, key_col: str, order_cols: list[str], val_col: str,
         cv = ct.column("_carry").take(pc.fill_null(pos, 0))
         has = pc.is_valid(pos)
         cur = b.column(out_col)
+        carry_valid = pc.and_(has, pc.is_valid(cv))
         if fn in ("sum", "count"):
-            combined = pc.add(cur, pc.if_else(has, cv, pa.scalar(0).cast(cv.type)))
-        elif fn == "min":
+            zero = pa.scalar(0).cast(cv.type)
+            added = pc.add(cur, pc.if_else(carry_valid, cv, zero))
+            # a null in-slice scan means the slice's own frame is still
+            # empty: SQL's running sum is then exactly the carried
+            # prefix, null only when THAT is empty too (ADVICE r03 —
+            # running count is never null, so `added` covers it)
             combined = pc.if_else(
-                pc.and_(has, pc.is_valid(cv)),
-                pc.min_element_wise(cur, cv), cur)
+                pc.is_valid(cur), added,
+                pc.if_else(carry_valid, pc.cast(cv, cur.type), cur))
+        elif fn == "min":
+            # min/max_element_wise skip nulls: a null cur with a valid
+            # carry correctly emits the carry itself
+            combined = pc.if_else(
+                carry_valid, pc.min_element_wise(cur, cv), cur)
         else:
             combined = pc.if_else(
-                pc.and_(has, pc.is_valid(cv)),
-                pc.max_element_wise(cur, cv), cur)
+                carry_valid, pc.max_element_wise(cur, cv), cur)
         i = b.schema.get_field_index(out_col)
         return b.set_column(i, out_col, combined).drop_columns(["_rpart"])
 
@@ -329,35 +347,45 @@ def _running_agg_composite(ds, key_cols: list[str], order_cols: list[str],
 def _exclusive_prefix(tot: pa.Table, key_col: str, part_col: str,
                       val_col: str, fn: str) -> pa.Table:
     """(key, part, total) -> (key, part, _carry) where _carry combines
-    all STRICTLY EARLIER parts of the same key (null carry for each
-    key's first part). Driver-side on a tiny (keys x slices) table."""
+    all STRICTLY EARLIER parts of the same key. _carry is NULL when no
+    earlier part holds a non-null total — each key's first part, and
+    any prefix made entirely of all-null slices (ADVICE r03: a NaN
+    total must neither poison the cumsum for later rows nor be
+    zero-filled into a fake carry). Driver-side on a tiny
+    (keys x slices) table."""
     idx = pc.sort_indices(tot, sort_keys=[(key_col, "ascending"),
                                           (part_col, "ascending")])
     t = tot.take(idx)
     from raydoc.ops.bucketing import run_segments
 
     starts, counts = run_segments(t, [key_col])
-    v = t.column(val_col).to_numpy(zero_copy_only=False)
+    v = t.column(val_col).to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False)
     n = len(v)
+    valid = ~np.isnan(v)
     if fn in ("sum", "count"):
-        c = np.cumsum(v)
-        inc = c - np.repeat(c[starts] - v[starts], counts)
+        inc = _seg_cumsum(np.where(valid, v, 0.0), starts, counts)
     else:
         import pandas as pd
 
+        # valid-aware extremum scan: null totals become the identity
+        # element, the validity count below masks empty prefixes
+        fill = np.inf if fn == "min" else -np.inf
         seg = np.repeat(np.arange(len(starts)), counts)
-        s = pd.Series(v).groupby(seg)
+        s = pd.Series(np.where(valid, v, fill)).groupby(seg)
         inc = (s.cummin() if fn == "min" else s.cummax()).to_numpy()
-    carry = np.empty(n, dtype=np.float64)
-    carry[:] = np.nan
+    nval = _seg_cumsum(valid.astype(np.int64), starts, counts)
+    carry = np.full(n, np.nan, dtype=np.float64)
+    has = np.zeros(n, dtype=bool)
     if n > 1:
         carry[1:] = inc[:-1]
+        has[1:] = nval[:-1] > 0
     carry[starts] = np.nan  # first slice of each key has no carry
+    has[starts] = False
+    carry = np.where(has, carry, np.nan)
     out = pa.array(carry, pa.float64(), from_pandas=True)
-    if fn in ("sum", "count"):
-        # null carry -> 0 contribution, typed like the totals
-        out = pc.fill_null(out, 0.0).cast(t.column(val_col).type
-                                          if fn == "sum" else pa.int64())
+    if fn == "count":
+        out = out.cast(pa.int64())
     return pa.Table.from_pydict({
         key_col: t.column(key_col),
         part_col: t.column(part_col),
@@ -575,6 +603,14 @@ def asof_join(
                                 pa.nulls(lrows.num_rows, col.type), col)
         return pa.Table.from_pydict(out)
 
+    # the tiebreak sorts NATIVELY (ADVICE r03: a float64 cast broke
+    # timestamp/string tiebreaks); left rows carry typed nulls, and
+    # _lorder already separates sides at equal (key, ts) so null
+    # placement among left rows is irrelevant
+    if right_tiebreak:
+        _rs = right.schema()
+        tb_type = _rs.types[_rs.names.index(right_tiebreak)]
+
     # numeric side order: R=0 sorts before L=1 at equal (key, ts)
     def _with_order(b: pa.Table) -> pa.Table:
         isl = pc.cast(pc.equal(b.column("_side"), "L"), pa.int8())
@@ -583,9 +619,12 @@ def asof_join(
             return b
         if right_tiebreak in b.column_names:
             tb = b.column(right_tiebreak)
-        else:  # left rows carry a null tiebreak
-            tb = pa.nulls(b.num_rows, pa.int64())
-        return b.append_column("_tb", pc.cast(tb, pa.float64()))
+            if isinstance(tb, pa.ChunkedArray):
+                tb = tb.combine_chunks()
+            tb = tb.cast(tb_type)
+        else:  # left rows carry a typed null tiebreak
+            tb = pa.nulls(b.num_rows, tb_type)
+        return b.append_column("_tb", tb)
 
     merged = lt.union(rt).map_batches(_with_order, batch_format="pyarrow")
     sort_keys = [("_k", "ascending"), ("_ts", "ascending"),

@@ -1,0 +1,115 @@
+"""Round-4 additions: ADVICE r03 fixes (running_agg_carry null
+semantics, null order values, asof native tiebreak sort), vectorized
+approximate-kNN scorers, and hot-key salting for bucketed plans."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _nan_eq(a: np.ndarray, b: np.ndarray) -> bool:
+    a = np.asarray(a, dtype=float)
+    b = np.asarray(b, dtype=float)
+    return bool(((np.isnan(a) & np.isnan(b)) | (a == b)).all())
+
+
+class TestRunningAggCarryNulls:
+    """ADVICE r03: the carry plan must match running_agg EXACTLY when
+    the value column holds nulls — all-null slices (NaN totals), null
+    in-slice prefixes with a valid carry, and null order values."""
+
+    @pytest.mark.parametrize("fn", ["sum", "count", "min", "max"])
+    def test_all_null_slice_and_null_prefix(self, ray_session, fn):
+        import ray.data as rd
+
+        from raydoc.ops.window import running_agg, running_agg_carry
+
+        n = 800
+        vals = (np.arange(n, dtype=np.float64) % 17) - 8
+        # slice 0 of "mega" (ts 0..99 of 8 uniform slices) entirely
+        # null: its NaN total must not poison later slices or the
+        # later key "zz"; ts 200..214 nulls a slice-2 prefix so a null
+        # in-slice scan meets a valid carry
+        vals[:100] = np.nan
+        vals[200:215] = np.nan
+        t = pa.table({
+            "user": pa.array(["mega"] * n + ["zz"] * n),
+            "ts": pa.array(np.tile(np.arange(n, dtype=np.int64), 2)),
+            "rid": pa.array(np.arange(2 * n, dtype=np.int64)),
+            "v": pa.array(np.concatenate([vals, np.full(n, 2.0)]),
+                          pa.float64(), from_pandas=True),
+        })
+        ds = rd.from_arrow(t).repartition(8)
+        a = running_agg(ds, "user", ["ts"], "v", out_col="r", fn=fn) \
+            .to_pandas().sort_values("rid")["r"].to_numpy(dtype=float)
+        b = running_agg_carry(ds, "user", ["ts"], "v", out_col="r", fn=fn,
+                              num_range_parts=8) \
+            .to_pandas().sort_values("rid")["r"].to_numpy(dtype=float)
+        assert len(a) == len(b) == 2 * n
+        assert _nan_eq(a, b)
+        # the bug signature: rows of "zz" (all-valid values) must never
+        # be null/NaN under the carry plan
+        assert not np.isnan(b[n:]).any()
+
+    @pytest.mark.parametrize("fn", ["sum", "min"])
+    def test_null_order_value_routes_to_last_slice(self, ray_session, fn):
+        import ray.data as rd
+
+        from raydoc.ops.window import running_agg, running_agg_carry
+
+        # one null order value per key: running_agg sorts it at the end
+        # of the key; the carry plan must stamp it into the LAST slice
+        # (ADVICE r03: NaN -> int64 clip is undefined), not a garbage
+        # partition that shifts carries
+        ts = [None if i == 20 else i for i in range(40)]
+        t = pa.table({
+            "user": pa.array(["u"] * 40 + ["w"] * 40),
+            "ts": pa.array(ts + list(range(40)), pa.int64()),
+            "rid": pa.array(list(range(80)), pa.int64()),
+            "v": pa.array([float(i % 7) for i in range(80)], pa.float64()),
+        })
+        ds = rd.from_arrow(t).repartition(4)
+        a = running_agg(ds, "user", ["ts"], "v", out_col="r", fn=fn) \
+            .to_pandas().sort_values("rid")["r"].to_numpy(dtype=float)
+        b = running_agg_carry(ds, "user", ["ts"], "v", out_col="r", fn=fn,
+                              num_range_parts=5) \
+            .to_pandas().sort_values("rid")["r"].to_numpy(dtype=float)
+        assert _nan_eq(a, b)
+
+
+class TestAsofNativeTiebreak:
+    """ADVICE r03: the r03 float64 cast of the tiebreak column raised
+    on timestamp/string tiebreaks; the sort is native now."""
+
+    def _run(self, tiebreak_values: pa.Array):
+        import ray.data as rd
+
+        from raydoc.ops.window import asof_join
+
+        left = rd.from_arrow(pa.table({
+            "k": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([10, 20], pa.int64()),
+        }))
+        right = rd.from_arrow(pa.table({
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "rts": pa.array([10, 10, 15], pa.int64()),
+            "tb": tiebreak_values,
+            "val": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }))
+        out = asof_join(left, right, "k", "k", "ts", "rts",
+                        right_cols=["val"], right_tiebreak="tb").to_pandas()
+        return out.sort_values("ts")["val"].tolist()
+
+    def test_string_tiebreak(self, ray_session):
+        # at ts=10 two right rows tie on rts=10; the larger string
+        # tiebreak ("c") wins -> val 2.0
+        assert self._run(pa.array(["a", "c", "b"])) == [2.0, 3.0]
+
+    def test_timestamp_tiebreak(self, ray_session):
+        ts = pa.array([1_000, 3_000, 2_000], pa.timestamp("us"))
+        assert self._run(ts) == [2.0, 3.0]
+
+    def test_int_tiebreak_still_works(self, ray_session):
+        assert self._run(pa.array([1, 3, 2], pa.int64())) == [2.0, 3.0]

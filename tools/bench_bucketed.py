@@ -64,7 +64,7 @@ def main() -> None:
     for n_keys in sizes:
         ds = make_ds(n_keys)
         for name, fn in (("bucketed", bucketed_agg), ("perkey", perkey_agg)):
-            if name == "perkey" and n_keys > 1_000_000:
+            if name == "perkey" and n_keys >= 1_000_000:
                 # measured minutes of pure dispatch at this size; cap
                 # the A side to the 100k point and extrapolate
                 print(f"perkey   n_keys={n_keys}: skipped "
