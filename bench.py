@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "asof_events_orders",
     "docs_minhash_pairs",
     "embeddings_knn",
+    "embeddings_knn_ivf",
+    "embeddings_knn_lsh",
     "docs_curation",
     "docs_segment_dedup",
     "docs_train_split",

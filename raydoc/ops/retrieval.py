@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 __all__ = ["hybrid_retrieve", "insert_citations"]
 
@@ -142,15 +141,6 @@ def hybrid_retrieve(
                  "score": pa.array(out["score"], pa.float64())}
             )
 
-    def _final(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
-        )
-        top = group.take(idx.slice(0, top_n))
-        return top.append_column(
-            "rank", pa.array(range(1, top.num_rows + 1), pa.int64())
-        )
-
     def _cap() -> int:
         from raydoc.util import cpu_cap
 
@@ -160,4 +150,10 @@ def hybrid_retrieve(
         _Scorer, fn_constructor_args=(shared,), batch_format="pyarrow",
         concurrency=(1, _cap()),
     )
-    return cands.groupby("query_id").map_groups(_final, batch_format="pyarrow")
+    # per-query top-k through the coarse-bucket rank kernel (P Python
+    # calls total) — the r03 groupby(query_id).map_groups finalize paid
+    # one Python call per query (VERDICT r03)
+    from raydoc.ops.window import group_rank
+
+    return group_rank(cands, "query_id", "score", out_col="rank",
+                      descending=True, tiebreak="doc_id", k=top_n)
