@@ -19,9 +19,15 @@ same data movement as groupby(key)), then inside each bucket either
   segmented cumsum, within-run ``arange``) over all runs at once.
 
 Either way: P Python calls TOTAL for the whole dataset, not one per
-key. Skew note: one pathological key still lands in one bucket — same
-worst case as groupby(key), no worse; salt upstream if a single key's
-rows exceed a worker.
+key. Skew note (r04): for COMBINABLE aggregates a hot key is handled —
+``relational.grouped_agg(salt=S)`` runs two-level aggregation (salt
+column via ``with_salt`` -> partial per (key, salt) -> final merge), so
+the hot key's rows spread over S buckets and the final merge sees at
+most S rows per key. For ORDER-SENSITIVE appliers (windows, sessions)
+a single key's run is irreducible by salting; ``bucketed_sorted_apply``
+takes ``max_key_rows`` as a fail-loud guard on that assumption (use
+``window.running_agg_carry``'s range-partitioned carry for the
+prefix-combinable fns instead of raising).
 
 The reference interprets its graphs single-threaded on pandas frames
 (reference canvas.py:205-239) and has no grouped vocabulary to scale;
@@ -108,6 +114,23 @@ def with_bucket(ds, keys: list[str], P: int, part_col: str = "_part"):
         return batch.append_column(part_col, pa.array(part))
 
     return ds.map_batches(_bucket, batch_format="pyarrow")
+
+
+def with_salt(ds, S: int, salt_col: str = "_salt"):
+    """Append ``salt_col`` = row-position % S per batch — spreads a HOT
+    KEY's rows over S distinct (key, salt) groups so a two-level
+    combinable aggregation never funnels one key's full row set into
+    one bucket. The assignment is batching-dependent, which is fine:
+    callers only salt COMMUTATIVE partial aggregates, so the final
+    merge is invariant to which salt a row drew."""
+    if S < 1:
+        raise ValueError(f"salt must be >= 1, got {S}")
+
+    def _salt(batch: pa.Table) -> pa.Table:
+        salt = np.arange(batch.num_rows, dtype=np.int64) % S
+        return batch.append_column(salt_col, pa.array(salt))
+
+    return ds.map_batches(_salt, batch_format="pyarrow")
 
 
 def run_segments(t: pa.Table, keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
@@ -215,11 +238,19 @@ def bucketed_hash_apply(ds, keys: list[str], fn,
 
 def bucketed_sorted_apply(ds, keys: list[str], sort_keys, fn,
                           num_partitions: int | None = None,
-                          part_col: str = "_part"):
+                          part_col: str = "_part",
+                          max_key_rows: int | None = None):
     """Order-SENSITIVE grouped apply: each bucket is sorted ONCE by
     ``sort_keys`` (must lead with ``keys``; pyarrow (col, order) pairs),
     then fn(sorted_table, run_starts, run_counts) -> table runs
-    segment-vectorized kernels over all key runs at once."""
+    segment-vectorized kernels over all key runs at once.
+
+    ``max_key_rows``: fail-loud guard on the one-key-fits-a-worker
+    assumption — an order-sensitive run cannot be salted, so a key
+    whose run exceeds the cap raises (naming the key) instead of
+    silently OOM-ing a worker at scale. Callers with a prefix-
+    combinable kernel should route pathological keys through
+    ``window.running_agg_carry``-style range partitioning instead."""
     P = default_partitions(num_partitions)
 
     def _apply(group: pa.Table) -> pa.Table:
@@ -227,6 +258,17 @@ def bucketed_sorted_apply(ds, keys: list[str], sort_keys, fn,
         if g.num_rows:
             g = g.take(pc.sort_indices(g, sort_keys=sort_keys))
         starts, counts = run_segments(g, keys)
+        if max_key_rows is not None and len(counts) \
+                and counts.max() > max_key_rows:
+            worst = int(np.argmax(counts))
+            key_vals = {k: g.column(k)[int(starts[worst])].as_py()
+                        for k in keys}
+            raise ValueError(
+                f"bucketed_sorted_apply: key {key_vals} has "
+                f"{int(counts[worst])} rows, over max_key_rows="
+                f"{max_key_rows}; this key's ordered run exceeds the "
+                "one-key-fits-a-worker assumption — range-partition it "
+                "(window.running_agg_carry pattern) or raise the cap")
         return fn(g, starts, counts)
 
     return _coalesce_typed(

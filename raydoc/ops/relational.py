@@ -411,6 +411,7 @@ def grouped_agg(
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
     num_partitions: int | None = None,
+    salt: int | None = None,
 ):
     """Grouped aggregation with EXPLICIT output names and partial
     pre-aggregation.
@@ -424,7 +425,20 @@ def grouped_agg(
     corpus-sized keys (q3/q18: l_orderkey; keyword_topn_global: token).
     mean = final sum/count (exact integer-free division done once at
     the end). ``num_partitions``: size to ~partial_bytes/256 MB at
-    scale (ops.bucketing.default_partitions)."""
+    scale (ops.bucketing.default_partitions).
+
+    ``salt`` (r04, hot-key skew): a single pathological key (one hot
+    host is a realistic CC case) otherwise funnels one partial row per
+    BATCH it appears in into one finalize bucket — ~n_blocks rows at
+    10^12-doc scale. With ``salt=S`` the finalize runs TWO levels: the
+    partials bucket by (keys, _salt) with _salt spreading each key's
+    partials over S groups, each bucket combines its partials (still
+    in mergeable partial form), and only then does the per-key final
+    merge — which now sees AT MOST S rows per key, whatever the skew.
+    Every agg here is commutative-combinable, so the result is
+    bit-identical to the unsalted plan (tested vs DuckDB at one key
+    holding 50% of 1M rows). Cost: one extra small shuffle over
+    combined partials; leave unset when no key dominates."""
     for name, (fn, _col) in aggs.items():
         if fn not in _AGG_FUNCS:
             raise ValueError(f"unsupported agg {fn} for {name}")
@@ -502,7 +516,20 @@ def grouped_agg(
             out[name] = v
         return pa.Table.from_pydict(out)
 
-    from raydoc.ops.bucketing import bucketed_hash_apply
+    from raydoc.ops.bucketing import bucketed_hash_apply, with_salt
+
+    if salt and salt > 1:
+        # level 1: combine partials per (key, salt) — same mergeable
+        # partial schema out, so level 2 is the ordinary finalize
+        def _combine_bucket(t: pa.Table) -> pa.Table:
+            t = t.drop_columns(["_salt"])
+            g = t.group_by(keys).aggregate(spec2)
+            ren = {f"{pn}_{f}": pn for pn, f in spec2}
+            return g.rename_columns([ren.get(c, c) for c in g.column_names])
+
+        partial = bucketed_hash_apply(
+            with_salt(partial, salt), keys + ["_salt"], _combine_bucket,
+            num_partitions=num_partitions)
 
     return bucketed_hash_apply(partial, keys, _finalize_bucket,
                                num_partitions=num_partitions)

@@ -41,9 +41,17 @@ def stamp_tumbling_window(batch: pa.Table, ts_col: str, unit: str = "hour",
 
 def sessionize(ds, key_col: str, ts_col: str, gap_minutes: float = 30.0,
                agg_value_col: str | None = None,
-               num_partitions: int | None = None):
+               num_partitions: int | None = None,
+               max_key_rows: int | None = None):
     """Gap-based sessions per key: a new session starts when the time
     since the previous event of the SAME key exceeds the gap.
+
+    ``max_key_rows`` (r04): fail-loud enforcement of the one-key-fits-
+    a-worker assumption — a session chain is order-sensitive state that
+    salting cannot split, so a key whose event history exceeds the cap
+    raises with the key named instead of silently OOM-ing a worker.
+    Set it to the per-worker row budget at scale; unset skips the
+    check.
 
     Coarse-bucket plan (ops.bucketing): ONE shuffle into a cpu-scaled
     partition count, ONE sort per bucket by (key, ts), then every key's
@@ -114,7 +122,8 @@ def sessionize(ds, key_col: str, ts_col: str, gap_minutes: float = 30.0,
     return bucketed_sorted_apply(
         clean, [key_col],
         [(key_col, "ascending"), (ts_col, "ascending")],
-        _sessions_bucket, num_partitions=num_partitions)
+        _sessions_bucket, num_partitions=num_partitions,
+        max_key_rows=max_key_rows)
 
 
 
