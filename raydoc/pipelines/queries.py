@@ -1136,8 +1136,10 @@ FROM events GROUP BY 1
 def canvas_customer_service(sf_dir: str):
     """Run the reference's OWN customer_service.json canvas
     (test/dsl_examples) through the canvas interpreter, one row per
-    dialogue turn (no SQL oracle — graph execution; per-graph routing
-    is asserted in tests/test_canvas.py for all 25 reference files)."""
+    dialogue turn. ORACLE-CHECKED via a literal golden SELECT (r04):
+    the deterministic LLM doubles make the routed output a constant.
+    Per-graph routing for all 25 reference files is asserted in
+    tests/test_canvas.py."""
     from raydoc.pipelines.canvas import run_canvas
 
     turns = [
@@ -1154,6 +1156,22 @@ def canvas_customer_service(sf_dir: str):
         "n_steps": pa.array([len(r["path"]) for r in res], pa.int64()),
         "answered": pa.array([bool(r["answer"]) for r in res], pa.bool_()),
     })
+
+
+# r04 (VERDICT r03 #3): the canvas runs deterministic LLM doubles, so
+# its routed output is a CONSTANT — a literal SELECT is a true oracle
+# (verified identical at sf0.001 and sf0.01). Product-question turns
+# route Categorize->Retrieval->Generate (5 steps), the casual turn
+# short-circuits Categorize->Message (3 steps).
+CANVAS_CUSTOMER_SERVICE_SQL = """
+SELECT CAST(t.turn AS BIGINT) AS turn, t.input,
+       CAST(t.n_steps AS BIGINT) AS n_steps, t.answered
+FROM (VALUES
+  (0, 'how to install it onto the wall?', 5, true),
+  (1, 'nice weather, let''s chat a bit', 3, true),
+  (2, 'the hash join stream keeps failing, what do i do?', 5, true)
+) t(turn, input, n_steps, answered)
+"""
 
 
 def events_user_ndv(sf_dir: str):
@@ -2356,35 +2374,85 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
-def embeddings_knn_lsh(sf_dir: str):
-    """Hyperplane-LSH approximate kNN (no SQL oracle — approximate by
-    design; recall vs brute force validated in pytest). Same output
-    shape as embeddings_knn."""
-    from raydoc.ops.similarity import knn_lsh
+def _knn_planted_setup(sf_dir: str):
+    """Planted-separation corpus for the approximate-kNN oracles (r04,
+    VERDICT r03 #3): queries are corpus vectors vec_id 0..2; for each
+    query qi the stream gains 5 near-clones (vec_id 900000 + 10*qi + j)
+    built as unit(q + e_j * u_perp) with e_j = 0.01*(j+1) and u_perp a
+    fixed direction orthogonalized against q — cosine(q, clone_j) =
+    1/sqrt(1 + e_j^2), strictly decreasing in j (gaps ~1e-4) and far
+    above the natural corpus maximum (~0.51). The tiny perturbation
+    keeps every clone in the query's own IVF cell / within the LSH
+    probe ring, so the approximate top-5 is EXACTLY (self, clones
+    0..3) and the brute-force-equivalent literal SQL below is a true
+    oracle. Returns (query_matrix, corpus_ds_with_clones,
+    natural_matrix)."""
+    import ray.data as rd
+
     from raydoc.util import embedding_matrix
 
-    emb = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
-    queries = embedding_matrix(emb.column("embedding"))[:3]
+    qt = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mat = embedding_matrix(qt.column("embedding"))
+    ids = qt.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    mat, ids = mat[order], ids[order]
+    queries = mat[:3]  # vec_id 0, 1, 2
+
+    rng = np.random.RandomState(97)
+    u = rng.standard_normal(queries.shape[1])
+    clone_ids: list[int] = []
+    clone_vecs: list[np.ndarray] = []
+    for qi in range(3):
+        q = queries[qi] / np.linalg.norm(queries[qi])
+        up = u - (u @ q) * q
+        up = up / np.linalg.norm(up)
+        for j in range(5):
+            v = q + 0.01 * (j + 1) * up
+            clone_ids.append(900000 + 10 * qi + j)
+            clone_vecs.append(v / np.linalg.norm(v))
+
+    emb_type = qt.schema.field("embedding").type
+    clones = pa.table({
+        "vec_id": pa.array(clone_ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in clone_vecs], emb_type),
+    })
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = knn_lsh(ds, queries, k=5)
+    ds = ds.union(rd.from_arrow(clones))
+    return queries, ds, mat
+
+
+KNN_PLANTED_SQL = """
+SELECT e.vec_id AS query_id, CAST(t.r AS BIGINT) AS rank,
+       CAST(CASE WHEN t.r = 1 THEN e.vec_id
+                 ELSE 900000 + e.vec_id * 10 + (t.r - 2) END
+            AS BIGINT) AS vec_id
+FROM embeddings e, range(1, 6) t(r)
+WHERE e.vec_id < 3
+"""
+
+
+def embeddings_knn_lsh(sf_dir: str):
+    """Hyperplane-LSH approximate kNN, ORACLE-CHECKED on the planted-
+    separation corpus (_knn_planted_setup): each query's top-5 is
+    provably (self, 4 nearest clones). Recall on the natural corpus
+    (recall < 1 by design) stays covered in pytest."""
+    from raydoc.ops.similarity import knn_lsh
+
+    queries, ds, _ = _knn_planted_setup(sf_dir)
+    out = knn_lsh(ds, queries, k=5, num_planes=8, probe_bits=1)
     return out.select_columns(["query_id", "rank", "vec_id"])
 
 
 def embeddings_knn_ivf(sf_dir: str):
-    """IVF approximate kNN (no SQL oracle — approximate by design;
-    recall vs brute force validated in pytest). Same output shape as
-    embeddings_knn."""
+    """IVF approximate kNN, ORACLE-CHECKED on the planted-separation
+    corpus (_knn_planted_setup). Centroids train on a natural-corpus
+    sample; the clones sit in the query's own cell, which is always
+    the first probed."""
     from raydoc.ops.similarity import knn_ivf
 
-    emb = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
-    from raydoc.util import embedding_matrix
-
-    mat = embedding_matrix(emb.column("embedding"))
-    sample = mat[::5]
-    queries = mat[:3]
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries, ds, mat = _knn_planted_setup(sf_dir)
     out = knn_ivf(ds, queries, k=5, n_cells=16, n_probe=4,
-                  train_sample=sample)
+                  train_sample=mat[::5])
     return out.select_columns(["query_id", "rank", "vec_id"])
 
 
@@ -2572,6 +2640,66 @@ def flagship_extract(sf_dir: str):
     return ds.select_columns(["url", "text", "n_chunks", "status"])
 
 
+def layout_reading_order(sf_dir: str):
+    """PDF layout reading-order resolution, ORACLE-CHECKED (r04,
+    VERDICT r03 #6): 40 deterministic fake PDFs — shuffled storage
+    order, 1-2 column pages, span-aware tables — stream through the
+    PdfExtractStage actor pool; output (doc_id, text_md5). The golden
+    reading-order text is produced independently by make_fake_pdf, so
+    the oracle is a literal VALUES list of (doc_id, md5(golden))
+    generated at SQL-build time. Per-row md5 here is a validation
+    query over 40 rows, never a production stage (the production path
+    is stages/layout_stage.py streaming extracted text + spans)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from raydoc.extract.layout import make_fake_pdf
+    from raydoc.stages.layout_stage import PdfExtractStage
+
+    pages = pa.table({
+        "url": pa.array([f"pdf://{i}" for i in range(_LAYOUT_N)],
+                        pa.string()),
+        "payload": pa.array([make_fake_pdf(i)[0] for i in range(_LAYOUT_N)],
+                            pa.binary()),
+    })
+    out = rd.from_arrow(pages).map_batches(
+        PdfExtractStage, batch_format="pyarrow", batch_size=8,
+        concurrency=(1, 4),
+    )
+
+    def _digest(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        texts = b.column("text").to_pylist()
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(
+                [int(u.split("//")[1]) for u in urls], pa.int64()),
+            "text_md5": pa.array(
+                [hashlib.md5((t or "").encode()).hexdigest()
+                 for t in texts], pa.string()),
+        })
+
+    return out.map_batches(_digest, batch_format="pyarrow")
+
+
+_LAYOUT_N = 40
+
+
+def _layout_oracle_sql() -> str:
+    import hashlib
+
+    from raydoc.extract.layout import make_fake_pdf
+
+    vals = ",\n  ".join(
+        f"({i}, '{hashlib.md5(make_fake_pdf(i)[1].encode()).hexdigest()}')"
+        for i in range(_LAYOUT_N))
+    return ("SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.text_md5\n"
+            f"FROM (VALUES\n  {vals}) t(doc_id, text_md5)")
+
+
+LAYOUT_READING_ORDER_SQL = _layout_oracle_sql()
+
+
 def flagship_chunks(sf_dir: str):
     """Chunk table of the flagship pipeline (explode of the nested
     chunks column)."""
@@ -2685,6 +2813,7 @@ QUERIES = {
     "events_quantile_sketch": events_quantile_sketch,
     "events_lag_delta": events_lag_delta,
     "events_rolling_mean": events_rolling_mean,
+    "layout_reading_order": layout_reading_order,
 }
 
 ORACLES = {
@@ -2763,9 +2892,13 @@ ORACLES = {
     "embeddings_near_dup": EMBEDDINGS_NEAR_DUP_SQL,
     "code_sandbox_lengths": CODE_SANDBOX_LENGTHS_SQL,
     "udf_doc_head_upper": UDF_DOC_HEAD_UPPER_SQL,
+    # r04 promotions (VERDICT r03 #3): planted-separation corpora make
+    # the approximate-kNN results exact and SQL-expressible
+    "embeddings_knn_ivf": KNN_PLANTED_SQL,
+    "embeddings_knn_lsh": KNN_PLANTED_SQL,
+    "canvas_customer_service": CANVAS_CUSTOMER_SERVICE_SQL,
+    "layout_reading_order": LAYOUT_READING_ORDER_SQL,
     # intentionally no oracle (driver does rows-only checks):
-    # embeddings_knn_ivf/_lsh (approximate by design),
-    # canvas_customer_service (graph execution), flagship_extract/
-    # flagship_chunks (the extracted text itself is hash-checked via
-    # flagship_text_hash)
+    # flagship_extract/flagship_chunks (the extracted text itself is
+    # hash-checked via flagship_text_hash)
 }
