@@ -20,6 +20,7 @@ import pyarrow.compute as pc
 __all__ = [
     "stamp_tumbling_window",
     "sessionize",
+    "sessionize_carry",
     "asof_join",
     "running_agg",
     "running_agg_carry",
@@ -72,15 +73,31 @@ def sessionize(ds, key_col: str, ts_col: str, gap_minutes: float = 30.0,
         # (int64-casting a null otherwise yields a NaN float array)
         return batch.filter(pc.is_valid(batch.column(ts_col)))
 
+    clean = ds.map_batches(_drop_null_ts, batch_format="pyarrow")
+    return bucketed_sorted_apply(
+        clean, [key_col],
+        [(key_col, "ascending"), (ts_col, "ascending")],
+        _session_kernel([key_col], ts_col, gap_us, agg_value_col),
+        num_partitions=num_partitions, max_key_rows=max_key_rows)
+
+
+def _session_kernel(key_cols: list[str], ts_col: str, gap_us: int,
+                    agg_value_col: str | None):
+    """Bucket fn shared by sessionize (key = [key_col]) and
+    sessionize_carry (key = [key_col, range-slice]): one row per
+    session of each composite-key run, session_id numbered from 1 in
+    time order WITHIN the composite key."""
+
     def _sessions_bucket(g: pa.Table, starts: np.ndarray,
                          counts: np.ndarray) -> pa.Table:
         n = g.num_rows
         if n == 0:
-            fields = [pa.field(key_col, g.schema.field(key_col).type),
-                      pa.field("session_id", pa.int64()),
-                      pa.field("n_events", pa.int64()),
-                      pa.field("start_ts", pa.timestamp("us")),
-                      pa.field("end_ts", pa.timestamp("us"))]
+            fields = [pa.field(k, g.schema.field(k).type)
+                      for k in key_cols]
+            fields += [pa.field("session_id", pa.int64()),
+                       pa.field("n_events", pa.int64()),
+                       pa.field("start_ts", pa.timestamp("us")),
+                       pa.field("end_ts", pa.timestamp("us"))]
             if agg_value_col:
                 fields.append(pa.field("sum_value", pa.float64()))
             return pa.Table.from_pydict(
@@ -100,13 +117,16 @@ def sessionize(ds, key_col: str, ts_col: str, gap_minutes: float = 30.0,
         run_of = np.searchsorted(starts, s_starts, side="right") - 1
         first_sess = np.searchsorted(s_starts, starts, side="left")
         session_id = np.arange(n_sessions) - first_sess[run_of] + 1
+        take = pa.array(s_starts)
         out: dict[str, object] = {
-            key_col: g.column(key_col).take(pa.array(s_starts)),
+            k: g.column(k).take(take) for k in key_cols
+        }
+        out.update({
             "session_id": pa.array(session_id, pa.int64()),
             "n_events": pa.array(s_counts, pa.int64()),
             "start_ts": pa.array(ts[s_starts]).cast(pa.timestamp("us")),
             "end_ts": pa.array(ts[s_ends]).cast(pa.timestamp("us")),
-        }
+        })
         if agg_value_col:
             vals = pc.cast(g.column(agg_value_col), pa.float64()).to_numpy(
                 zero_copy_only=False)
@@ -118,14 +138,142 @@ def sessionize(ds, key_col: str, ts_col: str, gap_minutes: float = 30.0,
                 pa.float64(), from_pandas=True)
         return pa.Table.from_pydict(out)
 
+    return _sessions_bucket
+
+
+
+
+def sessionize_carry(ds, key_col: str, ts_col: str,
+                     gap_minutes: float = 30.0,
+                     agg_value_col: str | None = None,
+                     num_range_parts: int = 32,
+                     num_partitions: int | None = None):
+    """``sessionize`` for PATHOLOGICAL keys whose event history exceeds
+    one worker (VERDICT r03 #4 — the mega-key case ``max_key_rows``
+    would reject): range-partition the timestamp into
+    ``num_range_parts`` uniform slices, sessionize per (key, slice) so
+    no worker ever materializes more than one key-slice, then repair
+    sessions that SPAN slice boundaries:
+
+    * a driver-side scan over the tiny (keys x non-empty slices)
+      boundary table marks consecutive slices of a key whose boundary
+      gap (first event of the later slice minus last event of the
+      earlier) is <= gap — their adjacent sessions are ONE session;
+    * each slice's session ids shift by a broadcast base offset
+      (sessions in earlier slices minus merge boundaries so far), which
+      renumbers every key's sessions 1..N in time order AND gives the
+      members of a spanning chain the same id;
+    * one bucketed grouped_agg collapses the chains (n_events summed,
+      start/end min/maxed, sum_value SQL-summed).
+
+    Output is EXACTLY ``sessionize``'s (tested with one session
+    spanning 16+ slices). Same driver-side-size assumption as
+    ``running_agg_carry``: the boundary table (distinct keys x slices)
+    fits the driver — this is the skew-repair plan for bounded key
+    counts, not the default."""
+    import ray
+
+    from raydoc.ops.bucketing import bucketed_sorted_apply, run_segments
+    from raydoc.ops.relational import grouped_agg
+
+    gap_us = int(gap_minutes * 60 * 1e6)
+
+    def _drop_null_ts(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column(ts_col)))
+
     clean = ds.map_batches(_drop_null_ts, batch_format="pyarrow")
-    return bucketed_sorted_apply(
-        clean, [key_col],
-        [(key_col, "ascending"), (ts_col, "ascending")],
-        _sessions_bucket, num_partitions=num_partitions,
-        max_key_rows=max_key_rows)
 
+    # 1) global ts range -> uniform slices (strict boundaries cut
+    # between values, never inside a run of equal timestamps)
+    mm = clean.map_batches(
+        lambda b: pa.Table.from_pydict({
+            "lo": [pc.min(_ord_i64(b.column(ts_col))).as_py()],
+            "hi": [pc.max(_ord_i64(b.column(ts_col))).as_py()],
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    _rows = mm.take_all()
+    _los = [r["lo"] for r in _rows if r["lo"] is not None]
+    _his = [r["hi"] for r in _rows if r["hi"] is not None]
+    lo = min(_los) if _los else 0
+    hi = max(_his) if _his else 0
+    span = max(hi - lo + 1, 1)
+    R = num_range_parts
 
+    def _stamp(b: pa.Table) -> pa.Table:
+        v = _ord_i64(b.column(ts_col)).to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+        part = np.clip(((v - lo) * R) // span, 0, R - 1).astype(np.int64)
+        return b.append_column("_rpart", pa.array(part))
+
+    stamped = clean.map_batches(_stamp, batch_format="pyarrow")
+
+    # 2) in-slice sessions under the composite key (key, slice)
+    in_slice = bucketed_sorted_apply(
+        stamped, [key_col, "_rpart"],
+        [(key_col, "ascending"), ("_rpart", "ascending"),
+         (ts_col, "ascending")],
+        _session_kernel([key_col, "_rpart"], ts_col, gap_us,
+                        agg_value_col),
+        num_partitions=num_partitions)
+
+    # 3) boundary facts per (key, slice) -> driver-side merge scan
+    bt = grouped_agg(
+        in_slice, [key_col, "_rpart"],
+        {"_nsess": ("max", "session_id"),
+         "_first": ("min", "start_ts"),
+         "_last": ("max", "end_ts")})
+    btab = pa.concat_tables(
+        [t for t in ray.get(list(bt.to_arrow_refs())) if t.num_columns])
+    idx = pc.sort_indices(btab, sort_keys=[(key_col, "ascending"),
+                                           ("_rpart", "ascending")])
+    btab = btab.take(idx)
+    kstarts, kcounts = run_segments(btab, [key_col])
+    c = btab.column("_nsess").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    f = _ord_i64(btab.column("_first")).to_numpy(zero_copy_only=False)
+    last = _ord_i64(btab.column("_last")).to_numpy(zero_copy_only=False)
+    nb = len(c)
+    merge = np.zeros(nb, dtype=bool)
+    if nb > 1:
+        merge[1:] = (f[1:] - last[:-1]) <= gap_us
+    merge[kstarts] = False  # a key's first non-empty slice never merges
+    excl_sessions = _seg_cumsum(c.astype(np.float64), kstarts, kcounts) - c
+    merges_so_far = _seg_cumsum(merge.astype(np.float64), kstarts, kcounts)
+    base = (excl_sessions - merges_so_far).astype(np.int64)
+    carry = pa.Table.from_pydict({
+        key_col: btab.column(key_col),
+        "_rpart": btab.column("_rpart"),
+        "_base": pa.array(base, pa.int64()),
+    })
+    carry_ref = ray.put(carry)
+
+    # 4) shift ids by the broadcast base, collapse spanning chains
+    def _final_id(b: pa.Table) -> pa.Table:
+        ct: pa.Table = ray.get(carry_ref) if isinstance(
+            carry_ref, ray.ObjectRef) else carry_ref
+
+        def _lk(t: pa.Table) -> pa.Array:
+            return pc.binary_join_element_wise(
+                pc.cast(t.column(key_col), pa.string()),
+                pc.cast(t.column("_rpart"), pa.string()), "\x00")
+
+        pos = pc.index_in(_lk(b), value_set=_lk(ct))
+        bases = ct.column("_base").take(pc.fill_null(pos, 0))
+        sid = pc.add(b.column("session_id"), bases)
+        i = b.schema.get_field_index("session_id")
+        return b.set_column(i, "session_id", sid).drop_columns(["_rpart"])
+
+    aggs: dict[str, tuple[str, str]] = {
+        "n_events": ("sum", "n_events"),
+        "start_ts": ("min", "start_ts"),
+        "end_ts": ("max", "end_ts"),
+    }
+    if agg_value_col:
+        aggs["sum_value"] = ("sum", "sum_value")
+    return grouped_agg(
+        in_slice.map_batches(_final_id, batch_format="pyarrow"),
+        [key_col, "session_id"], aggs, num_partitions=num_partitions)
 
 
 def _row_index_in_run(n: int, starts: np.ndarray,

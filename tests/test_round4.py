@@ -252,6 +252,68 @@ class TestHotKeySalting:
         assert per_key.loc[0] <= 8  # hot key bounded by the salt
         assert per_key.max() <= 8
 
+    def test_sessionize_carry_matches_sessionize(self, ray_session):
+        # VERDICT r03 #4: a mega-key's single session spanning >= 16
+        # range slices must come out EXACTLY as plain sessionize's,
+        # alongside normal keys with real gaps and null values
+        import ray.data as rd
+
+        from raydoc.ops.window import sessionize, sessionize_carry
+
+        rng = np.random.RandomState(7)
+        rows_u, rows_ts, rows_v = [], [], []
+        # mega: 20_000 events 10s apart -> ONE session spanning the
+        # whole range (gap 30 min never exceeded)
+        n_mega = 20_000
+        rows_u += ["mega"] * n_mega
+        rows_ts += (np.arange(n_mega, dtype=np.int64) * 10_000_000).tolist()
+        rows_v += rng.standard_normal(n_mega).tolist()
+        # normal keys: random times over the same range -> many real
+        # sessions, some adjacent to slice boundaries; 5% null values
+        for u in ("a", "b", "c"):
+            n = 3000
+            ts = np.sort(rng.randint(0, n_mega * 10_000_000, size=n))
+            v = rng.standard_normal(n)
+            v[rng.rand(n) < 0.05] = np.nan
+            rows_u += [u] * n
+            rows_ts += ts.tolist()
+            rows_v += v.tolist()
+        t = pa.table({
+            "u": pa.array(rows_u, pa.string()),
+            "ts": pa.array(np.array(rows_ts, dtype=np.int64),
+                           pa.timestamp("us")),
+            "v": pa.array(np.array(rows_v), pa.float64(),
+                          from_pandas=True),
+        })
+        ds = rd.from_arrow(t).repartition(16)
+
+        def _norm(df):
+            df = df.sort_values(["u", "session_id"]).reset_index(drop=True)
+            return df[["u", "session_id", "n_events", "start_ts",
+                       "end_ts", "sum_value"]]
+
+        a = _norm(sessionize(ds, "u", "ts", gap_minutes=30,
+                             agg_value_col="v").to_pandas())
+        b = _norm(sessionize_carry(ds, "u", "ts", gap_minutes=30,
+                                   agg_value_col="v",
+                                   num_range_parts=16).to_pandas())
+        assert len(a) == len(b)
+        assert a["u"].tolist() == b["u"].tolist()
+        for col in ("session_id", "n_events"):
+            assert a[col].tolist() == b[col].tolist(), col
+        for col in ("start_ts", "end_ts"):
+            assert (a[col] == b[col]).all(), col
+        av = a["sum_value"].to_numpy(dtype=float)
+        bv = b["sum_value"].to_numpy(dtype=float)
+        # float sums associate differently across slice partials: ulp-
+        # level tolerance, but null-ness must agree exactly
+        assert (np.isnan(av) == np.isnan(bv)).all()
+        m = ~np.isnan(av)
+        assert np.allclose(av[m], bv[m], rtol=1e-9, atol=1e-9)
+        # the mega key really is one session built from >= 16 slices
+        assert int(a.loc[a["u"] == "mega", "n_events"].iloc[0]) == n_mega
+        assert len(a[a["u"] == "mega"]) == 1
+
     def test_sorted_apply_max_key_rows_raises(self, ray_session):
         import ray.data as rd
 
