@@ -71,7 +71,9 @@ class TestResume:
         assert s1["n_docs"] == 200 and s1["n_parts_committed"] == 6
 
         # simulate a crash: drop half the manifests, corrupt their data
-        for m in sorted(glob.glob(os.path.join(out1, "_manifest", "*.json")))[::2]:
+        for m in sorted(glob.glob(
+                os.path.join(out1, "_manifest", "**", "*.json"),
+                recursive=True))[::2]:
             pid = m.split("part-")[1].split(".")[0]
             os.remove(m)
             with open(os.path.join(out1, "extracted", f"part-{pid}.parquet"), "wb") as f:
