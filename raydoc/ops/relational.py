@@ -430,11 +430,12 @@ def grouped_agg(
     ``salt`` (r04, hot-key skew): a single pathological key (one hot
     host is a realistic CC case) otherwise funnels one partial row per
     BATCH it appears in into one finalize bucket — ~n_blocks rows at
-    10^12-doc scale. With ``salt=S`` the finalize runs TWO levels: the
-    partials bucket by (keys, _salt) with _salt spreading each key's
-    partials over S groups, each bucket combines its partials (still
-    in mergeable partial form), and only then does the per-key final
-    merge — which now sees AT MOST S rows per key, whatever the skew.
+    10^12-doc scale. With ``salt=S`` the RAW rows are salted (row
+    position % S per batch, so a hot key's mass provably cycles
+    through every salt), partials aggregate per (keys, _salt), a
+    level-1 bucket pass combines them still in mergeable partial form,
+    and only then does the per-key final merge — which now sees AT
+    MOST S rows per key, whatever the skew.
     Every agg here is commutative-combinable, so the result is
     bit-identical to the unsalted plan (tested vs DuckDB at one key
     holding 50% of 1M rows). Cost: one extra small shuffle over
@@ -461,13 +462,26 @@ def grouped_agg(
                 spec.append((c, f))
                 seen.add((f, c))
 
+    # salt the RAW rows, before the per-batch partial, and keep _salt a
+    # partial-aggregation key: salting the 1-row-per-key PARTIALS would
+    # stride-alias (a hot key's partial sits at a near-constant batch
+    # position, drawing one constant salt — review r04); raw row
+    # positions cycle through every salt within each batch, so the hot
+    # key's mass provably spreads over all S (key, salt) groups
+    salted = bool(salt and salt > 1)
+    pkeys = keys + ["_salt"] if salted else keys
+    if salted:
+        from raydoc.ops.bucketing import with_salt
+
+        ds = with_salt(ds, salt)
+
     def _partial(batch: pa.Table) -> pa.Table:
         # works for zero-row batches too (empty table, correct schema)
         for c in sq_cols:
             batch = batch.append_column(
                 f"{c}__sq", pc.multiply(batch.column(c), batch.column(c))
             )
-        return batch.group_by(keys).aggregate(spec)
+        return batch.group_by(pkeys).aggregate(spec)
 
     partial = ds.map_batches(_partial, batch_format="pyarrow")
 
@@ -516,9 +530,9 @@ def grouped_agg(
             out[name] = v
         return pa.Table.from_pydict(out)
 
-    from raydoc.ops.bucketing import bucketed_hash_apply, with_salt
+    from raydoc.ops.bucketing import bucketed_hash_apply
 
-    if salt and salt > 1:
+    if salted:
         # level 1: combine partials per (key, salt) — same mergeable
         # partial schema out, so level 2 is the ordinary finalize
         def _combine_bucket(t: pa.Table) -> pa.Table:
@@ -528,7 +542,7 @@ def grouped_agg(
             return g.rename_columns([ren.get(c, c) for c in g.column_names])
 
         partial = bucketed_hash_apply(
-            with_salt(partial, salt), keys + ["_salt"], _combine_bucket,
+            partial, keys + ["_salt"], _combine_bucket,
             num_partitions=num_partitions)
 
     return bucketed_hash_apply(partial, keys, _finalize_bucket,

@@ -110,9 +110,11 @@ def knn_brute_force(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            if len(ids) == 0:  # BEFORE the exclusion filter: an empty
+                return _empty_cand()  # mask is float64 and can't index
             embs = embedding_matrix(batch.column(emb_col))
             if excl:
-                keep = np.array([i not in excl for i in ids])
+                keep = np.array([i not in excl for i in ids], dtype=bool)
                 ids, embs = ids[keep], embs[keep]
             if len(ids) == 0:
                 return _empty_cand()

@@ -143,6 +143,57 @@ def _session_kernel(key_cols: list[str], ts_col: str, gap_us: int,
 
 
 
+def _range_bounds(ds, col: str) -> tuple[int, int]:
+    """Global [lo, hi] of an order column as int64 (us for timestamps)
+    via one tiny per-batch min/max aggregate. (0, 0) when every value
+    is null (the caller's stamp then uses a single slice)."""
+    mm = ds.map_batches(
+        lambda b: pa.Table.from_pydict({
+            "lo": [pc.min(_ord_i64(b.column(col))).as_py()],
+            "hi": [pc.max(_ord_i64(b.column(col))).as_py()],
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    rows = mm.take_all()
+    los = [r["lo"] for r in rows if r["lo"] is not None]
+    his = [r["hi"] for r in rows if r["hi"] is not None]
+    return (min(los) if los else 0), (max(his) if his else 0)
+
+
+def _stamp_range(ds, col: str, lo: int, hi: int, R: int,
+                 out_col: str = "_rpart"):
+    """Append the uniform range-slice id of ``col``: a pure function of
+    the value, so equal values always share a slice and slices order by
+    value. Nulls route to the LAST slice (their sort position within a
+    key is nulls-last, matching the unsliced plans; int64-casting a
+    null would otherwise hit an undefined NaN clip). The slice index is
+    computed in float64 — (v - lo) * R in int64 can WRAP for order
+    columns spanning most of the int64 range and silently misplace rows
+    (review r04); float64 floor is monotone in v, which is all the
+    slicing needs."""
+    span = float(max(hi - lo + 1, 1))
+
+    def _stamp(b: pa.Table) -> pa.Table:
+        v = pc.fill_null(_ord_i64(b.column(col)), hi).to_numpy(
+            zero_copy_only=False).astype(np.float64, copy=False)
+        part = np.clip(((v - lo) * R / span), 0, R - 1).astype(np.int64)
+        return b.append_column(out_col, pa.array(part))
+
+    return ds.map_batches(_stamp, batch_format="pyarrow")
+
+
+def _carry_lookup_key(t: pa.Table, key_col: str,
+                      part_col: str = "_rpart") -> pa.Array:
+    """'<key>\\x00<part>' broadcast-join key, NULL-SAFE: a null key
+    maps to a sentinel instead of a null join key (review r04: a null
+    lookup silently dropped the null-key group's carry / took row 0's
+    base). run_segments groups null keys into one run, so they carry
+    exactly like any other key value."""
+    k = pc.fill_null(pc.cast(t.column(key_col), pa.string()), "\x02NUL\x03")
+    return pc.binary_join_element_wise(
+        k, pc.cast(t.column(part_col), pa.string()), "\x00")
+
+
 def sessionize_carry(ds, key_col: str, ts_col: str,
                      gap_minutes: float = 30.0,
                      agg_value_col: str | None = None,
@@ -185,37 +236,22 @@ def sessionize_carry(ds, key_col: str, ts_col: str,
 
     # 1) global ts range -> uniform slices (strict boundaries cut
     # between values, never inside a run of equal timestamps)
-    mm = clean.map_batches(
-        lambda b: pa.Table.from_pydict({
-            "lo": [pc.min(_ord_i64(b.column(ts_col))).as_py()],
-            "hi": [pc.max(_ord_i64(b.column(ts_col))).as_py()],
-        }),
-        batch_format="pyarrow",
-    ).materialize()
-    _rows = mm.take_all()
-    _los = [r["lo"] for r in _rows if r["lo"] is not None]
-    _his = [r["hi"] for r in _rows if r["hi"] is not None]
-    lo = min(_los) if _los else 0
-    hi = max(_his) if _his else 0
-    span = max(hi - lo + 1, 1)
+    lo, hi = _range_bounds(clean, ts_col)
     R = num_range_parts
+    stamped = _stamp_range(clean, ts_col, lo, hi, R)
 
-    def _stamp(b: pa.Table) -> pa.Table:
-        v = _ord_i64(b.column(ts_col)).to_numpy(
-            zero_copy_only=False).astype(np.int64, copy=False)
-        part = np.clip(((v - lo) * R) // span, 0, R - 1).astype(np.int64)
-        return b.append_column("_rpart", pa.array(part))
-
-    stamped = clean.map_batches(_stamp, batch_format="pyarrow")
-
-    # 2) in-slice sessions under the composite key (key, slice)
+    # 2) in-slice sessions under the composite key (key, slice);
+    # materialized because BOTH the boundary aggregate and the final-id
+    # map consume it — lazy, the whole stamp+shuffle+sort chain would
+    # execute twice (review r04); the session table is one row per
+    # session, far smaller than the event input
     in_slice = bucketed_sorted_apply(
         stamped, [key_col, "_rpart"],
         [(key_col, "ascending"), ("_rpart", "ascending"),
          (ts_col, "ascending")],
         _session_kernel([key_col, "_rpart"], ts_col, gap_us,
                         agg_value_col),
-        num_partitions=num_partitions)
+        num_partitions=num_partitions).materialize()
 
     # 3) boundary facts per (key, slice) -> driver-side merge scan
     bt = grouped_agg(
@@ -252,13 +288,8 @@ def sessionize_carry(ds, key_col: str, ts_col: str,
     def _final_id(b: pa.Table) -> pa.Table:
         ct: pa.Table = ray.get(carry_ref) if isinstance(
             carry_ref, ray.ObjectRef) else carry_ref
-
-        def _lk(t: pa.Table) -> pa.Array:
-            return pc.binary_join_element_wise(
-                pc.cast(t.column(key_col), pa.string()),
-                pc.cast(t.column("_rpart"), pa.string()), "\x00")
-
-        pos = pc.index_in(_lk(b), value_set=_lk(ct))
+        pos = pc.index_in(_carry_lookup_key(b, key_col),
+                          value_set=_carry_lookup_key(ct, key_col))
         bases = ct.column("_base").take(pc.fill_null(pos, 0))
         sid = pc.add(b.column("session_id"), bases)
         i = b.schema.get_field_index("session_id")
@@ -391,34 +422,11 @@ def running_agg_carry(ds, key_col: str, order_cols: list[str], val_col: str,
 
     oc0 = order_cols[0]
 
-    # 1) global [min, max] of the order column — one tiny aggregate
-    mm = ds.map_batches(
-        lambda b: pa.Table.from_pydict({
-            "lo": [pc.min(_ord_i64(b.column(oc0))).as_py()],
-            "hi": [pc.max(_ord_i64(b.column(oc0))).as_py()],
-        }),
-        batch_format="pyarrow",
-    ).materialize()
-    _rows = mm.take_all()
-    _los = [r["lo"] for r in _rows if r["lo"] is not None]
-    _his = [r["hi"] for r in _rows if r["hi"] is not None]
-    lo = min(_los) if _los else 0  # all-null order column: one slice
-    hi = max(_his) if _his else 0
-    span = max(hi - lo + 1, 1)
+    # 1) global [min, max] of the order column, then uniform slices
+    # (_stamp_range: nulls-last routing, overflow-safe float math)
+    lo, hi = _range_bounds(ds, oc0)
     R = num_range_parts
-
-    def _stamp(b: pa.Table) -> pa.Table:
-        # null order values: int64-casting a null yields NaN and an
-        # undefined int64 clip (ADVICE r03). Route them explicitly to
-        # the slice of the global max, where the in-slice sort's
-        # nulls-at-end placement reproduces running_agg's ordering
-        # (nulls sort at the end of each key).
-        v = pc.fill_null(_ord_i64(b.column(oc0)), hi).to_numpy(
-            zero_copy_only=False).astype(np.int64, copy=False)
-        part = np.clip(((v - lo) * R) // span, 0, R - 1).astype(np.int64)
-        return b.append_column("_rpart", pa.array(part))
-
-    stamped = ds.map_batches(_stamp, batch_format="pyarrow")
+    stamped = _stamp_range(ds, oc0, lo, hi, R)
 
     # 2) in-slice running agg, scan segmented by the COMPOSITE key
     #    (key, slice) so each slice restarts at zero and the carry-in
@@ -441,12 +449,8 @@ def running_agg_carry(ds, key_col: str, order_cols: list[str], val_col: str,
     def _apply_carry(b: pa.Table) -> pa.Table:
         ct: pa.Table = ray.get(carry_ref) if isinstance(
             carry_ref, ray.ObjectRef) else carry_ref
-        # build lookup key: "<key>\x00<rpart>"
-        def _lk(t: pa.Table) -> pa.Array:
-            return pc.binary_join_element_wise(
-                pc.cast(t.column(key_col), pa.string()),
-                pc.cast(t.column("_rpart"), pa.string()), "\x00")
-        pos = pc.index_in(_lk(b), value_set=_lk(ct))
+        pos = pc.index_in(_carry_lookup_key(b, key_col),
+                          value_set=_carry_lookup_key(ct, key_col))
         cv = ct.column("_carry").take(pc.fill_null(pos, 0))
         has = pc.is_valid(pos)
         cur = b.column(out_col)

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 
@@ -321,18 +322,22 @@ class TestHotKeySalting:
             == want["c"].astype(int).tolist()
 
     def test_salt_bounds_rows_into_final_merge(self, ray_session):
-        # replicate grouped_agg's level-1 combine standalone and check
-        # the hot key's partials collapse to AT MOST `salt` rows before
-        # the per-key final merge
+        # replicate grouped_agg's salted plan standalone (salt the RAW
+        # rows, partial per (k, _salt), level-1 combine) on a KEY-
+        # CLUSTERED input — the stride-aliasing regime (review r04) —
+        # and check every key's partials collapse to AT MOST `salt`
+        # rows before the per-key final merge, with the hot key
+        # actually USING multiple salts
         import ray.data as rd
 
         from raydoc.ops.bucketing import bucketed_hash_apply, with_salt
 
         t = self._hot_table(n=200_000)
-        ds = rd.from_arrow(t).repartition(64)
+        t = t.take(pc.sort_indices(t.column("k")))
+        ds = with_salt(rd.from_arrow(t).repartition(64), 8)
 
         def _partial(b: pa.Table) -> pa.Table:
-            return b.group_by(["k"]).aggregate([("v", "sum")])
+            return b.group_by(["k", "_salt"]).aggregate([("v", "sum")])
 
         partial = ds.map_batches(_partial, batch_format="pyarrow")
 
@@ -343,10 +348,13 @@ class TestHotKeySalting:
             return g.rename_columns([ren.get(c, c) for c in g.column_names])
 
         combined = bucketed_hash_apply(
-            with_salt(partial, 8), ["k", "_salt"], _combine).to_pandas()
+            partial, ["k", "_salt"], _combine).to_pandas()
         per_key = combined.groupby("k").size()
-        assert per_key.loc[0] <= 8  # hot key bounded by the salt
         assert per_key.max() <= 8
+        # the 100k-row hot key genuinely spreads over several salts
+        # before the combine (not one constant salt per key)
+        hot_salts = partial.filter(lambda r: r["k"] == 0).to_pandas()
+        assert hot_salts["_salt"].nunique() == 8
 
     def test_sessionize_carry_matches_sessionize(self, ray_session):
         # VERDICT r03 #4: a mega-key's single session spanning >= 16
@@ -409,6 +417,88 @@ class TestHotKeySalting:
         # the mega key really is one session built from >= 16 slices
         assert int(a.loc[a["u"] == "mega", "n_events"].iloc[0]) == n_mega
         assert len(a[a["u"] == "mega"]) == 1
+
+    def test_carry_plans_handle_null_keys(self, ray_session):
+        # review r04: a null key's carry lookup must not miss (the
+        # join key was null -> carry dropped / row 0's base taken)
+        import ray.data as rd
+
+        from raydoc.ops.window import (running_agg, running_agg_carry,
+                                       sessionize, sessionize_carry)
+
+        n = 2000
+        t = pa.table({
+            "u": pa.array([None if i % 3 == 0 else "u" for i in range(n)],
+                          pa.string()),
+            "ts": pa.array(np.arange(n, dtype=np.int64) * 1_000_000,
+                           pa.timestamp("us")),
+            "o": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(np.ones(n), pa.float64()),
+        })
+        ds = rd.from_arrow(t).repartition(8)
+        a = running_agg(ds, "u", ["o"], "v", out_col="r") \
+            .to_pandas().sort_values("o")["r"].to_numpy(dtype=float)
+        b = running_agg_carry(ds, "u", ["o"], "v", out_col="r",
+                              num_range_parts=8) \
+            .to_pandas().sort_values("o")["r"].to_numpy(dtype=float)
+        assert _nan_eq(a, b)
+
+        def _norm_s(df):
+            df = df.copy()
+            df["u"] = df["u"].fillna("<null>")
+            return df.sort_values(["u", "session_id"]) \
+                .reset_index(drop=True)[["u", "session_id", "n_events"]]
+
+        sa = _norm_s(sessionize(ds, "u", "ts", gap_minutes=1).to_pandas())
+        sb = _norm_s(sessionize_carry(ds, "u", "ts", gap_minutes=1,
+                                      num_range_parts=8).to_pandas())
+        assert sa.values.tolist() == sb.values.tolist()
+        assert (sa["u"] == "<null>").any()  # the null group is present
+
+    def test_salted_agg_on_key_clustered_input(self, ray_session):
+        # review r04: salting the 1-row-per-key PARTIALS stride-aliases
+        # when the input is clustered by key (the hot key's partial
+        # always sits at batch position 0). Raw-row salting must still
+        # match DuckDB on a key-SORTED input.
+        import duckdb
+        import ray.data as rd
+
+        from raydoc.ops.relational import grouped_agg
+
+        t = self._hot_table(n=300_000, n_keys=1000)
+        t = t.take(pc.sort_indices(t.column("k")))  # clustered by key
+        ds = rd.from_arrow(t).repartition(32)
+        got = grouped_agg(ds, ["k"], {"s": ("sum", "v"),
+                                      "c": ("count", "v")}, salt=16) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        want = duckdb.sql(
+            "SELECT k, sum(v) s, count(v) c FROM t GROUP BY k"
+        ).df().sort_values("k").reset_index(drop=True)
+        assert got["c"].tolist() == want["c"].astype(int).tolist()
+        assert np.allclose(got["s"], want["s"], equal_nan=True)
+
+    def test_knn_brute_force_empty_and_all_excluded(self, ray_session):
+        # review r04: an empty batch with exclude_ids set crashed on a
+        # float64 empty mask before the fix
+        import ray.data as rd
+
+        from raydoc.ops.similarity import knn_brute_force
+
+        rng = np.random.RandomState(3)
+        n, d = 50, 8
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(rng.standard_normal(n * d), pa.float32()), d),
+        })
+        q = rng.standard_normal((2, d))
+        empty = rd.from_arrow(t.slice(0, 0))
+        assert knn_brute_force(empty, q, k=3,
+                               exclude_ids=[1]).to_pandas().empty
+        # every id excluded -> empty result, no crash
+        allex = knn_brute_force(rd.from_arrow(t), q, k=3,
+                                exclude_ids=list(range(n)))
+        assert allex.to_pandas().empty
 
     def test_sorted_apply_max_key_rows_raises(self, ray_session):
         import ray.data as rd
