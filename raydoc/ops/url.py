@@ -1,0 +1,151 @@
+"""URL canonicalization + recrawl dedup — the front door of every
+Common-Crawl-style corpus: the same page is fetched many times under
+cosmetically different URLs (tracking params, fragments, case-varied
+hosts, default ports, trailing slashes), and a pretraining pipeline
+must collapse them to one canonical row (latest crawl wins) BEFORE any
+content-level dedup, or the expensive stages pay for every recrawl.
+
+The reference engine keys its web documents by raw URL (its crawler
+component fetches and stores per-URL rows); this module adds the
+canonicalization + latest-wins collapse a 10^12-page corpus needs.
+
+Canonicalization rules (deliberately minimal, deterministic, and
+SQL-replicable so the driver can hash-check them against DuckDB):
+
+1. strip the ``#fragment``
+2. lowercase the scheme and host (never the path)
+3. strip the scheme's default port (``:80`` for http, ``:443`` https)
+4. drop tracking params: any ``utm_*`` key plus ``gclid`` / ``fbclid``
+   / ``ref``
+5. byte-sort the surviving ``k=v`` tokens and re-join with ``&``
+   (param order never affects page identity)
+6. an empty surviving query drops the ``?`` entirely
+7. collapse trailing ``/`` runs on the path; an empty path becomes ``/``
+
+Strings that don't parse as ``scheme://host...`` pass through with
+only the fragment stripped (garbage rows stay identifiable instead of
+nulling out); null input stays null.
+
+Scale shape: the kernel is one Arrow pass per batch — RE2 kernels
+(``replace_substring_regex`` / ``extract_regex``) for steps 1-3 and 7,
+and for the query params a flatten -> filter -> Arrow sort ->
+``binary_join`` rebuild, so no Python touches a row. ``url_dedup``
+composes it with ``distinct_on(bucketed=True)``: ONE hash shuffle on
+the canonical key, vectorized latest-wins per coarse bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# non-utm_ tracking keys dropped outright (keep this list tiny and
+# mirrored byte-for-byte in the SQL oracle, queries.py docs_url_dedup)
+_DROP_KEYS = ("gclid", "fbclid", "ref")
+
+_PARTS_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
+    r"(?P<hostport>[^/?#]+)(?P<path>[^?#]*)$"
+)
+
+
+def _canon_query(qs: pa.Array) -> pa.Array:
+    """Rebuild each query string: drop tracking params, byte-sort the
+    rest, '&'-join. Null in (no '?') -> '' out; fully-dropped -> ''.
+    Vectorized: flatten all rows' tokens into one array, one filter,
+    one Arrow table sort, one ``binary_join``."""
+    n = len(qs)
+    toks = pc.split_pattern(pc.fill_null(qs, ""), "&")
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(n, dtype=np.int64), lens)
+    key = pc.replace_substring_regex(flat, r"=.*$", "")
+    keep = pc.and_(
+        pc.invert(pc.starts_with(key, "utm_")),
+        pc.invert(pc.is_in(key, value_set=pa.array(_DROP_KEYS))),
+    )
+    keep = pc.and_(keep, pc.greater(pc.utf8_length(flat), 0))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    flat = flat.filter(keep)
+    parent = parent[keep_np]
+    srt = pa.table({"p": parent, "t": flat})
+    idx = pc.sort_indices(
+        srt, sort_keys=[("p", "ascending"), ("t", "ascending")])
+    srt = srt.take(idx)
+    counts = np.bincount(
+        srt.column("p").to_numpy(zero_copy_only=False), minlength=n)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    rebuilt = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        srt.column("t").combine_chunks().cast(pa.string()),
+    )
+    return pc.binary_join(rebuilt, "&")
+
+
+def canonicalize_url_batch(batch: pa.Table, col: str = "url",
+                           out_col: str = "canon_url") -> pa.Table:
+    """Append ``out_col``: the canonical form of ``col`` per the module
+    rules. One Arrow pass; no per-row Python."""
+    u = batch.column(col)
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    u = u.cast(pa.string())
+    valid = pc.is_valid(u)
+    u0 = pc.fill_null(u, "")
+    # 1. fragment
+    nofrag = pc.replace_substring_regex(u0, r"#.*$", "")
+    # split off the query BEFORE the parts regex ([^?#]* can't span '?')
+    base = pc.replace_substring_regex(nofrag, r"\?.*$", "")
+    has_q = pc.match_substring(nofrag, "?")
+    qs = pc.if_else(
+        has_q, pc.replace_substring_regex(nofrag, r"^[^?]*\?", ""), None)
+    parts = pc.extract_regex(base, pattern=_PARTS_RE)
+    ok = pc.is_valid(parts)
+    # struct fields are "" where !ok; all ops below are total on ""
+    scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+    hostport = pc.utf8_lower(pc.struct_field(parts, "hostport"))
+    # 3. default ports (scheme-conditional)
+    hostport = pc.if_else(
+        pc.equal(scheme, "http"),
+        pc.replace_substring_regex(hostport, r":80$", ""), hostport)
+    hostport = pc.if_else(
+        pc.equal(scheme, "https"),
+        pc.replace_substring_regex(hostport, r":443$", ""), hostport)
+    # 7. path: trailing-slash runs collapse; empty -> '/'
+    path = pc.replace_substring_regex(
+        pc.struct_field(parts, "path"), r"/+$", "")
+    path = pc.if_else(pc.equal(path, ""), "/", path)
+    # 4-6. query
+    q = _canon_query(qs)
+    suffix = pc.if_else(
+        pc.equal(q, ""), "",
+        pc.binary_join_element_wise("?", q, ""))
+    canon = pc.binary_join_element_wise(
+        scheme, "://", hostport, path, suffix, "")
+    out = pc.if_else(ok, canon, nofrag)       # non-URL passthrough
+    out = pc.if_else(valid, out, pa.scalar(None, pa.string()))
+    return batch.append_column(out_col, out)
+
+
+def url_dedup(ds, url_col: str = "url", ts_col: str = "warc_ts",
+              num_partitions: int | None = None):
+    """Collapse recrawls: canonicalize ``url_col`` then keep, per
+    canonical URL, the row with the LATEST ``ts_col`` (a recrawl
+    supersedes its predecessors). Output = input columns +
+    ``canon_url``, one row per canonical URL.
+
+    Physical plan: map_batches(canonicalize) -> bucketed distinct_on
+    (canon-key hash shuffle once, vectorized max-ts pick per coarse
+    bucket) — the same plan exact_dedup rides, proven flat in key
+    count (ops/bucketing.py A/B). Ties on ``ts_col`` within a key are
+    broken by the bucket sort's stable order; feed a unique timestamp
+    per fetch (WARC capture times are) for fully pinned output.
+    """
+    from raydoc.ops.relational import distinct_on
+
+    canon = ds.map_batches(
+        lambda b: canonicalize_url_batch(b, url_col),
+        batch_format="pyarrow")
+    return distinct_on(canon, "canon_url", keep="max", order_col=ts_col,
+                       num_partitions=num_partitions, bucketed=True)

@@ -1694,6 +1694,105 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
 """
 
 
+def docs_url_dedup(sf_dir: str):
+    """URL canonicalization + recrawl dedup (ops/url.py): every doc_id
+    yields TWO deterministic fetch rows — a dirty original (mixed-case
+    host, :443 default port, trailing slash, utm_*/gclid tracking
+    params, #fragment) and a later cleaner recrawl — that canonicalize
+    to the SAME url; the op must collapse each pair to the latest
+    fetch. The construction is mirrored expression-for-expression in
+    the SQL oracle, so DuckDB hash-checks the full canonicalization
+    rule set (fragment strip, scheme/host lowercasing, default-port
+    strip, tracking-param drop, param byte-sort, trailing-slash
+    collapse) AND the latest-wins pick."""
+    import numpy as np
+
+    from raydoc.ops.url import url_dedup
+
+    _QA = np.array(["?utm_source=feed&b=2&a=1", "?a=1&utm_campaign=x",
+                    "?z=9&gclid=abc", ""], dtype=object)
+    _QB = np.array(["?a=1&b=2&utm_medium=m", "?a=1", "?z=9", ""],
+                   dtype=object)
+
+    def _fetch_rows(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").combine_chunks()
+        dnp = d.to_numpy(zero_copy_only=False)
+        dstr = pc.cast(d, pa.string())
+        h = pc.cast(pa.array(dnp % 7), pa.string())
+        j = pc.binary_join_element_wise
+        url_a = j(pa.scalar("https://WWW.Site"), h,
+                  pa.scalar(".COM:443/Articles/"), dstr,
+                  pa.array(np.where(dnp % 2 == 0, "/", ""), pa.string()),
+                  pa.array(_QA[dnp % 4], pa.string()),
+                  pa.array(np.where(dnp % 5 == 0, "#sec", ""), pa.string()),
+                  pa.scalar(""))
+        url_b = j(pa.scalar("https://www.site"), h,
+                  pa.scalar(".com/Articles/"), dstr,
+                  pa.array(_QB[dnp % 4], pa.string()), pa.scalar(""))
+        return pa.table({
+            "url": pa.concat_arrays([url_a, url_b]),
+            "fetch_ts": pa.array(np.concatenate([dnp * 2, dnp * 2 + 1])),
+        })
+
+    fetches = _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(_fetch_rows, batch_format="pyarrow")
+    out = url_dedup(fetches, "url", "fetch_ts")
+    return out.select_columns(["canon_url", "fetch_ts", "url"]) \
+        .rename_columns(["canon_url", "fetch_ts", "src_url"])
+
+
+DOCS_URL_DEDUP_SQL = r"""
+WITH raw AS (
+  SELECT 'https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+         || '.COM:443/Articles/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+         || CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+                 WHEN 1 THEN '?a=1&utm_campaign=x'
+                 WHEN 2 THEN '?z=9&gclid=abc' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS url,
+         doc_id * 2 AS fetch_ts
+  FROM documents
+  UNION ALL
+  SELECT 'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+         || '.com/Articles/' || CAST(doc_id AS VARCHAR)
+         || CASE doc_id % 4 WHEN 0 THEN '?a=1&b=2&utm_medium=m'
+                 WHEN 1 THEN '?a=1' WHEN 2 THEN '?z=9' ELSE '' END AS url,
+         doc_id * 2 + 1 AS fetch_ts
+  FROM documents
+), nofrag AS (
+  SELECT regexp_replace(url, '#.*$', '') AS u, url, fetch_ts FROM raw
+), comp AS (
+  SELECT url, fetch_ts,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+      AS hostport,
+    regexp_extract(regexp_replace(u, '\?.*$', ''),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)$', 1) AS path,
+    CASE WHEN contains(u, '?')
+         THEN regexp_replace(u, '^[^?]*\?', '') ELSE NULL END AS q
+  FROM nofrag
+), canon AS (
+  SELECT url AS src_url, fetch_ts,
+    scheme || '://'
+    || CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+            WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+            ELSE hostport END
+    || CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+            ELSE regexp_replace(path, '/+$', '') END
+    || CASE WHEN qj IS NULL OR qj = '' THEN '' ELSE '?' || qj END AS canon_url
+  FROM (
+    SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
+            x -> len(x) > 0 AND NOT starts_with(x, 'utm_')
+                 AND NOT list_contains(['gclid','fbclid','ref'],
+                                       regexp_replace(x, '=.*$', '')))),
+            '&') AS qj
+    FROM comp)
+)
+SELECT canon_url, fetch_ts, src_url FROM canon
+QUALIFY row_number() OVER (PARTITION BY canon_url ORDER BY fetch_ts DESC) = 1
+"""
+
+
 def docs_segment_dedup(sf_dir: str):
     """Duplicated-span removal (the C4/RefinedWeb line-dedup shape):
     non-overlapping word-8 segments occurring in >1 DISTINCT doc are
@@ -2741,6 +2840,7 @@ QUERIES = {
     "docs_fingerprint": docs_fingerprint,
     "docs_langid": docs_langid,
     "docs_exact_dedup": docs_exact_dedup,
+    "docs_url_dedup": docs_url_dedup,
     "docs_segment_dedup": docs_segment_dedup,
     "docs_host_cap": docs_host_cap,
     "docs_train_split": docs_train_split,
@@ -2874,6 +2974,7 @@ ORACLES = {
     "docs_pack_sequences": DOCS_PACK_SEQUENCES_SQL,
     "docs_pii_redact": DOCS_PII_REDACT_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
+    "docs_url_dedup": DOCS_URL_DEDUP_SQL,
     "docs_segment_dedup": DOCS_SEGMENT_DEDUP_SQL,
     "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_train_split": DOCS_TRAIN_SPLIT_SQL,
