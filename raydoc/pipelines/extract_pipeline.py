@@ -129,6 +129,28 @@ def batch_rows_for_bytes(
     return int(min(hi, max(lo, target_batch_bytes // max(1, bytes_ // rows))))
 
 
+# Fixed schema for the write stage's manifest-row output blocks: a write
+# task whose partitions were ALL committed by a prior run (resume) emits
+# zero rows, and an unpinned from_pylist([]) would make a zero-column
+# block whose schema disagrees with its siblings'. (Ray's hash shuffle
+# additionally passes EMPTY partitions through without invoking the UDF
+# at all — a schemaless empty bundle it warns about on resume runs; that
+# is harmless under the take_all() consumer here.)
+MANIFEST_ROW_SCHEMA = pa.schema([
+    ("part_id", pa.int64()),
+    ("num_parts", pa.int64()),
+    ("n_docs", pa.int64()),
+    ("n_ok", pa.int64()),
+    ("n_empty", pa.int64()),
+    ("n_error", pa.int64()),
+    ("n_chunks", pa.int64()),
+    ("text_bytes", pa.int64()),
+    ("checksum", pa.string()),
+    ("t_start_unix", pa.float64()),
+    ("wall_sec", pa.float64()),
+])
+
+
 def add_part_id(batch: pa.Table, num_parts: int) -> pa.Table:
     part = np.fromiter(
         (part_id_for_url(u, num_parts) for u in batch.column("url").to_pylist()),
@@ -424,7 +446,7 @@ def run_extract_pipeline(
                             "wall_sec": round(_time.time() - _t0, 3)},
                 )
             )
-        return pa.Table.from_pylist(rows_out)
+        return pa.Table.from_pylist(rows_out, schema=MANIFEST_ROW_SCHEMA)
 
     try:
         # Throttle write concurrency to ~8 tasks per 32 cores WHEN the
