@@ -91,11 +91,15 @@ def grouped_approx_ndv(ds, keys: list[str], col: str,
         h = _value_hashes(batch.column(col).combine_chunks())
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         rest = h & np.uint64((1 << (64 - p)) - 1)
-        # rho = leading-zero count within the low 64-p bits, + 1
+        # rho = leading-zero count within the low 64-p bits, + 1.
+        # Bit length via frexp's exponent: for p>=11 the low 64-p bits
+        # fit float64's 53-bit mantissa EXACTLY, and frexp (x = m*2^e,
+        # m in [0.5,1)) is pure bit extraction — no libm rounding. That
+        # integer-exactness is what lets the DuckDB oracle reproduce
+        # rho via length(bin(rest)) bit-for-bit (EVENTS_NDV_SKETCH_SQL).
         bl = np.zeros(len(rest), dtype=np.int64)
         nz = rest > 0
-        bl[nz] = np.floor(np.log2(rest[nz].astype(np.float64))).astype(
-            np.int64) + 1
+        bl[nz] = np.frexp(rest[nz].astype(np.float64))[1]
         rho = ((64 - p) - bl + 1).astype(np.uint8)
         # group rows of this batch by key tuple, one register row each
         kt = batch.select(keys)

@@ -1215,9 +1215,11 @@ def keyword_topn_sketch(sf_dir: str):
 
 
 def events_ndv_sketch(sf_dir: str):
-    """HyperLogLog distinct-user estimate per event type (no SQL
-    oracle — approximate by design; accuracy vs exact nunique is
-    asserted in pytest within the published 1.04/sqrt(m) bound)."""
+    """HyperLogLog distinct-user estimate per event type. Approximate
+    vs the TRUE NDV (accuracy pytest within the published 1.04/sqrt(m)
+    bound) but a deterministic function of the input — the oracle SQL
+    below replays the identical algorithm (splitmix64, register max,
+    bias-corrected estimator) in DuckDB and hash-matches bit-exactly."""
     from raydoc.ops.sketch import grouped_approx_ndv
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
@@ -1225,14 +1227,157 @@ def events_ndv_sketch(sf_dir: str):
 
 
 def events_quantile_sketch(sf_dir: str):
-    """Histogram-sketch p50/p90 per event type (no SQL oracle —
-    approximate by design; bin-width error bound asserted in pytest
-    against the exact quantile operator)."""
+    """Histogram-sketch p50/p90 per event type. Approximate vs the
+    exact quantile (bin-width error bound pytest) but deterministic —
+    the oracle SQL rebuilds the same 2048-bin histogram and in-bucket
+    interpolation in DuckDB and matches to the last float bit."""
     from raydoc.ops.sketch import grouped_quantile_sketch
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
     return grouped_quantile_sketch(ds, ["event_type"], "value",
                                    {"p50_value": 0.5, "p90_value": 0.9})
+
+
+def _ndv_sketch_oracle_sql(p: int = 12) -> str:
+    """DuckDB replay of grouped_approx_ndv (ops/sketch.py) — an
+    ALGORITHMIC oracle, generated from the same splitmix64 constants.
+
+    Every step is integer- or IEEE-exact on both sides, so the hash
+    check is bit-for-bit: the 64-bit wrap-around multiplies run in
+    HUGEINT via 32-bit limbs; xor/shift in UBIGINT; rho = bit length of
+    the low 64-p bits via length(bin(..)) in SQL vs np.frexp in the
+    engine (both exact — see sketch.py); the estimator expressions are
+    written in the engine's evaluation order. Only the 4096-term
+    power-of-two sum could differ in the last ULP (np pairwise vs SQL
+    sequential summation) — rounding to an integer estimate absorbs it.
+    """
+    from raydoc.ops.sketch import _C1, _C2, _GOLDEN, _hll_alpha
+
+    m = 1 << p
+    M = 1 << 64
+    rest_mod = 1 << (64 - p)
+
+    def mulmod(a: str, c: int) -> str:
+        cl, ch = c % (1 << 32), c >> 32
+        return (f"(((({a}) % 4294967296) * {cl} + "
+                f"(((({a}) // 4294967296) * {cl} + "
+                f"(({a}) % 4294967296) * {ch}) % 4294967296) * 4294967296"
+                f") % {M})")
+
+    def xorshift(x: str, s: int) -> str:
+        return (f"CAST(xor(CAST(({x}) AS UBIGINT), "
+                f"CAST(({x}) AS UBIGINT) >> {s}) AS HUGEINT)")
+
+    x = f"((CAST(user_id AS HUGEINT) % {M} + {M}) % {M} + {int(_GOLDEN)}) % {M}"
+    x = xorshift(x, 30)
+    x = mulmod(x, int(_C1))
+    x = xorshift(x, 27)
+    x = mulmod(x, int(_C2))
+    x = xorshift(x, 31)
+    alpha = f"(0.7213::DOUBLE / (1 + 1.079::DOUBLE / {m}))"
+    assert abs(_hll_alpha(m) - 0.7213 / (1 + 1.079 / m)) == 0.0
+    return f"""
+WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+hashed AS (SELECT event_type, {x} AS h FROM pairs),
+rr AS (
+  SELECT event_type, CAST(h // {rest_mod} AS BIGINT) AS idx,
+         CAST(h % {rest_mod} AS BIGINT) AS rest
+  FROM hashed),
+rho AS (
+  SELECT event_type, idx,
+         CASE WHEN rest = 0 THEN {64 - p + 1}
+              ELSE {64 - p} - length(bin(CAST(rest AS UBIGINT))) + 1 END AS rho
+  FROM rr),
+mx AS (SELECT event_type, idx, MAX(rho) AS reg FROM rho GROUP BY 1, 2),
+grid AS (
+  SELECT g.event_type, r.range AS idx
+  FROM (SELECT DISTINCT event_type FROM events) g CROSS JOIN range({m}) r),
+regs AS (
+  SELECT grid.event_type, COALESCE(mx.reg, 0) AS reg
+  FROM grid LEFT JOIN mx ON grid.event_type = mx.event_type
+                        AND grid.idx = mx.idx),
+est AS (
+  SELECT event_type,
+         {alpha} * {m} * {m} / SUM(power(2.0, -reg)) AS raw,
+         COUNT(*) FILTER (reg = 0) AS zeros
+  FROM regs GROUP BY 1)
+SELECT event_type,
+       CAST(round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                       THEN {m} * ln({m} / zeros) ELSE raw END)
+            AS BIGINT) AS ndv_approx
+FROM est
+"""
+
+
+EVENTS_NDV_SKETCH_SQL = _ndv_sketch_oracle_sql()
+
+
+def _quantile_sketch_oracle_sql(bins: int = 2048,
+                                qs: dict[str, float] | None = None) -> str:
+    """DuckDB replay of grouped_quantile_sketch (ops/sketch.py): same
+    per-group [lo, hi] range, same equi-width binning (floor + clamp —
+    numpy astype(int64) truncates, so the SQL must floor() before CAST,
+    which rounds), same searchsorted-left bucket pick and in-bucket
+    interpolation, all in IEEE doubles in the engine's evaluation
+    order (q literals forced ::DOUBLE — bare 0.9 parses as DECIMAL).
+    Bit-exact, not approximate-close."""
+    qs = qs or {"p50_value": 0.5, "p90_value": 0.9}
+
+    def pick(name: str, q: float) -> str:
+        return f"""
+sel_{name} AS (
+  SELECT event_type,
+         LEAST(COALESCE(MIN(bin) FILTER (CAST(cum AS DOUBLE) >=
+               {q}::DOUBLE * (n - 1) + 1), {bins}), {bins - 1}) AS b
+  FROM cumt GROUP BY event_type, n),
+q_{name} AS (
+  SELECT s.event_type,
+         CASE WHEN c.width = 0 THEN c.lo
+              ELSE c.lo + (s.b + CASE WHEN c.c = 0 THEN 0.0
+                   ELSE ({q}::DOUBLE * (c.n - 1) + 1 - (c.cum - c.c)) / c.c
+                   END) * c.width END AS {name}
+  FROM sel_{name} s JOIN cumt c ON c.event_type = s.event_type
+                                AND c.bin = s.b)"""
+
+    names = list(qs)
+    picks = ",".join(pick(n, qs[n]) for n in names)
+    first = names[0]
+    joins = "".join(
+        f" JOIN q_{n} USING (event_type)" for n in names[1:])
+    cols = ", ".join(f"q_{n}.{n}" for n in names)
+    return f"""
+WITH rng AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+  FROM events GROUP BY 1),
+binned AS (
+  SELECT e.event_type,
+         CASE WHEN r.hi <= r.lo THEN 0
+              ELSE LEAST(CAST(floor((e.value - r.lo) / (r.hi - r.lo)
+                                    * {bins}) AS BIGINT), {bins - 1})
+         END AS bin
+  FROM events e JOIN rng r USING (event_type)),
+hist AS (SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+grid AS (
+  SELECT g.event_type, r.range AS bin
+  FROM (SELECT event_type FROM rng) g CROSS JOIN range({bins}) r),
+fullh AS (
+  SELECT grid.event_type, grid.bin, COALESCE(hist.c, 0) AS c
+  FROM grid LEFT JOIN hist ON grid.event_type = hist.event_type
+                          AND grid.bin = hist.bin),
+cumt AS (
+  SELECT f.event_type, f.bin, f.c,
+         SUM(f.c) OVER (PARTITION BY f.event_type ORDER BY f.bin) AS cum,
+         SUM(f.c) OVER (PARTITION BY f.event_type) AS n,
+         r.lo,
+         CASE WHEN r.hi > r.lo THEN (r.hi - r.lo) / {bins}
+              ELSE 0.0 END AS width
+  FROM fullh f JOIN rng r USING (event_type)),{picks}
+SELECT q_{first}.event_type, {cols}
+FROM q_{first}{joins}
+"""
+
+
+EVENTS_QUANTILE_SKETCH_SQL = _quantile_sketch_oracle_sql()
 
 
 def events_value_quantiles(sf_dir: str):
@@ -3003,6 +3148,12 @@ ORACLES = {
     "embeddings_knn_lsh": KNN_PLANTED_SQL,
     "canvas_customer_service": CANVAS_CUSTOMER_SERVICE_SQL,
     "layout_reading_order": LAYOUT_READING_ORDER_SQL,
+    # r04: the sketches are approximate vs the TRUE answer but
+    # deterministic functions of the input — these oracles REPLAY the
+    # algorithms (splitmix64+HLL registers; 2048-bin histogram +
+    # interpolation) in DuckDB, integer-/IEEE-exact on both sides
+    "events_ndv_sketch": EVENTS_NDV_SKETCH_SQL,
+    "events_quantile_sketch": EVENTS_QUANTILE_SKETCH_SQL,
     # intentionally no oracle (driver does rows-only checks):
     # flagship_extract/flagship_chunks (the extracted text itself is
     # hash-checked via flagship_text_hash)
