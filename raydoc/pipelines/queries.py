@@ -2876,6 +2876,62 @@ def flagship_text_hash(sf_dir: str):
          "text_hash": pa.array([format(acc, "016x")], pa.string())})
 
 
+def flagship_chunks_hash(sf_dir: str):
+    """Golden-hash oracle for the flagship CHUNKER (r04 companion to
+    flagship_text_hash): over the same fixed _FLAGSHIP_CAP pages, the
+    XOR of per-chunk md5(url \\0 chunk_id \\0 text \\0 token_count \\0
+    title_path-joined) is a constant — pinning chunk boundaries, ids,
+    token counts and title hierarchy, not just the extracted text.
+    Order-independent (XOR), so any partitioning must reproduce it.
+    Validation-only query: the Python per-row md5 loop is capped at the
+    ~7.4k chunks of the 2000-page corpus, never a production stage."""
+    import hashlib
+    import os
+
+    import ray
+
+    from raydoc.corpus import GEN_VERSION, gen_rows
+    from raydoc.pipelines.extract_pipeline import extract_dataset
+    from raydoc.stages.extract_stage import explode_chunks
+
+    path = f"/tmp/raydoc_pages/cap{_FLAGSHIP_CAP}_g{GEN_VERSION}"
+    os.makedirs(path, exist_ok=True)
+    f = os.path.join(path, "pages.parquet")
+    if not os.path.exists(f):
+        import pyarrow.parquet as pq
+
+        pq.write_table(gen_rows(0, _FLAGSHIP_CAP), f + ".tmp")
+        os.replace(f + ".tmp", f)
+
+    ds = extract_dataset(path).map_batches(
+        explode_chunks, batch_format="pyarrow")
+
+    def _h(b: pa.Table) -> pa.Table:
+        acc = 0
+        for u, cid, t, tc, tp in zip(
+                b.column("url").to_pylist(),
+                b.column("chunk_id").to_pylist(),
+                b.column("text").to_pylist(),
+                b.column("token_count").to_pylist(),
+                b.column("title_path").to_pylist()):
+            key = "\x00".join([u, str(cid), t or "", str(tc),
+                               "\x1f".join(tp or [])])
+            acc ^= int(hashlib.md5(key.encode("utf-8")).hexdigest()[:16], 16)
+        return pa.Table.from_pydict(
+            {"x": pa.array([acc], pa.uint64()),
+             "n": pa.array([b.num_rows], pa.int64())})
+
+    parts = pa.concat_tables(ray.get(list(
+        ds.map_batches(_h, batch_format="pyarrow").to_arrow_refs())))
+    acc = 0
+    for v in parts.column("x").to_pylist():
+        acc ^= v
+    n = sum(parts.column("n").to_pylist())
+    return pa.Table.from_pydict(
+        {"n_chunks": pa.array([n], pa.int64()),
+         "chunks_hash": pa.array([format(acc, "016x")], pa.string())})
+
+
 def flagship_extract(sf_dir: str):
     """The north-star pipeline over the synthetic pages corpus."""
     from raydoc.pipelines.extract_pipeline import extract_dataset
@@ -2963,6 +3019,9 @@ QUERIES = {
     # which sample a prefix of the dict always record the headline pipelines.
     "flagship_extract": flagship_extract,
     "flagship_chunks": flagship_chunks,
+    # golden-hash oracle over the chunk table (r04): pins chunk
+    # boundaries/ids/token counts/title paths as a constant
+    "flagship_chunks_hash": flagship_chunks_hash,
     # golden-hash oracle over the extracted text itself (r03): the
     # flagship's correctness row becomes a hash match, not rows-only
     "flagship_text_hash": flagship_text_hash,
@@ -3069,6 +3128,13 @@ ORACLES = {
     "flagship_text_hash": (
         "SELECT CAST(2000 AS BIGINT) AS n_docs, "
         "'bde367d318a42309' AS text_hash"
+    ),
+    # r04: same golden-constant pattern for the chunk table (value
+    # verified identical at sf0.001 and sf0.01 — the capped corpus
+    # makes it scale-independent)
+    "flagship_chunks_hash": (
+        "SELECT CAST(7356 AS BIGINT) AS n_chunks, "
+        "'8241292369814e61' AS chunks_hash"
     ),
     "q1_pricing_summary": Q1_SQL,
     "q3_revenue_topk": Q3_SQL,
