@@ -26,6 +26,11 @@ NEW_QUERIES = [
     "docs_sample_stratified",
     "docs_mix_upsample",
     "events_outlier_filter",
+    # r04 promotions: algorithmic sketch oracles (DuckDB replays the
+    # HLL / histogram algorithms bit-exactly) + the chunker golden hash
+    "events_ndv_sketch",
+    "events_quantile_sketch",
+    "flagship_chunks_hash",
 ]
 
 
@@ -45,8 +50,12 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
 
     from raydoc.pipelines.queries import ORACLES, QUERIES
 
+    import pyarrow as pa
+
     res = QUERIES[name](SF_DIR)
-    df = res.to_pandas() if isinstance(res, rd.Dataset) else res
+    if isinstance(res, (rd.Dataset, pa.Table)):
+        res = res.to_pandas()
+    df = res
     odf = oracle_con.execute(ORACLES[name]).fetchdf()
     cols = sorted(df.columns)
     assert cols == sorted(odf.columns)
