@@ -748,8 +748,6 @@ def distinct_on(ds, key: str, keep: str = "min", order_col: str | None = None,
       stage) and collapses the per-group overhead on corpus-sized
       keys (see exact_dedup: 4.6 s -> 0.9 s for 5k distinct texts).
     """
-    import zlib
-
     oc = order_col or key
 
     if not bucketed:
@@ -765,22 +763,14 @@ def distinct_on(ds, key: str, keep: str = "min", order_col: str | None = None,
     P = num_partitions or max(4, _cpu_cap())
 
     def _bucket(batch: pa.Table) -> pa.Table:
+        # one shared kernel: integers pass through as their own value
+        # (null-safe, unsigned-safe), strings hash via polars'
+        # vectorized xxhash — r04, replacing a crc32-per-row Python
+        # loop that cost ~2 s per 2M string keys (canon urls, tokens)
+        from raydoc.ops.bucketing import _col_hash_u64
+
         col = batch.column(key).combine_chunks()
-        if pa.types.is_integer(col.type):
-            # null-safe (nulls share bucket 0) and unsigned-safe (a
-            # uint64 gram hash > 2^63 must not go through int64)
-            filled = pc.fill_null(col, 0)
-            if pa.types.is_unsigned_integer(col.type):
-                k = filled.cast(pa.uint64()).to_numpy(zero_copy_only=False)
-            else:
-                k = filled.cast(pa.int64()).to_numpy(
-                    zero_copy_only=False).astype(np.uint64)
-            part = np.mod(k, np.uint64(P)).astype(np.int64)
-        else:
-            part = np.fromiter(
-                (zlib.crc32(str(v).encode("utf-8", "surrogatepass")) % P
-                 for v in col.to_pylist()),
-                dtype=np.int64, count=len(col))
+        part = np.mod(_col_hash_u64(col), np.uint64(P)).astype(np.int64)
         return batch.append_column("_part", pa.array(part))
 
     def _dedupe_bucket(group: pa.Table) -> pa.Table:

@@ -105,13 +105,18 @@ def canonicalize_url_batch(batch: pa.Table, col: str = "url",
     # struct fields are "" where !ok; all ops below are total on ""
     scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
     hostport = pc.utf8_lower(pc.struct_field(parts, "hostport"))
-    # 3. default ports (scheme-conditional)
+    # 3. default ports (scheme-conditional). Anchored to a colon-free
+    # host so the strip is IDEMPOTENT: a malformed doubled port
+    # ("h.com:443:443") is left alone rather than stripped once per
+    # pass, which would give re-canonicalized URLs a different key.
     hostport = pc.if_else(
         pc.equal(scheme, "http"),
-        pc.replace_substring_regex(hostport, r":80$", ""), hostport)
+        pc.replace_substring_regex(hostport, r"^([^:]*):80$", r"\1"),
+        hostport)
     hostport = pc.if_else(
         pc.equal(scheme, "https"),
-        pc.replace_substring_regex(hostport, r":443$", ""), hostport)
+        pc.replace_substring_regex(hostport, r"^([^:]*):443$", r"\1"),
+        hostport)
     # 7. path: trailing-slash runs collapse; empty -> '/'
     path = pc.replace_substring_regex(
         pc.struct_field(parts, "path"), r"/+$", "")
@@ -149,3 +154,38 @@ def url_dedup(ds, url_col: str = "url", ts_col: str = "warc_ts",
         batch_format="pyarrow")
     return distinct_on(canon, "canon_url", keep="max", order_col=ts_col,
                        num_partitions=num_partitions, bucketed=True)
+
+
+def synthetic_fetch_rows(ids) -> pa.Table:
+    """Shared fixture for the url_dedup oracle query AND the 1M-doc
+    scale validation (tools/validate_url_dedup.py): per id, one dirty
+    original URL (mixed-case host, :443 default port, trailing slash,
+    utm_*/gclid params, fragment, ts=2d) plus one later recrawl
+    (clean-cased, reordered params, ts=2d+1) that must win. One copy so
+    the DuckDB oracle SQL in queries.py can never drift from what the
+    scale validation exercises."""
+    import numpy as np
+
+    _QA = np.array(["?utm_source=feed&b=2&a=1", "?a=1&utm_campaign=x",
+                    "?z=9&gclid=abc", ""], dtype=object)
+    _QB = np.array(["?a=1&b=2&utm_medium=m", "?a=1", "?z=9", ""],
+                   dtype=object)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    dnp = ids.to_numpy(zero_copy_only=False)
+    dstr = pc.cast(ids, pa.string())
+    h = pc.cast(pa.array(dnp % 7), pa.string())
+    j = pc.binary_join_element_wise
+    url_a = j(pa.scalar("https://WWW.Site"), h,
+              pa.scalar(".COM:443/Articles/"), dstr,
+              pa.array(np.where(dnp % 2 == 0, "/", ""), pa.string()),
+              pa.array(_QA[dnp % 4], pa.string()),
+              pa.array(np.where(dnp % 5 == 0, "#sec", ""), pa.string()),
+              pa.scalar(""))
+    url_b = j(pa.scalar("https://www.site"), h,
+              pa.scalar(".com/Articles/"), dstr,
+              pa.array(_QB[dnp % 4], pa.string()), pa.scalar(""))
+    return pa.table({
+        "url": pa.concat_arrays([url_a, url_b]),
+        "fetch_ts": pa.array(np.concatenate([dnp * 2, dnp * 2 + 1])),
+    })

@@ -1850,37 +1850,11 @@ def docs_url_dedup(sf_dir: str):
     rule set (fragment strip, scheme/host lowercasing, default-port
     strip, tracking-param drop, param byte-sort, trailing-slash
     collapse) AND the latest-wins pick."""
-    import numpy as np
+    from raydoc.ops.url import synthetic_fetch_rows, url_dedup
 
-    from raydoc.ops.url import url_dedup
-
-    _QA = np.array(["?utm_source=feed&b=2&a=1", "?a=1&utm_campaign=x",
-                    "?z=9&gclid=abc", ""], dtype=object)
-    _QB = np.array(["?a=1&b=2&utm_medium=m", "?a=1", "?z=9", ""],
-                   dtype=object)
-
-    def _fetch_rows(b: pa.Table) -> pa.Table:
-        d = b.column("doc_id").combine_chunks()
-        dnp = d.to_numpy(zero_copy_only=False)
-        dstr = pc.cast(d, pa.string())
-        h = pc.cast(pa.array(dnp % 7), pa.string())
-        j = pc.binary_join_element_wise
-        url_a = j(pa.scalar("https://WWW.Site"), h,
-                  pa.scalar(".COM:443/Articles/"), dstr,
-                  pa.array(np.where(dnp % 2 == 0, "/", ""), pa.string()),
-                  pa.array(_QA[dnp % 4], pa.string()),
-                  pa.array(np.where(dnp % 5 == 0, "#sec", ""), pa.string()),
-                  pa.scalar(""))
-        url_b = j(pa.scalar("https://www.site"), h,
-                  pa.scalar(".com/Articles/"), dstr,
-                  pa.array(_QB[dnp % 4], pa.string()), pa.scalar(""))
-        return pa.table({
-            "url": pa.concat_arrays([url_a, url_b]),
-            "fetch_ts": pa.array(np.concatenate([dnp * 2, dnp * 2 + 1])),
-        })
-
-    fetches = _read(sf_dir, "documents", ["doc_id"]) \
-        .map_batches(_fetch_rows, batch_format="pyarrow")
+    fetches = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: synthetic_fetch_rows(b.column("doc_id")),
+        batch_format="pyarrow")
     out = url_dedup(fetches, "url", "fetch_ts")
     return out.select_columns(["canon_url", "fetch_ts", "url"]) \
         .rename_columns(["canon_url", "fetch_ts", "src_url"])
@@ -1919,8 +1893,10 @@ WITH raw AS (
 ), canon AS (
   SELECT url AS src_url, fetch_ts,
     scheme || '://'
-    || CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-            WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+    || CASE WHEN scheme = 'http'
+                 THEN regexp_replace(hostport, '^([^:]*):80$', '\1')
+            WHEN scheme = 'https'
+                 THEN regexp_replace(hostport, '^([^:]*):443$', '\1')
             ELSE hostport END
     || CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
             ELSE regexp_replace(path, '/+$', '') END
@@ -2801,28 +2777,38 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.001
 
 
-def _flagship_pages_path(sf_dir: str) -> str:
-    """Pages corpus for this scale factor, capped at _FLAGSHIP_CAP rows
-    in the correctness path (bench.py runs the uncapped corpus)."""
+def _ensure_capped_pages(n: int = _FLAGSHIP_CAP) -> str:
+    """Materialize (once) the fixed n-page corpus the golden-hash
+    oracles run on; returns its directory. The tmp name is
+    per-process-unique so two concurrent cold starts (pytest workers,
+    driver + bench) can't interleave writes into one file — os.replace
+    makes whichever finishes last win with a COMPLETE parquet."""
     import os
 
     import pyarrow.parquet as pq
 
-    from raydoc.corpus import ensure_pages_parquet, gen_rows, n_pages_for_sf
-
-    sf = _sf_of(sf_dir)
-    n = min(n_pages_for_sf(sf), _FLAGSHIP_CAP)
-    if n >= n_pages_for_sf(sf):
-        return ensure_pages_parquet(sf, seed=42)
-    from raydoc.corpus import GEN_VERSION
+    from raydoc.corpus import GEN_VERSION, gen_rows
 
     path = f"/tmp/raydoc_pages/cap{n}_g{GEN_VERSION}"
     os.makedirs(path, exist_ok=True)
     f = os.path.join(path, "pages.parquet")
     if not os.path.exists(f):
-        pq.write_table(gen_rows(0, n), f + ".tmp")
-        os.replace(f + ".tmp", f)
+        tmp = f"{f}.tmp.{os.getpid()}"
+        pq.write_table(gen_rows(0, n), tmp)
+        os.replace(tmp, f)
     return path
+
+
+def _flagship_pages_path(sf_dir: str) -> str:
+    """Pages corpus for this scale factor, capped at _FLAGSHIP_CAP rows
+    in the correctness path (bench.py runs the uncapped corpus)."""
+    from raydoc.corpus import ensure_pages_parquet, n_pages_for_sf
+
+    sf = _sf_of(sf_dir)
+    n = min(n_pages_for_sf(sf), _FLAGSHIP_CAP)
+    if n >= n_pages_for_sf(sf):
+        return ensure_pages_parquet(sf, seed=42)
+    return _ensure_capped_pages(n)
 
 
 def flagship_text_hash(sf_dir: str):
@@ -2835,23 +2821,12 @@ def flagship_text_hash(sf_dir: str):
     the north-star invariant) instead of rows-only. Runs on the same
     capped corpus at every sf so the constant never drifts."""
     import hashlib
-    import os
 
     import ray
 
-    from raydoc.corpus import GEN_VERSION, gen_rows
     from raydoc.pipelines.extract_pipeline import extract_dataset
 
-    path = f"/tmp/raydoc_pages/cap{_FLAGSHIP_CAP}_g{GEN_VERSION}"
-    os.makedirs(path, exist_ok=True)
-    f = os.path.join(path, "pages.parquet")
-    if not os.path.exists(f):
-        import pyarrow.parquet as pq
-
-        pq.write_table(gen_rows(0, _FLAGSHIP_CAP), f + ".tmp")
-        os.replace(f + ".tmp", f)
-
-    ds = extract_dataset(path)
+    ds = extract_dataset(_ensure_capped_pages())
 
     def _h(b: pa.Table) -> pa.Table:
         acc = 0
@@ -2886,24 +2861,13 @@ def flagship_chunks_hash(sf_dir: str):
     Validation-only query: the Python per-row md5 loop is capped at the
     ~7.4k chunks of the 2000-page corpus, never a production stage."""
     import hashlib
-    import os
 
     import ray
 
-    from raydoc.corpus import GEN_VERSION, gen_rows
     from raydoc.pipelines.extract_pipeline import extract_dataset
     from raydoc.stages.extract_stage import explode_chunks
 
-    path = f"/tmp/raydoc_pages/cap{_FLAGSHIP_CAP}_g{GEN_VERSION}"
-    os.makedirs(path, exist_ok=True)
-    f = os.path.join(path, "pages.parquet")
-    if not os.path.exists(f):
-        import pyarrow.parquet as pq
-
-        pq.write_table(gen_rows(0, _FLAGSHIP_CAP), f + ".tmp")
-        os.replace(f + ".tmp", f)
-
-    ds = extract_dataset(path).map_batches(
+    ds = extract_dataset(_ensure_capped_pages()).map_batches(
         explode_chunks, batch_format="pyarrow")
 
     def _h(b: pa.Table) -> pa.Table:

@@ -232,6 +232,12 @@ def write_partition_atomic(
         url_col.cast(st), text_col.cast(st), pa.scalar("\0", st))
     joined = pa.compute.binary_join_element_wise(
         joined, pa.scalar("", st), pa.scalar("\1", st))
+    # fail-loud on null url/text, like the Python loop this replaced
+    # (null rows would otherwise silently contribute zero bytes and the
+    # integrity checksum would under-cover the partition)
+    if joined.null_count:
+        raise ValueError(
+            f"partition {part_id}: {joined.null_count} null url/text rows")
     h = hashlib.md5()
     chunks_iter = joined.chunks if isinstance(joined, pa.ChunkedArray) else [joined]
     for arr in chunks_iter:

@@ -48,9 +48,18 @@ class TestCanonKernel:
 
     def test_idempotent(self):
         urls = ["https://A.B:443/x/?b=2&a=1#f", "http://h.com:80",
-                "https://h.com/p?utm_x=1", "junk"]
+                "https://h.com/p?utm_x=1", "junk",
+                # malformed doubled default port: the strip is anchored
+                # to a colon-free host, so this must NOT strip once per
+                # pass (which would change the key on re-canonicalization)
+                "https://h.com:443:443/x", "http://h.com:80:80"]
         once = _canon(urls)
         assert _canon(once) == once
+
+    def test_doubled_port_left_alone(self):
+        assert _canon(["https://h.com:443:443/x"]) == [
+            "https://h.com:443:443/x"]
+        assert _canon(["https://h.com:443/x"]) == ["https://h.com/x"]
 
     def test_empty_batch(self):
         assert _canon([]) == []

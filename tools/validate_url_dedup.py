@@ -14,7 +14,6 @@ from __future__ import annotations
 import sys
 import time
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -30,34 +29,11 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    from raydoc.ops.url import url_dedup
+    from raydoc.ops.url import synthetic_fetch_rows, url_dedup
 
-    _QA = np.array(["?utm_source=feed&b=2&a=1", "?a=1&utm_campaign=x",
-                    "?z=9&gclid=abc", ""], dtype=object)
-    _QB = np.array(["?a=1&b=2&utm_medium=m", "?a=1", "?z=9", ""],
-                   dtype=object)
-
-    def _fetch_rows(b: pa.Table) -> pa.Table:
-        d = b.column("id").combine_chunks()
-        dnp = d.to_numpy(zero_copy_only=False)
-        dstr = pc.cast(d, pa.string())
-        h = pc.cast(pa.array(dnp % 7), pa.string())
-        j = pc.binary_join_element_wise
-        url_a = j(pa.scalar("https://WWW.Site"), h,
-                  pa.scalar(".COM:443/Articles/"), dstr,
-                  pa.array(np.where(dnp % 2 == 0, "/", ""), pa.string()),
-                  pa.array(_QA[dnp % 4], pa.string()),
-                  pa.array(np.where(dnp % 5 == 0, "#sec", ""), pa.string()),
-                  pa.scalar(""))
-        url_b = j(pa.scalar("https://www.site"), h,
-                  pa.scalar(".com/Articles/"), dstr,
-                  pa.array(_QB[dnp % 4], pa.string()), pa.scalar(""))
-        return pa.table({
-            "url": pa.concat_arrays([url_a, url_b]),
-            "fetch_ts": pa.array(np.concatenate([dnp * 2, dnp * 2 + 1])),
-        })
-
-    base = rd.range(n).map_batches(_fetch_rows, batch_format="pyarrow")
+    base = rd.range(n).map_batches(
+        lambda b: synthetic_fetch_rows(b.column("id")),
+        batch_format="pyarrow")
 
     t0 = time.perf_counter()
     out = url_dedup(base, "url", "fetch_ts")
