@@ -220,6 +220,62 @@ def clique_pair_indices(starts: np.ndarray,
     return ai, bi
 
 
+def capped_pair_indices(starts: np.ndarray, counts: np.ndarray,
+                        cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """``clique_pair_indices`` with a per-run size cap (r04): runs of
+    length L <= cap emit the full C(L, 2) clique; longer runs emit
+    STAR pairs — the run's FIRST row (its minimum sort key) paired
+    with every other member, L - 1 pairs. Connectivity within the run
+    is preserved, so connected-components / dedup-victim logic
+    downstream sees the same clusters for genuinely-duplicate runs,
+    while a mass-duplicated boilerplate bucket (10^5+ web pages
+    sharing one LSH band hash is a REALISTIC Common-Crawl cluster)
+    costs linear, not quadratic, candidate pairs: a 213k-doc bucket is
+    213k-1 star pairs instead of 22.6e9 (169 GiB of int64 indices —
+    the measured failure this kernel fixes). Tradeoff, documented: a
+    non-duplicate pair that collides into an oversized bucket is only
+    discovered through its star center, so downstream
+    threshold-filtering may drop some true near-dup pairs whose star
+    pair fails the estimate — acceptable for dedup (oversized buckets
+    are overwhelmingly true mass-dups), wrong for exact pair
+    enumeration, hence opt-in.
+
+    Unlike ``clique_pair_indices`` this does not assume (starts,
+    counts) tile the whole table, so it can split runs into
+    small/large subsets internally."""
+
+    def _cliques(s: np.ndarray, c: np.ndarray):
+        tot = int(c.sum())
+        if tot == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        first_out = np.cumsum(c) - c
+        rid = np.arange(tot, dtype=np.int64) - np.repeat(first_out, c)
+        abs_pos = np.repeat(s, c) + rid
+        reps = np.repeat(c, c) - rid - 1
+        npairs = int(reps.sum())
+        ai = np.repeat(abs_pos, reps)
+        out_start = np.cumsum(reps) - reps
+        delta = np.arange(npairs, dtype=np.int64) - np.repeat(out_start, reps)
+        bi = np.repeat(abs_pos + 1, reps) + delta
+        return ai, bi
+
+    starts = np.asarray(starts, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    small = counts <= cap
+    ai, bi = _cliques(starts[small], counts[small])
+    sb, cb = starts[~small], counts[~small]
+    if len(sb) == 0:
+        return ai, bi
+    m = cb - 1
+    tot = int(m.sum())
+    centers = np.repeat(sb, m)
+    out_start = np.cumsum(m) - m
+    delta = np.arange(tot, dtype=np.int64) - np.repeat(out_start, m)
+    others = centers + 1 + delta
+    return (np.concatenate([ai, centers]), np.concatenate([bi, others]))
+
+
 def popcount_u64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (SWAR) — hamming distances over
     simhash xors without a Python loop."""

@@ -337,7 +337,7 @@ def _attach_pair_values(pairs, vals_ds, id_col: str, val_col: str, side: str,
 
 
 def _minhash_pairs_carry(ds, text_col, id_col, a, b, bands, rows_per_band,
-                         shingle_k, threshold):
+                         shingle_k, threshold, max_bucket_docs=None):
     """Single-pass LSH plan: band rows carry the signature, buckets
     estimate inline (see minhash_lsh_pairs for when this is safe)."""
 
@@ -362,7 +362,15 @@ def _minhash_pairs_carry(ds, text_col, id_col, a, b, bands, rows_per_band,
     # coarse-bucketed vectorized clique + inline estimate (r03; was one
     # Python map_groups call per distinct band key): signatures decode
     # zero-copy to an (n, P) matrix, pair indices come from one
-    # segmented computation, estimates from a single matrix compare.
+    # segmented computation, estimates from matrix compares. r04:
+    # pairs are deduped by doc id BEFORE estimating (repeats of a pair
+    # whose band keys collided into the same coarse bucket estimate
+    # once), and the estimate gather runs in fixed-size chunks:
+    # ``sigs[ai]`` over P pairs materializes a (P, num_perm) matrix,
+    # and an unchunked gather on a hot bucket was MEASURED at 11.3 GB
+    # peak heap / 228 s in one task at 100k mass-dup docs.
+    _CHUNK = 1 << 19
+
     def _pairs_bucket(t: pa.Table, starts: np.ndarray,
                       counts: np.ndarray) -> pa.Table:
         from raydoc.ops.bucketing import clique_pair_indices
@@ -376,16 +384,43 @@ def _minhash_pairs_carry(ds, text_col, id_col, a, b, bands, rows_per_band,
             return empty
         ids = t.column(id_col).combine_chunks().to_numpy(
             zero_copy_only=False)
-        sigs = embedding_matrix(t.column("sig"), dtype=np.uint64)
-        ai, bi = clique_pair_indices(starts, counts)
+        if max_bucket_docs is not None:
+            from raydoc.ops.bucketing import capped_pair_indices
+
+            ai, bi = capped_pair_indices(starts, counts, max_bucket_docs)
+        else:
+            ai, bi = clique_pair_indices(starts, counts)
         if len(ai) == 0:
             return empty
-        est = (sigs[ai] == sigs[bi]).mean(axis=1)
-        keep = (est >= threshold) & (ids[ai] != ids[bi])
+        ia, ib = ids[ai], ids[bi]
+        ne = ia != ib
+        ai, bi, ia, ib = ai[ne], bi[ne], ia[ne], ib[ne]
+        if len(ai) == 0:
+            return empty
+        # dedupe doc-id pairs (sig rows are per-doc copies, so any
+        # occurrence's row indices estimate identically)
+        order = np.lexsort((ib, ia))
+        ai, bi, ia, ib = ai[order], bi[order], ia[order], ib[order]
+        first = np.concatenate(
+            ([True], (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])))
+        ai, bi, ia, ib = ai[first], bi[first], ia[first], ib[first]
+        sigs = embedding_matrix(t.column("sig"), dtype=np.uint64)
+        out_a, out_b, out_e = [], [], []
+        for off in range(0, len(ai), _CHUNK):
+            s = slice(off, off + _CHUNK)
+            eq = sigs[ai[s]] == sigs[bi[s]]
+            # integer sum then one divide: numpy's bool .mean(axis=1)
+            # float-accumulates per element (measured 17x slower), values
+            # identical (sum <= num_perm is float64-exact)
+            est = eq.sum(axis=1) / eq.shape[1]
+            m = est >= threshold
+            out_a.append(ia[s][m])
+            out_b.append(ib[s][m])
+            out_e.append(est[m])
         return pa.Table.from_pydict(
-            {"id_a": pa.array(ids[ai][keep], pa.int64()),
-             "id_b": pa.array(ids[bi][keep], pa.int64()),
-             "est_jaccard": pa.array(est[keep], pa.float64())}
+            {"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+             "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+             "est_jaccard": pa.array(np.concatenate(out_e), pa.float64())}
         )
 
     from raydoc.ops.bucketing import bucketed_sorted_apply
@@ -406,6 +441,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     carry_signatures: bool | None = None,
+    max_bucket_docs: int | None = None,
 ):
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -429,6 +465,18 @@ def minhash_lsh_pairs(
       all-to-all.
     * ``None`` (default): auto — carry when ``ds.count()`` (metadata
       lookup for parquet reads) says the sig shuffle stays under ~2 GB.
+
+    ``max_bucket_docs`` (r04): per-band-bucket size cap. ``None``
+    keeps exact clique semantics (every within-bucket pair emitted —
+    what the pairs ORACLE checks). With a cap, buckets larger than it
+    emit STAR pairs (min-id vs each member) via
+    ``bucketing.capped_pair_indices``: a mass-duplicated boilerplate
+    cluster — a 213k-doc single-band bucket at 1M docs was MEASURED to
+    demand 22.6e9 pair indices (169 GiB) uncapped — costs linear
+    pairs, connectivity (and therefore dedup victims/components) is
+    preserved for true-dup runs, and only cross-threshold pairs hidden
+    behind a failing star pair can be missed. Dedup pipelines
+    (curate_documents) set this; exact pair enumeration leaves it off.
     """
     import ray
 
@@ -443,7 +491,7 @@ def minhash_lsh_pairs(
     if carry_signatures:
         return _minhash_pairs_carry(
             ds, text_col, id_col, a, b, bands, rows_per_band,
-            shingle_k, threshold,
+            shingle_k, threshold, max_bucket_docs=max_bucket_docs,
         )
 
     def _band_rows(batch: pa.Table) -> pa.Table:
@@ -485,10 +533,25 @@ def minhash_lsh_pairs(
         t2 = t.filter(pa.array(keep))
         ids = ids[keep]
         s2, c2 = run_segments(t2, ["band_key"])
-        ai, bi = clique_pair_indices(s2, c2)
+        if max_bucket_docs is not None:
+            from raydoc.ops.bucketing import capped_pair_indices
+
+            ai, bi = capped_pair_indices(s2, c2, max_bucket_docs)
+        else:
+            ai, bi = clique_pair_indices(s2, c2)
+        ia, ib = ids[ai], ids[bi]
+        if len(ia):
+            # within-bucket dedupe (r04): repeats of a pair whose band
+            # keys collided into this coarse bucket are emitted once,
+            # shrinking the _distinct_pairs shuffle on dup-heavy input
+            order = np.lexsort((ib, ia))
+            ia, ib = ia[order], ib[order]
+            first = np.concatenate(
+                ([True], (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])))
+            ia, ib = ia[first], ib[first]
         return pa.Table.from_pydict(
-            {"id_a": pa.array(ids[ai], pa.int64()),
-             "id_b": pa.array(ids[bi], pa.int64())}
+            {"id_a": pa.array(ia, pa.int64()),
+             "id_b": pa.array(ib, pa.int64())}
         )
 
     from raydoc.ops.bucketing import bucketed_sorted_apply
@@ -524,31 +587,53 @@ def minhash_lsh_pairs(
         sig_refs = list(sigs.materialize().to_arrow_refs())
 
         class _Estimate:
+            # r04 vectorized: sigs decode ONCE per actor to a sorted
+            # id vector + (n, num_perm) matrix; each batch resolves
+            # both pair columns with searchsorted and estimates via one
+            # rowwise matrix compare (the r03 per-pair Python loop paid
+            # dict lookups + a scalar np.mean per candidate pair)
             def __init__(self, refs) -> None:
-                self.sigs = {}
-                for t in ray.get(list(refs)):
-                    if not t.num_rows:  # schemaless empty blocks
-                        continue
-                    for i, s in zip(t.column(id_col).to_pylist(),
-                                    t.column("sig").to_pylist()):
-                        self.sigs[i] = np.asarray(s, np.uint64)
+                from raydoc.util import embedding_matrix
+
+                blocks = [t for t in ray.get(list(refs)) if t.num_rows]
+                if blocks:
+                    t = pa.concat_tables(blocks)
+                    ids = t.column(id_col).combine_chunks().to_numpy(
+                        zero_copy_only=False)
+                    mat = embedding_matrix(t.column("sig"),
+                                           dtype=np.uint64)
+                    order = np.argsort(ids, kind="stable")
+                    self.ids = ids[order]
+                    self.mat = mat[order]
+                else:
+                    self.ids = np.empty(0, dtype=np.int64)
+                    self.mat = np.empty((0, num_perm), dtype=np.uint64)
+
+            def _resolve(self, col) -> tuple[np.ndarray, np.ndarray]:
+                v = col.combine_chunks().to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(self.ids, v)
+                pos_c = np.minimum(pos, len(self.ids) - 1)
+                return pos_c, self.ids[pos_c] == v
 
             def __call__(self, bt: pa.Table) -> pa.Table:
-                ia, ib, est = [], [], []
-                for x, y in zip(bt.column("id_a").to_pylist(),
-                                bt.column("id_b").to_pylist()):
-                    sa, sb = self.sigs.get(x), self.sigs.get(y)
-                    if sa is None or sb is None:
-                        continue
-                    m = float(np.mean(sa == sb))
-                    if m >= threshold:
-                        ia.append(x)
-                        ib.append(y)
-                        est.append(m)
+                z = pa.array([], pa.int64())
+                if bt.num_rows == 0 or len(self.ids) == 0:
+                    return pa.Table.from_pydict(
+                        {"id_a": z, "id_b": z,
+                         "est_jaccard": pa.array([], pa.float64())})
+                pa_pos, a_ok = self._resolve(bt.column("id_a"))
+                pb_pos, b_ok = self._resolve(bt.column("id_b"))
+                eq = self.mat[pa_pos] == self.mat[pb_pos]
+                est = eq.sum(axis=1) / eq.shape[1]
+                keep = a_ok & b_ok & (est >= threshold)
+                ia = bt.column("id_a").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                ib = bt.column("id_b").combine_chunks().to_numpy(
+                    zero_copy_only=False)
                 return pa.Table.from_pydict(
-                    {"id_a": pa.array(ia, pa.int64()),
-                     "id_b": pa.array(ib, pa.int64()),
-                     "est_jaccard": pa.array(est, pa.float64())}
+                    {"id_a": pa.array(ia[keep], pa.int64()),
+                     "id_b": pa.array(ib[keep], pa.int64()),
+                     "est_jaccard": pa.array(est[keep], pa.float64())}
                 )
 
         from raydoc.util import cpu_cap
@@ -566,22 +651,28 @@ def minhash_lsh_pairs(
                                 {"sig_a": sig_t}, sig_t)
 
     def _estimate(bt: pa.Table) -> pa.Table:
-        ia, ib, est = [], [], []
-        for x, y, sa, sb in zip(
-            bt.column("id_a").to_pylist(), bt.column("id_b").to_pylist(),
-            bt.column("sig_a").to_pylist(), bt.column("sig_b").to_pylist(),
-        ):
-            if sa is None or sb is None:
-                continue
-            m = float(np.mean(np.asarray(sa, np.uint64)
-                              == np.asarray(sb, np.uint64)))
-            if m >= threshold:
-                ia.append(x)
-                ib.append(y)
-                est.append(m)
+        # r04 vectorized (was a per-pair Python loop): drop pairs with
+        # a missing side, decode both sig columns to matrices, one
+        # rowwise compare per batch
+        from raydoc.util import embedding_matrix
+
+        bt = bt.filter(pc.and_(pc.is_valid(bt.column("sig_a")),
+                               pc.is_valid(bt.column("sig_b"))))
+        if bt.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.Table.from_pydict(
+                {"id_a": z, "id_b": z,
+                 "est_jaccard": pa.array([], pa.float64())})
+        sa = embedding_matrix(bt.column("sig_a"), dtype=np.uint64)
+        sb = embedding_matrix(bt.column("sig_b"), dtype=np.uint64)
+        eq = sa == sb
+        est = eq.sum(axis=1) / eq.shape[1]
+        keep = est >= threshold
+        mask = pa.array(keep)
         return pa.Table.from_pydict(
-            {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
-             "est_jaccard": pa.array(est, pa.float64())}
+            {"id_a": bt.column("id_a").filter(mask).combine_chunks(),
+             "id_b": bt.column("id_b").filter(mask).combine_chunks(),
+             "est_jaccard": pa.array(est[keep], pa.float64())}
         )
 
     return withB.map_batches(_estimate, batch_format="pyarrow")
@@ -612,10 +703,19 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3):
+                  max_hamming: int = 3,
+                  max_bucket_docs: int | None = None):
     """Near-dup pairs by SimHash: band the 64-bit hash into 4 x 16-bit
     chunks (any pair within hamming<=3 shares at least one chunk), bucket
-    groupby per chunk, verify hamming distance within buckets."""
+    groupby per chunk, verify hamming distance within buckets.
+
+    ``max_bucket_docs`` (r04, opt-in like ``minhash_lsh_pairs``): a
+    mass-duplicated cluster puts its whole membership in one 16-bit
+    chunk bucket per band; buckets over the cap emit STAR pairs
+    (``bucketing.capped_pair_indices``) so the candidate set stays
+    linear — connectivity (and dedup victims) preserved for true-dup
+    runs, exact pair enumeration (what the pairs oracle checks) needs
+    ``None``."""
 
     def _bands(batch: pa.Table) -> pa.Table:
         batch = simhash_batch(batch, text_col)
@@ -647,7 +747,9 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # the xor'd signatures — no per-pair Python.
     def _pairs_bucket(t: pa.Table, starts: np.ndarray,
                       counts: np.ndarray) -> pa.Table:
-        from raydoc.ops.bucketing import clique_pair_indices, popcount_u64
+        from raydoc.ops.bucketing import (capped_pair_indices,
+                                          clique_pair_indices,
+                                          popcount_u64)
 
         z = pa.array([], pa.int64())
         if t.num_rows == 0:
@@ -657,7 +759,10 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             zero_copy_only=False)
         hs = t.column("simhash").combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.uint64)
-        ai, bi = clique_pair_indices(starts, counts)
+        if max_bucket_docs is not None:
+            ai, bi = capped_pair_indices(starts, counts, max_bucket_docs)
+        else:
+            ai, bi = clique_pair_indices(starts, counts)
         if len(ai) == 0:
             return pa.Table.from_pydict(
                 {"id_a": z, "id_b": z, "hamming": z})
@@ -805,65 +910,87 @@ def embedding_near_dup_pairs(
     emb_col: str = "embedding",
     threshold: float = 0.95,
     num_planes: int = 16,
+    max_bucket_docs: int | None = None,
 ):
     """Embedding-cosine near-dup via random-hyperplane bucketing.
 
     Sign-pattern of ``num_planes`` fixed random projections buckets the
     vectors (near-identical vectors land in the same bucket with high
-    probability); exact cosine is verified within buckets only. Output:
-    (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    probability; each vector lands in exactly ONE bucket, so no
+    cross-bucket pair dedup is needed); exact cosine is verified within
+    buckets only. Output: (id_a, id_b, cosine) with id_a < id_b,
+    cosine >= threshold.
+
+    r04 rewrite: the r03 path paid one Python ``map_groups`` call per
+    distinct sign pattern plus an O(L^2) Python pair loop inside it —
+    the same per-key dispatch pathology ``bucketing`` removed
+    everywhere else. Now the sign pattern packs into an int64 key
+    vectorized, pair generation is the shared segmented-index kernel
+    over a coarse-bucketed sort, and cosines come from ONE einsum over
+    the gathered pair rows. ``max_bucket_docs`` (opt-in, like
+    ``minhash_lsh_pairs``) star-pairs oversized buckets so a
+    mass-duplicated embedding cluster costs linear pairs instead of
+    C(L, 2).
     """
-    rng = np.random.RandomState(11)
+    from raydoc.ops.bucketing import (bucketed_sorted_apply,
+                                      capped_pair_indices,
+                                      clique_pair_indices)
+
+    if not 0 < num_planes < 63:
+        raise ValueError(f"num_planes must be in [1, 62], got {num_planes}")
     planes_by_dim: dict[int, np.ndarray] = {}
+    weights = np.uint64(1) << np.arange(num_planes, dtype=np.uint64)
 
     def _bucket(batch: pa.Table) -> pa.Table:
         from raydoc.util import embedding_matrix
 
-        embs = embedding_matrix(batch.column(emb_col))
-        dim = embs.shape[1] if embs.ndim == 2 else 0
-        if dim not in planes_by_dim:
-            planes_by_dim[dim] = np.random.RandomState(11).standard_normal(
-                (dim, num_planes)
-            )
-        signs = (embs @ planes_by_dim[dim]) > 0
-        keys = ["".join("1" if s else "0" for s in row) for row in signs]
-        return pa.Table.from_pydict(
-            {
-                id_col: batch.column(id_col),
-                "bucket": pa.array(keys, pa.string()),
-                emb_col: batch.column(emb_col),
-            }
-        )
+        out_cols = [batch.column(id_col), None, batch.column(emb_col)]
+        if batch.num_rows == 0:
+            out_cols[1] = pa.array([], pa.int64())
+        else:
+            embs = embedding_matrix(batch.column(emb_col))
+            dim = embs.shape[1] if embs.ndim == 2 else 0
+            if dim not in planes_by_dim:
+                planes_by_dim[dim] = np.random.RandomState(
+                    11).standard_normal((dim, num_planes))
+            signs = (embs @ planes_by_dim[dim]) > 0
+            keys = (signs.astype(np.uint64) @ weights).astype(np.int64)
+            out_cols[1] = pa.array(keys, pa.int64())
+        return pa.Table.from_arrays(
+            out_cols, names=[id_col, "bucket", emb_col])
 
-    def _verify(group: pa.Table) -> pa.Table:
+    def _pairs_bucket(t: pa.Table, starts: np.ndarray,
+                      counts: np.ndarray) -> pa.Table:
         from raydoc.util import embedding_matrix
 
-        ids = group.column(id_col).to_pylist()
-        embs = embedding_matrix(group.column(emb_col))
-        order = np.argsort(ids, kind="stable")
-        ids = [ids[i] for i in order]
-        embs = embs[order]
+        z = pa.array([], pa.int64())
+        empty = pa.Table.from_pydict(
+            {"id_a": z, "id_b": z, "cosine": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        if max_bucket_docs is not None:
+            ai, bi = capped_pair_indices(starts, counts, max_bucket_docs)
+        else:
+            ai, bi = clique_pair_indices(starts, counts)
+        if len(ai) == 0:
+            return empty
+        ids = t.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        embs = embedding_matrix(t.column(emb_col))
         norms = np.linalg.norm(embs, axis=1)
         norms[norms == 0] = 1.0
         unit = embs / norms[:, None]
-        sims = unit @ unit.T
-        ia, ib, cs = [], [], []
-        for x in range(len(ids) - 1):
-            for y in range(x + 1, len(ids)):
-                if ids[x] != ids[y] and sims[x, y] >= threshold:
-                    ia.append(ids[x])
-                    ib.append(ids[y])
-                    cs.append(float(sims[x, y]))
+        cs = np.einsum("ij,ij->i", unit[ai], unit[bi])
+        keep = (cs >= threshold) & (ids[ai] != ids[bi])
         return pa.Table.from_pydict(
-            {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
-             "cosine": pa.array(cs, pa.float64())}
-        )
+            {"id_a": pa.array(ids[ai][keep], pa.int64()),
+             "id_b": pa.array(ids[bi][keep], pa.int64()),
+             "cosine": pa.array(cs[keep], pa.float64())})
 
-    return (
-        ds.map_batches(_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_verify, batch_format="pyarrow")
-    )
+    return bucketed_sorted_apply(
+        ds.map_batches(_bucket, batch_format="pyarrow"),
+        ["bucket"], [("bucket", "ascending"), (id_col, "ascending")],
+        _pairs_bucket)
 
 
 def _doc_gram_hashes(text: str, k: int) -> np.ndarray:

