@@ -834,8 +834,34 @@ def ngram_jaccard_pairs(
                      broadcast_cap=_TEXT_BROADCAST_CAP)
     cand = candidates.select_columns(["id_a", "id_b"])
 
-    def _pair_jaccard(ta: str | None, tb: str | None) -> float:
-        return ngram_jaccard(ta or "", tb or "", k=shingle_k)
+    def _batch_jaccard(ids_a, ids_b, text_of) -> tuple[list, list, list]:
+        """Exact jaccard for a batch of id pairs, memoizing each doc's
+        shingle set per batch (r04): a doc that appears in many pairs
+        — every star pair of a capped mass-dup bucket shares its
+        center — tokenizes ONCE per batch instead of once per pair.
+        Semantics identical to ngram_jaccard (two empty sets -> 1.0)."""
+        grams: dict = {}
+
+        def _gs(i):
+            s = grams.get(i)
+            if s is None:
+                s = set(shingles(text_of(i) or "", shingle_k))
+                grams[i] = s
+            return s
+
+        ia, ib, js = [], [], []
+        for x, y in zip(ids_a, ids_b):
+            sa, sb = _gs(x), _gs(y)
+            if not sa and not sb:
+                j = 1.0
+            else:
+                inter = len(sa & sb)
+                j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                ia.append(x)
+                ib.append(y)
+                js.append(j)
+        return ia, ib, js
 
     if n_cand <= _TEXT_BROADCAST_CAP:
         # fast path: candidate TEXTS fit the object store — workers
@@ -857,14 +883,10 @@ def ngram_jaccard_pairs(
                         self.texts[i] = x
 
             def __call__(self, b: pa.Table) -> pa.Table:
-                ia, ib, js = [], [], []
-                for x, y in zip(b.column("id_a").to_pylist(),
-                                b.column("id_b").to_pylist()):
-                    j = _pair_jaccard(self.texts.get(x), self.texts.get(y))
-                    if j >= threshold:
-                        ia.append(x)
-                        ib.append(y)
-                        js.append(j)
+                ia, ib, js = _batch_jaccard(
+                    b.column("id_a").to_pylist(),
+                    b.column("id_b").to_pylist(),
+                    self.texts.get)
                 return pa.Table.from_pydict(
                     {"id_a": pa.array(ia, pa.int64()),
                      "id_b": pa.array(ib, pa.int64()),
@@ -885,17 +907,18 @@ def ngram_jaccard_pairs(
                                 {f"{text_col}_a": txt_t}, txt_t)
 
     def _verify(b: pa.Table) -> pa.Table:
-        ia, ib, js = [], [], []
-        for a, bb, ta, tb in zip(
+        # texts ride the batch; the per-batch memoization keys on doc
+        # id so a doc repeated across the batch's pairs tokenizes once
+        texts = {}
+        for i, t in zip(b.column("id_a").to_pylist(),
+                        b.column(f"{text_col}_a").to_pylist()):
+            texts[i] = t
+        for i, t in zip(b.column("id_b").to_pylist(),
+                        b.column(f"{text_col}_b").to_pylist()):
+            texts[i] = t
+        ia, ib, js = _batch_jaccard(
             b.column("id_a").to_pylist(), b.column("id_b").to_pylist(),
-            b.column(f"{text_col}_a").to_pylist(),
-            b.column(f"{text_col}_b").to_pylist(),
-        ):
-            j = _pair_jaccard(ta, tb)
-            if j >= threshold:
-                ia.append(a)
-                ib.append(bb)
-                js.append(j)
+            texts.get)
         return pa.Table.from_pydict(
             {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
              "jaccard": pa.array(js, pa.float64())}

@@ -605,3 +605,60 @@ class TestCappedPairIndices:
         out = kept.to_pandas()
         # the whole near-dup cluster collapses to the min id
         assert stats["n_kept"] == 1 and list(out["doc_id"]) == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJaccardMemoization:
+    """r04: ngram_jaccard_pairs memoizes shingle sets per batch — the
+    pair values must stay identical to the scalar ngram_jaccard."""
+
+    def _docs(self):
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau")
+        return {
+            0: base, 1: base.replace("delta", "digamma"),
+            2: base + " upsilon phi chi", 3: "", 4: None,
+            5: "tiny", 6: base,
+        }
+
+    def test_pairs_match_scalar(self):
+        import ray.data as rd
+
+        from raydoc.ops.dedup import ngram_jaccard, ngram_jaccard_pairs
+
+        docs = self._docs()
+        t = pa.table({
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[i] for i in sorted(docs)], pa.string()),
+        })
+        got = ngram_jaccard_pairs(
+            rd.from_arrow(t), threshold=0.3,
+            candidate_threshold=0.1).to_pandas()
+        for _, r in got.iterrows():
+            want = ngram_jaccard(docs[r["id_a"]] or "",
+                                 docs[r["id_b"]] or "", k=5)
+            assert abs(r["jaccard"] - want) < 1e-12
+        # the exact-dup pair (0, 6) must be present at jaccard 1.0
+        assert ((got["id_a"] == 0) & (got["id_b"] == 6)).any()
+
+    def test_copartition_path_matches(self, monkeypatch):
+        import ray.data as rd
+
+        import raydoc.ops.dedup as dd
+
+        docs = self._docs()
+        t = pa.table({
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[i] for i in sorted(docs)], pa.string()),
+        })
+        want = dd.ngram_jaccard_pairs(
+            rd.from_arrow(t), threshold=0.3,
+            candidate_threshold=0.1).to_pandas()
+        monkeypatch.setattr(dd, "_BROADCAST_CAP", 0)
+        monkeypatch.setattr(dd, "_TEXT_BROADCAST_CAP", 0)
+        got = dd.ngram_jaccard_pairs(
+            rd.from_arrow(t), threshold=0.3,
+            candidate_threshold=0.1).to_pandas()
+        key = lambda df: sorted(zip(df["id_a"], df["id_b"],
+                                    df["jaccard"].round(12)))
+        assert key(got) == key(want) and len(got) >= 1
