@@ -276,6 +276,54 @@ def capped_pair_indices(starts: np.ndarray, counts: np.ndarray,
     return (np.concatenate([ai, centers]), np.concatenate([bi, others]))
 
 
+# pair-expansion gathers run in fixed-size chunks with PREALLOCATED
+# buffers. The naive form — `mat[ai]` over hundreds of thousands of
+# pair indices — allocates a fresh ~0.5 GB array per call, and under
+# full-width concurrency (32 tasks each faulting fresh mmap pages) one
+# such gather was MEASURED at 103 s/task vs 0.05 s standalone; 16k-row
+# chunks reusing one buffer bring it to ~1 s/task. The chunk size keeps
+# each buffer ~8 MB (cache-friendly, small-alloc territory).
+_PAIR_CHUNK = 16384
+
+
+def pair_cosine(unit: np.ndarray, ai: np.ndarray,
+                bi: np.ndarray) -> np.ndarray:
+    """Rowwise dot products unit[ai] . unit[bi] (cosines when rows are
+    unit-normalized), chunked-preallocated (see _PAIR_CHUNK note)."""
+    n, d = len(ai), unit.shape[1]
+    out = np.empty(n)
+    a = np.empty((min(_PAIR_CHUNK, n), d), dtype=unit.dtype)
+    b = np.empty_like(a)
+    m_ = np.empty_like(a)
+    for off in range(0, n, _PAIR_CHUNK):
+        m = min(_PAIR_CHUNK, n - off)
+        np.take(unit, ai[off:off + m], axis=0, out=a[:m])
+        np.take(unit, bi[off:off + m], axis=0, out=b[:m])
+        np.multiply(a[:m], b[:m], out=m_[:m])
+        out[off:off + m] = m_[:m].sum(axis=1)
+    return out
+
+
+def pair_match_fraction(sigs: np.ndarray, ai: np.ndarray,
+                        bi: np.ndarray) -> np.ndarray:
+    """Per-pair fraction of equal positions of sigs[ai] vs sigs[bi]
+    (the MinHash jaccard estimate), chunked-preallocated (see
+    _PAIR_CHUNK note). Integer match counts divide exactly, so values
+    are bit-identical to a whole-array bool mean."""
+    n, d = len(ai), sigs.shape[1]
+    out = np.empty(n)
+    a = np.empty((min(_PAIR_CHUNK, n), d), dtype=sigs.dtype)
+    b = np.empty_like(a)
+    e = np.empty(a.shape, dtype=bool)
+    for off in range(0, n, _PAIR_CHUNK):
+        m = min(_PAIR_CHUNK, n - off)
+        np.take(sigs, ai[off:off + m], axis=0, out=a[:m])
+        np.take(sigs, bi[off:off + m], axis=0, out=b[:m])
+        np.equal(a[:m], b[:m], out=e[:m])
+        out[off:off + m] = e[:m].sum(axis=1) / d
+    return out
+
+
 def popcount_u64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (SWAR) — hamming distances over
     simhash xors without a Python loop."""

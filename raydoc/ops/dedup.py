@@ -365,12 +365,12 @@ def _minhash_pairs_carry(ds, text_col, id_col, a, b, bands, rows_per_band,
     # segmented computation, estimates from matrix compares. r04:
     # pairs are deduped by doc id BEFORE estimating (repeats of a pair
     # whose band keys collided into the same coarse bucket estimate
-    # once), and the estimate gather runs in fixed-size chunks:
-    # ``sigs[ai]`` over P pairs materializes a (P, num_perm) matrix,
-    # and an unchunked gather on a hot bucket was MEASURED at 11.3 GB
-    # peak heap / 228 s in one task at 100k mass-dup docs.
-    _CHUNK = 1 << 19
-
+    # once), and the estimate runs through the chunked-preallocated
+    # gather (bucketing.pair_match_fraction): an unchunked ``sigs[ai]``
+    # gather on a hot bucket was MEASURED at 11.3 GiB peak heap /
+    # 228 s in one task at 100k mass-dup docs, and fresh ~0.5 GB
+    # allocations under 32-way concurrency page-fault-storm to
+    # 103 s/task on their own.
     def _pairs_bucket(t: pa.Table, starts: np.ndarray,
                       counts: np.ndarray) -> pa.Table:
         from raydoc.ops.bucketing import clique_pair_indices
@@ -405,22 +405,14 @@ def _minhash_pairs_carry(ds, text_col, id_col, a, b, bands, rows_per_band,
             ([True], (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])))
         ai, bi, ia, ib = ai[first], bi[first], ia[first], ib[first]
         sigs = embedding_matrix(t.column("sig"), dtype=np.uint64)
-        out_a, out_b, out_e = [], [], []
-        for off in range(0, len(ai), _CHUNK):
-            s = slice(off, off + _CHUNK)
-            eq = sigs[ai[s]] == sigs[bi[s]]
-            # integer sum then one divide: numpy's bool .mean(axis=1)
-            # float-accumulates per element (measured 17x slower), values
-            # identical (sum <= num_perm is float64-exact)
-            est = eq.sum(axis=1) / eq.shape[1]
-            m = est >= threshold
-            out_a.append(ia[s][m])
-            out_b.append(ib[s][m])
-            out_e.append(est[m])
+        from raydoc.ops.bucketing import pair_match_fraction
+
+        est = pair_match_fraction(sigs, ai, bi)
+        m = est >= threshold
         return pa.Table.from_pydict(
-            {"id_a": pa.array(np.concatenate(out_a), pa.int64()),
-             "id_b": pa.array(np.concatenate(out_b), pa.int64()),
-             "est_jaccard": pa.array(np.concatenate(out_e), pa.float64())}
+            {"id_a": pa.array(ia[m], pa.int64()),
+             "id_b": pa.array(ib[m], pa.int64()),
+             "est_jaccard": pa.array(est[m], pa.float64())}
         )
 
     from raydoc.ops.bucketing import bucketed_sorted_apply
@@ -621,10 +613,11 @@ def minhash_lsh_pairs(
                     return pa.Table.from_pydict(
                         {"id_a": z, "id_b": z,
                          "est_jaccard": pa.array([], pa.float64())})
+                from raydoc.ops.bucketing import pair_match_fraction
+
                 pa_pos, a_ok = self._resolve(bt.column("id_a"))
                 pb_pos, b_ok = self._resolve(bt.column("id_b"))
-                eq = self.mat[pa_pos] == self.mat[pb_pos]
-                est = eq.sum(axis=1) / eq.shape[1]
+                est = pair_match_fraction(self.mat, pa_pos, pb_pos)
                 keep = a_ok & b_ok & (est >= threshold)
                 ia = bt.column("id_a").combine_chunks().to_numpy(
                     zero_copy_only=False)
@@ -957,7 +950,7 @@ def embedding_near_dup_pairs(
     """
     from raydoc.ops.bucketing import (bucketed_sorted_apply,
                                       capped_pair_indices,
-                                      clique_pair_indices)
+                                      clique_pair_indices, pair_cosine)
 
     if not 0 < num_planes < 63:
         raise ValueError(f"num_planes must be in [1, 62], got {num_planes}")
@@ -1003,7 +996,10 @@ def embedding_near_dup_pairs(
         norms = np.linalg.norm(embs, axis=1)
         norms[norms == 0] = 1.0
         unit = embs / norms[:, None]
-        cs = np.einsum("ij,ij->i", unit[ai], unit[bi])
+        # chunked-preallocated pair gather (bucketing._PAIR_CHUNK note):
+        # a fresh (#pairs, D) gather was measured at 66 s/task under
+        # 32-way concurrency vs ~1 s chunked
+        cs = pair_cosine(unit, ai, bi)
         keep = (cs >= threshold) & (ids[ai] != ids[bi])
         return pa.Table.from_pydict(
             {"id_a": pa.array(ids[ai][keep], pa.int64()),
