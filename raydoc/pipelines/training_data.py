@@ -33,7 +33,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["curate_documents"]
+__all__ = ["curate_documents", "web_to_training_shards"]
 
 
 def curate_documents(
@@ -181,3 +181,151 @@ def _span_dedup_stage(kept, text_col: str, id_col: str, seg_words: int):
         return token_count_batch(out, text_col)
 
     return sd.map_batches(_finish, batch_format="pyarrow")
+
+
+def web_to_training_shards(
+    fetches,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    token_budget: int = 256,
+    seq_budget: int = 2048,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    min_tokens: int = 8,
+    max_punct_ratio: float = 0.3,
+    near_dup_threshold: float = 0.7,
+    near_dup_bucket_cap: int | None = 512,
+    checkpoint_dir: str | None = None,
+    extract_batch_size: int = 64,
+    extract_concurrency=None,
+):
+    """Raw fetch records -> packed, split training shards, end to end:
+
+        fetches(url, fetch_ts, html)
+          -> url_dedup            # canonicalize + latest recrawl wins
+          -> ExtractStage         # html -> text, html dropped in-stage
+          -> status gate          # only ok extractions continue
+          -> curate_documents     # quality gates + exact + near dedup
+          -> hash_split           # per-row md5 train/val/test
+          -> pack_sequences       # token-budget pack ids per split
+          -> out_dir/split=*/     # partitioned Parquet, one dir/split
+
+    The composition story of the whole engine (ops/url.py,
+    extract/html_extract.py, this module, ops/sampling.py,
+    ops/window.py) — what a CC-style tier-extraction job runs as ONE
+    call. All-to-alls: the canon-url shuffle, the exact-dedup groupby,
+    the LSH bucket shuffle, and the pack sort — each over slim keyed
+    rows, never raw html (dropped inside the extract stage).
+
+    ``doc_id`` is a stable 63-bit hash of the canonical URL (the dedup
+    library keys pairs as int64). Collisions are ~n^2/2^64 — at 10^9
+    docs a ~3% chance that ONE doc pair shares an id and one of the
+    two is dropped as a duplicate; acceptable for training-corpus
+    curation (never use it as a storage key).
+
+    Resume points, documented rather than automatic: the extracted
+    corpus checkpoint (``checkpoint_dir``; object-store materialization
+    otherwise — the three curation consumers would re-run extraction)
+    and the per-split output dirs. The flagship extract pipeline owns
+    the finer-grained per-partition manifest machinery
+    (extract_pipeline.run_extract_pipeline); this composition favors
+    one linear pass.
+
+    Returns the curation stats dict extended with fetch/extract/split
+    counts (the split tally is ONE small aggregate over the final
+    stream, executed by the write).
+    """
+    import ray.data
+
+    from raydoc.hashing import stable_u64
+    from raydoc.ops.sampling import hash_split
+    from raydoc.ops.url import url_dedup
+    from raydoc.ops.window import pack_sequences
+    from raydoc.stages.extract_stage import ExtractStage
+
+    latest = url_dedup(fetches, url_col=url_col, ts_col=ts_col)
+
+    def _to_pages(b: pa.Table) -> pa.Table:
+        # the canonical URL becomes THE url; html rides to the extractor
+        return pa.table({"url": b.column("canon_url"),
+                         "html": b.column("html")})
+
+    pages = latest.map_batches(_to_pages, batch_format="pyarrow")
+    if extract_concurrency is not None:  # bounded actor pool
+        extracted = pages.map_batches(
+            ExtractStage, batch_format="pyarrow",
+            batch_size=extract_batch_size,
+            fn_constructor_kwargs={"token_budget": token_budget,
+                                   "with_chunks": False},
+            concurrency=extract_concurrency,
+        )
+    else:  # task pool, stage cached per worker (the flagship default)
+        from raydoc.pipelines.extract_pipeline import extract_map_fn
+
+        extracted = pages.map_batches(
+            extract_map_fn(token_budget=token_budget, with_chunks=False),
+            batch_format="pyarrow", batch_size=extract_batch_size)
+
+    def _ok_docs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("status"), pa.scalar("ok")))
+        ids = pa.array(
+            [stable_u64(u) & 0x7FFFFFFFFFFFFFFF
+             for u in b.column("url").to_pylist()], pa.int64())
+        return pa.table({"doc_id": ids, "url": b.column("url"),
+                         "text": b.column("text")})
+
+    docs = extracted.map_batches(_ok_docs, batch_format="pyarrow")
+    # one materialization/checkpoint: curate_documents' n_input count
+    # plus its dedup consumer would otherwise re-run extraction
+    if checkpoint_dir:
+        docs.write_parquet(checkpoint_dir)
+        docs = ray.data.read_parquet(checkpoint_dir)
+    else:
+        docs = docs.materialize()
+    n_extract_ok = docs.count()
+
+    kept, stats = curate_documents(
+        docs, text_col="text", id_col="doc_id",
+        min_tokens=min_tokens, max_punct_ratio=max_punct_ratio,
+        near_dup_threshold=near_dup_threshold,
+        near_dup_bucket_cap=near_dup_bucket_cap)
+
+    split = hash_split(kept, key_col="doc_id",
+                       val_pct=val_pct, test_pct=test_pct)
+    packed = pack_sequences(split, token_col="n_tokens",
+                            budget=seq_budget, order_cols=["doc_id"],
+                            key_col="split")
+
+    import os
+
+    # one materialization before the three split writes — each write
+    # (and tally) would otherwise re-run the gate/join/pack lineage
+    packed = packed.materialize()
+    tallies: dict[str, int] = {}
+    packs: dict[str, int] = {}
+    for name in ("train", "val", "test"):
+        part = packed.map_batches(
+            lambda b, nm=name: b.filter(pc.equal(b.column("split"),
+                                                 pa.scalar(nm))),
+            batch_format="pyarrow")
+        sdir = os.path.join(out_dir, f"split={name}")
+        part.write_parquet(sdir)
+        import glob
+
+        if glob.glob(os.path.join(sdir, "*.parquet")):
+            written = ray.data.read_parquet(sdir)
+            tallies[name] = written.count()
+            packs[name] = (int(written.max("pack_id") or 0) + 1
+                           if tallies[name] else 0)
+        else:  # an empty split writes no files
+            tallies[name] = packs[name] = 0
+
+    stats.update({
+        "n_extract_ok": n_extract_ok,
+        "n_train": tallies["train"], "n_val": tallies["val"],
+        "n_test": tallies["test"],
+        "n_packs_train": packs["train"], "n_packs_val": packs["val"],
+        "n_packs_test": packs["test"],
+    })
+    return stats

@@ -662,3 +662,97 @@ class TestJaccardMemoization:
         key = lambda df: sorted(zip(df["id_a"], df["id_b"],
                                     df["jaccard"].round(12)))
         assert key(got) == key(want) and len(got) >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWebToTrainingShards:
+    """r04: the end-to-end composition — fetch records with dirty
+    recrawls and planted exact dups through url_dedup -> extract ->
+    curate -> split -> pack -> partitioned shards."""
+
+    def test_end_to_end(self, tmp_path):
+        import ray.data as rd
+
+        from raydoc.corpus import gen_row
+        from raydoc.pipelines.training_data import web_to_training_shards
+
+        n = 60
+        rows = []
+        for i in range(n):
+            r = gen_row(i)
+            # skip the corpus's pathological pages: this test asserts
+            # exact flow counts, so every doc must extract ok
+            if r["html"] and i % 97 != 0:
+                rows.append(r)
+        recs = []
+        for k, r in enumerate(rows):
+            # dirty original + a later recrawl of the SAME canonical
+            # url: only the HOST is case-folded by canonicalization,
+            # so mangle just that part (plus tracking junk)
+            host, _, path = r["url"][len("https://"):].partition("/")
+            dirty = (f"https://{host.upper()}/{path}"
+                     "?utm_source=x#frag")
+            recs.append({"url": dirty, "fetch_ts": 2 * k, "html": r["html"]})
+            recs.append({"url": r["url"], "fetch_ts": 2 * k + 1,
+                         "html": r["html"]})
+        # planted exact-dup content pair: two DIFFERENT canon urls, same
+        # html as rows[0] -> curation must dedupe one of them
+        recs.append({"url": rows[0]["url"] + "-copy", "fetch_ts": 10**6,
+                     "html": rows[0]["html"]})
+        fetches = rd.from_arrow(pa.Table.from_pylist(recs)).repartition(4)
+
+        out = str(tmp_path / "shards")
+        stats = web_to_training_shards(
+            fetches, out, near_dup_threshold=1.01, min_tokens=1,
+            max_punct_ratio=1.0, seq_budget=512)
+
+        # recrawls collapsed: one doc per canonical url (+1 planted)
+        assert stats["n_extract_ok"] == len(rows) + 1
+        # the planted same-content doc was removed by exact dedup
+        assert stats["n_after_exact_dedup"] == stats["n_input"] - 1
+        # every kept doc landed in exactly one split
+        assert (stats["n_train"] + stats["n_val"] + stats["n_test"]
+                == stats["n_kept"])
+        assert stats["n_train"] > 0 and stats["n_packs_train"] >= 1
+
+        # shards are readable and pack ids respect the budget shape
+        import ray.data
+
+        tr = ray.data.read_parquet(f"{out}/split=train").to_pandas()
+        assert set(tr["split"]) == {"train"}
+        g = tr.groupby("pack_id")["n_tokens"].sum()
+        # offset packing: every pack except possibly the last is >= 1
+        # doc and bounded by budget + max doc - 1
+        assert (g <= 512 + tr["n_tokens"].max() - 1).all()
+
+    def test_split_determinism(self, tmp_path):
+        import ray.data as rd
+
+        from raydoc.corpus import gen_row
+        from raydoc.pipelines.training_data import web_to_training_shards
+
+        rows = [gen_row(i) for i in range(25, 45)
+                if gen_row(i)["html"] and i % 97 != 0]
+        recs = [{"url": r["url"], "fetch_ts": k, "html": r["html"]}
+                for k, r in enumerate(rows)]
+        t = pa.Table.from_pylist(recs)
+        outs = []
+        for rep, parts in ((1, 2), (2, 7)):
+            out = str(tmp_path / f"s{rep}")
+            web_to_training_shards(
+                rd.from_arrow(t).repartition(parts), out,
+                near_dup_threshold=1.01, min_tokens=1,
+                max_punct_ratio=1.0)
+            import glob as g2
+
+            import pandas as pd
+
+            frames = []
+            for name in ("train", "val", "test"):
+                if g2.glob(f"{out}/split={name}/*.parquet"):
+                    frames.append(rd.read_parquet(
+                        f"{out}/split={name}").to_pandas())
+            df = pd.concat(frames).sort_values("doc_id").reset_index(
+                drop=True)
+            outs.append(df[["doc_id", "split", "pack_id"]])
+        pd.testing.assert_frame_equal(outs[0], outs[1])
