@@ -2896,6 +2896,89 @@ def flagship_chunks_hash(sf_dir: str):
          "chunks_hash": pa.array([format(acc, "016x")], pa.string())})
 
 
+def web_shards_summary(sf_dir: str):
+    """Golden-hash oracle for the END-TO-END composition
+    (training_data.web_to_training_shards, r04): the fixed
+    _FLAGSHIP_CAP pages are each fetched TWICE (dirty original —
+    upper-cased host, tracking params, fragment — then a later clean
+    recrawl that must win) and run through url_dedup -> extract ->
+    curate -> hash_split -> pack_sequences -> per-split Parquet. Every
+    stage is deterministic (canonicalization, extraction, stable_u64
+    doc ids, md5 splits, offset packing), so one summary row per split
+    — doc count, token sum, pack count, XOR of per-row
+    md5(doc_id:pack_id:n_tokens) — is a constant, recorded as a
+    literal-SELECT oracle (verified identical at sf0.001 and sf0.01)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from raydoc.pipelines.training_data import web_to_training_shards
+
+    pages = _ensure_capped_pages()
+
+    def _to_fetches(b: pa.Table) -> pa.Table:
+        urls = b.column("url").combine_chunks()
+        n = len(urls)
+        hp = pc.utf8_replace_slice(urls, 0, len("https://"), "")
+        parts = pc.split_pattern(hp, "/", max_splits=1)
+        hosts = pc.list_element(parts, 0)
+        paths = pc.list_element(parts, 1)
+        dirty = pc.binary_join_element_wise(
+            pa.array(["https://"] * n), pc.utf8_upper(hosts),
+            pa.array(["/"] * n), paths,
+            pa.array(["?utm_source=x#frag"] * n), pa.scalar(""))
+        html = b.column("html").combine_chunks()
+        return pa.table({
+            "url": pa.concat_arrays([dirty, urls]),
+            # per canonical url only ITS two rows order: dirty first
+            "fetch_ts": pa.array([0] * n + [1] * n, pa.int64()),
+            "html": pa.concat_arrays([html, html]),
+        })
+
+    fetches = rd.read_parquet(pages, columns=["url", "html"]) \
+        .map_batches(_to_fetches, batch_format="pyarrow")
+    out = tempfile.mkdtemp(prefix="raydoc_webshards_")
+    try:
+        web_to_training_shards(fetches, out)
+        rows = {"split": [], "n_docs": [], "sum_tokens": [],
+                "n_packs": [], "row_hash": []}
+        for name in ("test", "train", "val"):
+            sdir = os.path.join(out, f"split={name}")
+            if not glob.glob(os.path.join(sdir, "*.parquet")):
+                continue
+            import pyarrow.parquet as pq
+
+            t = pa.concat_tables([pq.read_table(f, columns=[
+                "doc_id", "pack_id", "n_tokens"])
+                for f in sorted(glob.glob(
+                    os.path.join(sdir, "*.parquet")))])
+            acc = 0
+            for d, p, k in zip(t.column("doc_id").to_pylist(),
+                               t.column("pack_id").to_pylist(),
+                               t.column("n_tokens").to_pylist()):
+                acc ^= int(hashlib.md5(
+                    f"{d}:{p}:{k}".encode()).hexdigest()[:16], 16)
+            rows["split"].append(name)
+            rows["n_docs"].append(t.num_rows)
+            rows["sum_tokens"].append(
+                int(pc.sum(t.column("n_tokens")).as_py() or 0))
+            rows["n_packs"].append(
+                int(pc.max(t.column("pack_id")).as_py()) + 1)
+            rows["row_hash"].append(format(acc, "016x"))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return pa.Table.from_pydict(
+        {"split": pa.array(rows["split"], pa.string()),
+         "n_docs": pa.array(rows["n_docs"], pa.int64()),
+         "sum_tokens": pa.array(rows["sum_tokens"], pa.int64()),
+         "n_packs": pa.array(rows["n_packs"], pa.int64()),
+         "row_hash": pa.array(rows["row_hash"], pa.string())})
+
+
 def flagship_extract(sf_dir: str):
     """The north-star pipeline over the synthetic pages corpus."""
     from raydoc.pipelines.extract_pipeline import extract_dataset
@@ -2989,6 +3072,10 @@ QUERIES = {
     # golden-hash oracle over the extracted text itself (r03): the
     # flagship's correctness row becomes a hash match, not rows-only
     "flagship_text_hash": flagship_text_hash,
+    # golden-hash oracle over the END-TO-END composition (r04):
+    # fetch records -> url_dedup -> extract -> curate -> split -> pack
+    # -> shards, one constant summary row per split
+    "web_shards_summary": web_shards_summary,
     "embeddings_cosine_pairs": embeddings_cosine_pairs,
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "embeddings_knn_lsh": embeddings_knn_lsh,
@@ -3050,8 +3137,11 @@ QUERIES = {
     "asof_events_orders": asof_events_orders,
     "events_sessionize": events_sessionize,
     "events_hourly": events_hourly,
-    "events_running_sum": events_running_sum,
     # ---- driver recording window (~50 entries) ends around here ----
+    # events_running_sum displaced in r04 by web_shards_summary: it is
+    # hash-green in the r01, r02 AND r03 driver artifacts and stays in
+    # the committed full-registry artifact.
+    "events_running_sum": events_running_sum,
     # q12 displaced in r03 by flagship_text_hash: it has hash-green
     # rows in CORRECTNESS_r01.json AND _r02.json and stays in the
     # committed full-registry artifact. docs_top_terms/events_user_ndv
@@ -3099,6 +3189,19 @@ ORACLES = {
     "flagship_chunks_hash": (
         "SELECT CAST(7356 AS BIGINT) AS n_chunks, "
         "'8241292369814e61' AS chunks_hash"
+    ),
+    # r04: golden constants for the end-to-end composition (verified
+    # identical at sf0.001 and sf0.01 — the capped corpus makes the
+    # whole fetch->shards run scale-independent)
+    "web_shards_summary": (
+        "SELECT * FROM (VALUES "
+        "('test',  CAST(99 AS BIGINT), CAST(36829 AS BIGINT), "
+        " CAST(18 AS BIGINT), 'bf528bc8354fa5ec'), "
+        "('train', CAST(1777 AS BIGINT), CAST(633201 AS BIGINT), "
+        " CAST(310 AS BIGINT), '09a1a4afa95654df'), "
+        "('val',   CAST(121 AS BIGINT), CAST(41016 AS BIGINT), "
+        " CAST(20 AS BIGINT), '74b5bcf105b9c611')"
+        ") AS t(split, n_docs, sum_tokens, n_packs, row_hash)"
     ),
     "q1_pricing_summary": Q1_SQL,
     "q3_revenue_topk": Q3_SQL,

@@ -31,6 +31,9 @@ NEW_QUERIES = [
     "events_ndv_sketch",
     "events_quantile_sketch",
     "flagship_chunks_hash",
+    # r04: the end-to-end composition's golden summary (fetch records
+    # -> url_dedup -> extract -> curate -> split -> pack -> shards)
+    "web_shards_summary",
 ]
 
 
