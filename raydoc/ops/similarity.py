@@ -250,15 +250,38 @@ def cosine_pairs_exact(
             )
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            z = pa.array([], pa.int64())
+            empty = pa.Table.from_pydict(
+                {"id_a": z, "id_b": z,
+                 "cosine": pa.array([], pa.float64())})
+            if batch.num_rows == 0:
+                return empty
             bids = batch.column(id_col).to_numpy(zero_copy_only=False)
             bemb = _unit(embedding_matrix(batch.column(emb_col)))
-            sims = bemb @ self.mat.T  # (B, N)
-            hit = (sims >= threshold) & (bids[:, None] < self.ids[None, :])
-            bi, ci = np.nonzero(hit)
+            n = len(self.ids)
+            if n == 0:
+                return empty
+            # row-chunked matmul into a REUSED buffer: a fresh (B, N)
+            # sims allocation is the concurrency page-fault pathology
+            # bucketing._PAIR_CHUNK documents — cap the live buffer at
+            # ~64 MB regardless of corpus size
+            rows = max(1, min(len(bids), (8 << 20) // max(n, 1)))
+            sims_buf = np.empty((rows, n))
+            out_a, out_b, out_c = [], [], []
+            for off in range(0, len(bids), rows):
+                m = min(rows, len(bids) - off)
+                np.matmul(bemb[off:off + m], self.mat.T,
+                          out=sims_buf[:m])
+                hit = ((sims_buf[:m] >= threshold)
+                       & (bids[off:off + m, None] < self.ids[None, :]))
+                bi, ci = np.nonzero(hit)
+                out_a.append(bids[off + bi])
+                out_b.append(self.ids[ci])
+                out_c.append(sims_buf[:m][bi, ci])
             return pa.Table.from_pydict(
-                {"id_a": pa.array(bids[bi], pa.int64()),
-                 "id_b": pa.array(self.ids[ci], pa.int64()),
-                 "cosine": pa.array(sims[bi, ci], pa.float64())}
+                {"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                 "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                 "cosine": pa.array(np.concatenate(out_c), pa.float64())}
             )
 
     return ds.map_batches(
