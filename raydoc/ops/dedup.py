@@ -793,6 +793,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidate_threshold: float = 0.35,
     shingle_k: int = 5,
+    max_bucket_docs: int | None = None,
 ):
     """EXACT n-gram Jaccard near-dup pairs, LSH-pruned.
 
@@ -808,12 +809,18 @@ def ngram_jaccard_pairs(
     distinct-key shuffle join otherwise — never a driver-side set), so
     the exchange never moves the full text corpus. Output: (id_a, id_b,
     jaccard) with id_a < id_b, jaccard >= threshold.
+
+    ``max_bucket_docs`` passes through to the candidate LSH stage (see
+    minhash_lsh_pairs): opt-in star-pairing for mass-dup band buckets;
+    ``None`` (default) keeps exact pair enumeration — what the
+    docs_jaccard_pairs oracle checks.
     """
     import ray
 
     candidates = minhash_lsh_pairs(
         ds, text_col, id_col, shingle_k=shingle_k,
         threshold=candidate_threshold,
+        max_bucket_docs=max_bucket_docs,
     ).materialize()  # small vs corpus; reused for ids + both attaches
 
     from raydoc.ops.relational import semi_join
