@@ -756,3 +756,45 @@ class TestWebToTrainingShards:
                 drop=True)
             outs.append(df[["doc_id", "split", "pack_id"]])
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestPairGatherHelpers:
+    """r04: chunked-preallocated pair gathers must be value-identical
+    to the naive whole-array forms they replace (the naive forms were
+    measured page-fault-storming at 103 s/task under 32-way
+    concurrency — see bucketing._PAIR_CHUNK)."""
+
+    def test_pair_cosine_matches_naive(self):
+        from raydoc.ops.bucketing import _PAIR_CHUNK, pair_cosine
+
+        rng = np.random.default_rng(11)
+        unit = rng.standard_normal((5000, 16))
+        n = _PAIR_CHUNK + 1234  # force >1 chunk
+        ai = rng.integers(0, 5000, n)
+        bi = rng.integers(0, 5000, n)
+        got = pair_cosine(unit, ai, bi)
+        # same reduction as the helper (elementwise product, row sum) —
+        # einsum's dot accumulation differs in the last ulp
+        want = (unit[ai] * unit[bi]).sum(axis=1)
+        assert np.array_equal(got, want)
+
+    def test_pair_match_fraction_matches_naive(self):
+        from raydoc.ops.bucketing import (_PAIR_CHUNK,
+                                          pair_match_fraction)
+
+        rng = np.random.default_rng(13)
+        sigs = rng.integers(0, 4, (3000, 32)).astype(np.uint64)
+        n = _PAIR_CHUNK + 77
+        ai = rng.integers(0, 3000, n)
+        bi = rng.integers(0, 3000, n)
+        got = pair_match_fraction(sigs, ai, bi)
+        want = (sigs[ai] == sigs[bi]).mean(axis=1)
+        assert np.array_equal(got, want)
+
+    def test_empty_pairs(self):
+        from raydoc.ops.bucketing import pair_cosine, pair_match_fraction
+
+        z = np.empty(0, dtype=np.int64)
+        assert len(pair_cosine(np.zeros((4, 8)), z, z)) == 0
+        assert len(pair_match_fraction(
+            np.zeros((4, 8), dtype=np.uint64), z, z)) == 0
