@@ -12,6 +12,9 @@ data-parallel:
 * ``knn_lsh`` — scale path: random-hyperplane sign buckets prune the
   corpus; only same-bucket (or near-bucket) vectors are scored. Recall
   <1 by design; tested against the brute-force oracle.
+* ``ann_join`` — dataset-to-dataset IVF top-k join (r04): the query
+  side is a Dataset, not a driver matrix — the form that scales when
+  queries are corpus-sized (self-retrieval, doc-to-doc linking).
 """
 
 from __future__ import annotations
@@ -21,7 +24,8 @@ import pyarrow as pa
 
 from raydoc.util import embedding_matrix
 
-__all__ = ["knn_brute_force", "knn_lsh", "knn_ivf", "cosine_pairs_exact"]
+__all__ = ["knn_brute_force", "knn_lsh", "knn_ivf", "ann_join",
+           "cosine_pairs_exact"]
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -174,16 +178,8 @@ def knn_ivf(
     qmat = _unit(np.asarray(queries, dtype=np.float64))
     train = _unit(np.asarray(train_sample, dtype=np.float64)) \
         if train_sample is not None else qmat
-    rng = np.random.RandomState(seed)
-    n_cells = min(n_cells, len(train))
-    centroids = train[rng.choice(len(train), size=n_cells, replace=False)]
-    for _ in range(5):  # Lloyd iterations on the small sample
-        assign = (train @ centroids.T).argmax(axis=1)
-        for c in range(n_cells):
-            m = assign == c
-            if m.any():
-                centroids[c] = train[m].mean(axis=0)
-        centroids = _unit(centroids)
+    centroids = _train_centroids(train, n_cells, seed)
+    n_cells = len(centroids)
 
     # query -> probed cells; cell -> probing query index ARRAY (the
     # vectorized scorer repeats/tiles it straight into the output)
@@ -353,4 +349,176 @@ def knn_lsh(
         batch_format="pyarrow",
         concurrency=(1, _cpu_cap()),
     )
+    return _finalize_topk(candidates, k)
+
+
+def _train_centroids(train: np.ndarray, n_cells: int,
+                     seed: int) -> np.ndarray:
+    """Few Lloyd iterations on a driver-side sample (shared by knn_ivf
+    and ann_join); O(sample x cells), independent of corpus size."""
+    rng = np.random.RandomState(seed)
+    n_cells = min(n_cells, len(train))
+    centroids = train[rng.choice(len(train), size=n_cells, replace=False)]
+    for _ in range(5):
+        assign = (train @ centroids.T).argmax(axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                centroids[c] = train[m].mean(axis=0)
+        centroids = _unit(centroids)
+    return centroids
+
+
+def ann_join(
+    queries_ds,
+    corpus_ds,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    query_emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 64,
+    n_probe: int = 4,
+    train_sample: np.ndarray | None = None,
+    seed: int = 31,
+    exclude_self: bool = False,
+    num_partitions: int | None = None,
+):
+    """DATASET-to-DATASET approximate top-k cosine join (IVF): every
+    row of ``queries_ds`` finds its top-k among ``corpus_ds``. The kNN
+    form that scales when the query side is itself corpus-sized
+    (self-retrieval, doc-to-doc linking, hard-negative mining) — no
+    driver-side query matrix exists anywhere; ``knn_ivf``'s broadcast
+    plan would need Q x D floats on the driver AND ships every corpus
+    batch's scores against ALL probing queries.
+
+    Plan: centroids train on ``train_sample`` (collect a bounded
+    ``corpus_ds.random_sample`` yourself at scale). Both sides assign
+    to cells VECTORIZED — corpus rows to their argmax cell, query rows
+    exploded to their ``n_probe`` nearest cells — then ONE
+    co-partitioning shuffle on the cell id feeds the coarse-bucket
+    sorted kernel: per cell run, one (queries x corpus) matmul in
+    reused row-chunked buffers (bucketing._PAIR_CHUNK discipline) and
+    per-query partial top-k via argpartition. The global per-query
+    top-k is the same coarse-bucket rank kernel every kNN path uses.
+
+    Partitioning assumption (documented, same family as bucketing's):
+    one CELL's corpus rows fit a worker — size ``n_cells`` to
+    ~corpus_bytes / 256 MB. Ties at the k boundary inside a cell are
+    cut by argpartition (arbitrary among exactly-equal cosines) before
+    the deterministic vec_id tiebreak — exact-tie corpora (mass
+    duplicates) should dedup first (ops.dedup), like every ANN system.
+
+    ``exclude_self``: drop candidates whose corpus id equals the query
+    id (self-join hygiene). Output: (query_id, rank, vec_id, cosine).
+    """
+    from raydoc.ops.bucketing import bucketed_sorted_apply
+
+    if train_sample is None:
+        raise ValueError(
+            "ann_join needs a driver-side train_sample (bounded sample "
+            "of the corpus embeddings) to build the IVF centroids")
+    centroids = _train_centroids(
+        _unit(np.asarray(train_sample, dtype=np.float64)), n_cells, seed)
+    dim = centroids.shape[1]
+
+    def _emb_list(mat: np.ndarray) -> pa.Array:
+        flat = pa.array(mat.ravel(), pa.float64())
+        offs = pa.array(
+            np.arange(0, (len(mat) + 1) * dim, dim, dtype=np.int64)
+            .astype(np.int32))
+        return pa.ListArray.from_arrays(offs, flat)
+
+    def _corpus_rows(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int8()),
+                             "rid": pa.array([], pa.int64()),
+                             "emb": pa.array([], pa.list_(pa.float64()))})
+        u = _unit(embedding_matrix(b.column(emb_col)))
+        cells = (u @ centroids.T).argmax(axis=1).astype(np.int64)
+        return pa.table({"cell": pa.array(cells),
+                         "side": pa.array(np.zeros(len(ids), np.int8)),
+                         "rid": pa.array(ids, pa.int64()),
+                         "emb": _emb_list(u)})
+
+    def _query_rows(b: pa.Table) -> pa.Table:
+        ids = b.column(query_id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int8()),
+                             "rid": pa.array([], pa.int64()),
+                             "emb": pa.array([], pa.list_(pa.float64()))})
+        u = _unit(embedding_matrix(b.column(query_emb_col)))
+        npb = min(n_probe, len(centroids))
+        probes = np.argsort(-(u @ centroids.T), axis=1)[:, :npb]
+        rep = np.repeat(np.arange(len(ids)), npb)
+        return pa.table({"cell": pa.array(probes.ravel(), pa.int64()),
+                         "side": pa.array(np.ones(len(rep), np.int8)),
+                         "rid": pa.array(ids[rep], pa.int64()),
+                         "emb": _emb_list(u[rep])})
+
+    tagged = corpus_ds.map_batches(
+        _corpus_rows, batch_format="pyarrow"
+    ).union(queries_ds.map_batches(_query_rows, batch_format="pyarrow"))
+
+    def _cell_topk(t: pa.Table, starts: np.ndarray,
+                   counts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_cand()
+        side = t.column("side").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        rid = t.column("rid").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        mat = embedding_matrix(t.column("emb"))
+        out_q, out_v, out_c = [], [], []
+        for s, c in zip(starts, counts):
+            e = s + c
+            cm_mask = side[s:e] == 0
+            nq = int((~cm_mask).sum())
+            nc = int(cm_mask.sum())
+            if nq == 0 or nc == 0:
+                continue
+            cm = mat[s:e][cm_mask]
+            qm = mat[s:e][~cm_mask]
+            qids = rid[s:e][~cm_mask]
+            cids = rid[s:e][cm_mask]
+            kk = min(k, nc)
+            # row-chunked matmul (reused-buffer discipline)
+            rows = max(1, min(nq, (8 << 20) // max(nc, 1)))
+            buf = np.empty((rows, nc))
+            for off in range(0, nq, rows):
+                m = min(rows, nq - off)
+                np.matmul(qm[off:off + m], cm.T, out=buf[:m])
+                sims = buf[:m]
+                if exclude_self:
+                    sims = np.where(
+                        qids[off:off + m, None] == cids[None, :],
+                        -np.inf, sims)
+                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                out_q.append(np.repeat(qids[off:off + m], kk))
+                out_v.append(cids[part].ravel())
+                out_c.append(np.take_along_axis(sims, part, axis=1)
+                             .ravel())
+        if not out_q:
+            return _empty_cand()
+        q = np.concatenate(out_q)
+        v = np.concatenate(out_v)
+        cs = np.concatenate(out_c)
+        keep = np.isfinite(cs)  # masked self matches
+        return pa.Table.from_pydict(
+            {"query_id": pa.array(q[keep], pa.int64()),
+             "vec_id": pa.array(v[keep], pa.int64()),
+             "cosine": pa.array(cs[keep], pa.float64())})
+
+    candidates = bucketed_sorted_apply(
+        tagged, ["cell"],
+        [("cell", "ascending"), ("side", "ascending"),
+         ("rid", "ascending")],
+        _cell_topk, num_partitions=num_partitions)
+    # a query probing n_probe cells contributes up to n_probe * k
+    # candidate rows; the same candidate corpus row can surface from
+    # at most ONE cell (corpus rows are single-assigned), so no dedup
+    # is needed before the global rank
     return _finalize_topk(candidates, k)

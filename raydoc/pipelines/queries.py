@@ -2676,6 +2676,28 @@ def embeddings_knn_ivf(sf_dir: str):
     return out.select_columns(["query_id", "rank", "vec_id"])
 
 
+def embeddings_ann_join(sf_dir: str):
+    """Dataset-to-dataset ANN join (similarity.ann_join, r04), ORACLE-
+    CHECKED on the planted-separation corpus: the QUERY SIDE is a
+    Dataset (vec_id 0..2 as rows), not a driver matrix — the kNN form
+    that scales when queries are corpus-sized — and each query's top-5
+    is provably (self, 4 nearest clones), the same literal the
+    broadcast-plan knn oracles use."""
+    import ray.data as rd
+
+    from raydoc.ops.similarity import ann_join
+
+    queries, ds, mat = _knn_planted_setup(sf_dir)
+    emb_t = pa.list_(pa.float64())
+    qt = pa.table({
+        "query_id": pa.array(range(len(queries)), pa.int64()),
+        "embedding": pa.array([q.tolist() for q in queries], emb_t),
+    })
+    out = ann_join(rd.from_arrow(qt), ds, k=5, n_cells=16, n_probe=4,
+                   train_sample=mat[::5])
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
 def embeddings_cosine_pairs(sf_dir: str):
     """EXACT all-pairs cosine >= 0.4 (oracle-checked brute-force
     baseline for the LSH near-dup path; threshold margin vs the sf0.01
@@ -3079,6 +3101,8 @@ QUERIES = {
     "embeddings_cosine_pairs": embeddings_cosine_pairs,
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "embeddings_knn_lsh": embeddings_knn_lsh,
+    # r04: dataset-to-dataset ANN join (query side is a Dataset)
+    "embeddings_ann_join": embeddings_ann_join,
     "embeddings_near_dup": embeddings_near_dup,
     "docs_curation": docs_curation,
     "code_sandbox_lengths": code_sandbox_lengths,
@@ -3136,11 +3160,12 @@ QUERIES = {
     # covered by pytest + round-1 driver rows.
     "asof_events_orders": asof_events_orders,
     "events_sessionize": events_sessionize,
-    "events_hourly": events_hourly,
     # ---- driver recording window (~50 entries) ends around here ----
-    # events_running_sum displaced in r04 by web_shards_summary: it is
-    # hash-green in the r01, r02 AND r03 driver artifacts and stays in
-    # the committed full-registry artifact.
+    # events_running_sum and events_hourly displaced in r04 by
+    # web_shards_summary and embeddings_ann_join: both are hash-green
+    # in the r01, r02 AND r03 driver artifacts and stay in the
+    # committed full-registry artifact.
+    "events_hourly": events_hourly,
     "events_running_sum": events_running_sum,
     # q12 displaced in r03 by flagship_text_hash: it has hash-green
     # rows in CORRECTNESS_r01.json AND _r02.json and stays in the
@@ -3279,6 +3304,9 @@ ORACLES = {
     # the approximate-kNN results exact and SQL-expressible
     "embeddings_knn_ivf": KNN_PLANTED_SQL,
     "embeddings_knn_lsh": KNN_PLANTED_SQL,
+    # the ann_join oracle is the same planted literal: query_id 0..2
+    # are the corpus vectors the query DATASET carries
+    "embeddings_ann_join": KNN_PLANTED_SQL,
     "canvas_customer_service": CANVAS_CUSTOMER_SERVICE_SQL,
     "layout_reading_order": LAYOUT_READING_ORDER_SQL,
     # r04: the sketches are approximate vs the TRUE answer but

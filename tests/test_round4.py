@@ -798,3 +798,85 @@ class TestPairGatherHelpers:
         assert len(pair_cosine(np.zeros((4, 8)), z, z)) == 0
         assert len(pair_match_fraction(
             np.zeros((4, 8), dtype=np.uint64), z, z)) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnnJoin:
+    """r04: dataset-to-dataset approximate top-k cosine join — the kNN
+    form for corpus-sized query sides (no driver query matrix)."""
+
+    def _corpus(self, n=400, dim=12, seed=5):
+        rng = np.random.default_rng(seed)
+        m = rng.standard_normal((n, dim))
+        m /= np.linalg.norm(m, axis=1)[:, None]
+        col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * dim, dim), pa.int64())
+            .cast(pa.int32()),
+            pa.array(m.ravel(), pa.float64()))
+        return m, pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                            "embedding": col})
+
+    def test_full_probe_matches_brute_force(self):
+        import ray.data as rd
+
+        from raydoc.ops.similarity import ann_join, knn_brute_force
+
+        m, t = self._corpus()
+        corpus = rd.from_arrow(t).repartition(4)
+        qt = pa.table({"query_id": pa.array(range(7), pa.int64()),
+                       "embedding": t.column("embedding").slice(0, 7)})
+        # n_probe == n_cells: every cell probed -> exact
+        got = ann_join(rd.from_arrow(qt), corpus, k=5, n_cells=8,
+                       n_probe=8, train_sample=m[::3]).to_pandas()
+        want = knn_brute_force(corpus, m[:7], k=5).to_pandas()
+        key = lambda df: sorted(zip(df["query_id"], df["rank"],
+                                    df["vec_id"]))
+        assert key(got) == key(want)
+        # query 0's rank-1 is itself at cosine ~1
+        r1 = got[(got["query_id"] == 0) & (got["rank"] == 1)]
+        assert list(r1["vec_id"]) == [0]
+
+    def test_exclude_self(self):
+        import ray.data as rd
+
+        from raydoc.ops.similarity import ann_join
+
+        m, t = self._corpus()
+        corpus = rd.from_arrow(t).repartition(4)
+        qt = pa.table({"query_id": pa.array(range(7), pa.int64()),
+                       "embedding": t.column("embedding").slice(0, 7)})
+        got = ann_join(rd.from_arrow(qt), corpus, k=5, n_cells=8,
+                       n_probe=8, train_sample=m[::3],
+                       exclude_self=True).to_pandas()
+        assert not (got["query_id"] == got["vec_id"]).any()
+        assert (got.groupby("query_id")["rank"].max() == 5).all()
+
+    def test_planted_recall(self):
+        import ray.data as rd
+
+        from raydoc.ops.similarity import ann_join
+
+        # plant 3 clones of query 0 far above the natural max cosine
+        m, t = self._corpus()
+        rng = np.random.default_rng(9)
+        q = m[0]
+        u = rng.standard_normal(m.shape[1])
+        u = u - (u @ q) * q
+        u /= np.linalg.norm(u)
+        clones = np.stack([q + 0.01 * (j + 1) * u for j in range(3)])
+        clones /= np.linalg.norm(clones, axis=1)[:, None]
+        dim = m.shape[1]
+        ct = pa.table({
+            "vec_id": pa.array([9000, 9001, 9002], pa.int64()),
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, 4 * dim, dim), pa.int64())
+                .cast(pa.int32()),
+                pa.array(clones.ravel(), pa.float64()))})
+        corpus = rd.from_arrow(t).union(rd.from_arrow(ct)).repartition(4)
+        qt = pa.table({"query_id": pa.array([0], pa.int64()),
+                       "embedding": t.column("embedding").slice(0, 1)})
+        got = ann_join(rd.from_arrow(qt), corpus, k=4, n_cells=8,
+                       n_probe=2, train_sample=m[::3]).to_pandas()
+        got = got.sort_values("rank")
+        # top-4 = self then the three clones in order
+        assert list(got["vec_id"]) == [0, 9000, 9001, 9002]
