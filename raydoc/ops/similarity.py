@@ -151,6 +151,22 @@ def _cpu_cap() -> int:
     return cpu_cap()
 
 
+def _invert_probes(codes: np.ndarray,
+                   qidx: np.ndarray) -> dict[int, np.ndarray]:
+    """Invert parallel (bucket/cell code, query index) arrays into
+    {code: sorted query-index array} with ONE stable argsort — no
+    per-query Python. Stable sort keeps each code's query indices in
+    ascending order (codes arrive query-major), matching the append
+    order of the dict-loop this replaces, so downstream output order
+    and oracle hashes are unchanged."""
+    order = np.argsort(codes, kind="stable")
+    sc, sq = codes[order], qidx[order]
+    ucodes, starts = np.unique(sc, return_index=True)
+    bounds = np.append(starts, len(sc))
+    return {int(c): sq[s:e]
+            for c, s, e in zip(ucodes, bounds[:-1], bounds[1:])}
+
+
 def knn_ivf(
     ds,
     queries: np.ndarray,
@@ -184,11 +200,9 @@ def knn_ivf(
     # query -> probed cells; cell -> probing query index ARRAY (the
     # vectorized scorer repeats/tiles it straight into the output)
     probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
-    _c2q: dict[int, list[int]] = {}
-    for qi, cells in enumerate(probes):
-        for c in cells:
-            _c2q.setdefault(int(c), []).append(qi)
-    cell_to_q = {c: np.asarray(v, dtype=np.int64) for c, v in _c2q.items()}
+    cell_to_q = _invert_probes(
+        probes.ravel().astype(np.int64),
+        np.repeat(np.arange(len(qmat), dtype=np.int64), probes.shape[1]))
     shared = ray.put((qmat, centroids, cell_to_q))
 
     class _Scorer:
@@ -311,21 +325,24 @@ def knn_lsh(
     dim = qmat.shape[1]
     planes = np.random.RandomState(23).standard_normal((dim, num_planes))
     qsig = (qmat @ planes) > 0
-    # query buckets + probes: bucket code -> list of query indices
-    bucket_to_q: dict[int, list[int]] = {}
-    for qi, sig in enumerate(qsig):
-        code = int(sum(1 << b for b in range(num_planes) if sig[b]))
-        codes = {code}
-        for flips in range(1, probe_bits + 1):
-            for combo in itertools.combinations(range(num_planes), flips):
-                c = code
-                for b in combo:
-                    c ^= 1 << b
-                codes.add(c)
-        for c in codes:
-            bucket_to_q.setdefault(c, []).append(qi)
-    b2q_arr = {c: np.asarray(v, dtype=np.int64)
-               for c, v in bucket_to_q.items()}
+    # query buckets + probes, fully vectorized: base code per query
+    # (one matvec), then XOR against the fixed set of <=probe_bits
+    # flip masks (distinct masks -> distinct codes per query, so the
+    # old per-query set dedup is a no-op) and ONE stable-sort invert.
+    base = qsig.astype(np.int64) @ (
+        1 << np.arange(num_planes, dtype=np.int64))
+    masks = [0]
+    for flips in range(1, probe_bits + 1):
+        for combo in itertools.combinations(range(num_planes), flips):
+            m = 0
+            for b in combo:
+                m |= 1 << b
+            masks.append(m)
+    masks_a = np.asarray(masks, dtype=np.int64)
+    all_codes = base[:, None] ^ masks_a[None, :]
+    b2q_arr = _invert_probes(
+        all_codes.ravel(),
+        np.repeat(np.arange(len(qmat), dtype=np.int64), len(masks_a)))
     shared = ray.put((qmat, planes, b2q_arr))
 
     class _Scorer:
