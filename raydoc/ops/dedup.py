@@ -154,6 +154,25 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
     return out
 
 
+def _doc_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Sorted-unique uint64 hash per DISTINCT word-k-shingle of
+    ``text``, with ``ops.text.shingles`` semantics exactly: empty text
+    -> no shingles; fewer-than-k tokens -> ONE whole-text shingle
+    (unlike ``_doc_gram_hashes``' C4 empty-if-short rule). Token list
+    matches shingles' whitespace collapse (str.split() == \\s+ split).
+    Backs the opt-in hashed ngram_jaccard verify."""
+    toks = (text or "").lower().split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = _token_hashes(toks)
+    if len(toks) <= k:
+        return (th * _GRAM_W[: len(toks)]).sum(keepdims=True)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(th, k)  # (S, k) view, no copy
+    return np.unique((win * _GRAM_W[None, :k]).sum(axis=1))
+
+
 def _doc_minhash(text: str, a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
     """MinHash signature over word-k-gram hashes. K-gram hashes are a
     position-weighted polynomial of per-token stable hashes (vectorized
@@ -794,6 +813,7 @@ def ngram_jaccard_pairs(
     candidate_threshold: float = 0.35,
     shingle_k: int = 5,
     max_bucket_docs: int | None = None,
+    hashed_grams: bool = False,
 ):
     """EXACT n-gram Jaccard near-dup pairs, LSH-pruned.
 
@@ -814,6 +834,13 @@ def ngram_jaccard_pairs(
     minhash_lsh_pairs): opt-in star-pairing for mass-dup band buckets;
     ``None`` (default) keeps exact pair enumeration — what the
     docs_jaccard_pairs oracle checks.
+
+    ``hashed_grams`` (opt-in scale path): verify over sorted-unique
+    uint64 shingle HASHES (`_doc_shingle_hashes`) with a C-merge
+    ``np.intersect1d`` per pair instead of Python string-set
+    intersection — same shingle semantics, ~|A|x|B|/2^64 per-pair
+    collision odds of overcounting an intersection by one. The default
+    stays exact-string, which is what the SQL oracle computes.
     """
     import ray
 
@@ -842,21 +869,34 @@ def ngram_jaccard_pairs(
         Semantics identical to ngram_jaccard (two empty sets -> 1.0)."""
         grams: dict = {}
 
-        def _gs(i):
-            s = grams.get(i)
-            if s is None:
-                s = set(shingles(text_of(i) or "", shingle_k))
-                grams[i] = s
-            return s
+        if hashed_grams:
+            def _gs(i):
+                s = grams.get(i)
+                if s is None:
+                    s = _doc_shingle_hashes(text_of(i) or "", shingle_k)
+                    grams[i] = s
+                return s
+        else:
+            def _gs(i):
+                s = grams.get(i)
+                if s is None:
+                    s = set(shingles(text_of(i) or "", shingle_k))
+                    grams[i] = s
+                return s
 
         ia, ib, js = [], [], []
         for x, y in zip(ids_a, ids_b):
             sa, sb = _gs(x), _gs(y)
-            if not sa and not sb:
+            na, nb = len(sa), len(sb)
+            if not na and not nb:
                 j = 1.0
+            elif hashed_grams:
+                inter = int(np.intersect1d(
+                    sa, sb, assume_unique=True).size)
+                j = inter / (na + nb - inter)
             else:
                 inter = len(sa & sb)
-                j = inter / (len(sa) + len(sb) - inter)
+                j = inter / (na + nb - inter)
             if j >= threshold:
                 ia.append(x)
                 ib.append(y)

@@ -880,3 +880,50 @@ class TestAnnJoin:
         got = got.sort_values("rank")
         # top-4 = self then the three clones in order
         assert list(got["vec_id"]) == [0, 9000, 9001, 9002]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashedGramVerify:
+    """Late-r04 opt-in: hashed-gram jaccard verify must agree with the
+    exact string-set path on every pair (collision odds ~2^-64)."""
+
+    def _docs(self):
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau")
+        return {
+            0: base, 1: base.replace("delta", "digamma"),
+            2: base + " upsilon phi chi", 3: "", 4: None,
+            5: "tiny", 6: base, 7: "tiny",
+        }
+
+    def test_hashed_matches_exact(self):
+        import ray.data as rd
+
+        from raydoc.ops.dedup import ngram_jaccard_pairs
+
+        docs = self._docs()
+        t = pa.table({
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[i] for i in sorted(docs)], pa.string()),
+        })
+        kw = dict(threshold=0.3, candidate_threshold=0.1)
+        want = ngram_jaccard_pairs(rd.from_arrow(t), **kw).to_pandas()
+        got = ngram_jaccard_pairs(rd.from_arrow(t), hashed_grams=True,
+                                  **kw).to_pandas()
+        key = lambda df: sorted(zip(df["id_a"], df["id_b"],
+                                    df["jaccard"].round(12)))
+        assert key(got) == key(want) and len(got) >= 2
+        # short-doc semantics: the whole-text shingle pair (5, 7)
+        # survives in BOTH paths at jaccard 1.0
+        assert ((got["id_a"] == 5) & (got["id_b"] == 7)).any()
+
+    def test_shingle_hash_semantics(self):
+        from raydoc.ops.dedup import _doc_shingle_hashes
+        from raydoc.ops.text import shingles
+
+        for txt in ["", None, "one", "a b c", "a  b\tc",
+                    "w1 w2 w3 w4 w5 w6 w7 w8"]:
+            h = _doc_shingle_hashes(txt, 5)
+            assert len(h) == len(set(shingles(txt or "", 5)))
+            assert (np.diff(h.astype(np.uint64)) > 0).all() \
+                if len(h) > 1 else True
