@@ -154,6 +154,78 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
     return out
 
 
+def _batch_token_hashes(col) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized tokenize+hash for a WHOLE batch's text column:
+    lowercase + whitespace-split via Arrow kernels, dictionary-encode
+    the flat token stream, blake2-hash each DISTINCT token once
+    (through the shared per-process cache), gather. Returns
+    ``(th_flat, offsets)``: doc i's token hashes are
+    ``th_flat[offsets[i]:offsets[i+1]]``.
+
+    Token semantics == ``(text or "").lower().split()`` (runs of
+    Unicode whitespace; boundary empties dropped; null -> no tokens),
+    the list the scalar ``_doc_minhash`` path produces — one
+    documented divergence: Arrow's utf8_lower maps U+0130 (Turkish
+    dotted capital I) to a bare "i" where Python emits "i"+combining
+    dot. That shifts ONE token hash inside the LSH *estimation* stage
+    for docs containing that codepoint; the exact-string verify stages
+    (ngram_jaccard, shingles) never use this path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    lst = pc.utf8_split_whitespace(
+        pc.utf8_lower(pc.fill_null(col, "")))
+    lengths = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+    flat = lst.flatten()
+    if len(flat) == 0:
+        return (np.empty(0, np.uint64),
+                np.zeros(n + 1, dtype=np.int64))
+    enc = pc.dictionary_encode(flat)
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    cache = _TOKEN_HASH_CACHE
+    vh = np.empty(len(vocab), dtype=np.uint64)
+    empty_code = -1
+    for i, tkn in enumerate(vocab):
+        if tkn == "":
+            empty_code = i
+            vh[i] = 0
+            continue
+        h = cache.get(tkn)
+        if h is None:
+            h = stable_u64(tkn)
+            if len(cache) < _TOKEN_HASH_CACHE_MAX:
+                cache[tkn] = h
+        vh[i] = h
+    th_all = vh[idx]
+    if empty_code >= 0:
+        keep = idx != empty_code
+        doc_ids = np.repeat(np.arange(n, dtype=np.int64), lengths)[keep]
+        th_all = th_all[keep]
+        lengths = np.bincount(doc_ids, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return th_all, offsets
+
+
+def _minhash_from_th(th: np.ndarray, a: np.ndarray, b: np.ndarray,
+                     k: int) -> np.ndarray:
+    """MinHash signature from a doc's precomputed token-hash array —
+    the permutation/min half of ``_doc_minhash`` (see its docstring
+    for the gram-hash design)."""
+    if len(th) == 0:
+        return np.full(len(a), _MAXU64, dtype=np.uint64)
+    if len(th) <= k:
+        gram = (th * _GRAM_W[: len(th)]).sum(keepdims=True)
+    else:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        win = sliding_window_view(th, k)  # (S, k) view, no copy
+        gram = (win * _GRAM_W[None, :k]).sum(axis=1)
+    vals = (a[:, None] * gram[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
 def _doc_shingle_hashes(text: str, k: int) -> np.ndarray:
     """Sorted-unique uint64 hash per DISTINCT word-k-shingle of
     ``text``, with ``ops.text.shingles`` semantics exactly: empty text
@@ -186,18 +258,9 @@ def _doc_minhash(text: str, a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
     toks = (text or "").lower().split()
     if not toks:
         return np.full(len(a), _MAXU64, dtype=np.uint64)
-    th = _token_hashes(toks)
-    if len(toks) <= k:
-        gram = (th * _GRAM_W[: len(toks)]).sum(keepdims=True)
-    else:
-        from numpy.lib.stride_tricks import sliding_window_view
-
-        win = sliding_window_view(th, k)  # (S, k) view, no copy
-        gram = (win * _GRAM_W[None, :k]).sum(axis=1)
     # (P, S) permuted hashes -> min over shingles; modular arithmetic in
     # object-free uint64 with wraparound is fine for min-hashing purposes
-    vals = (a[:, None] * gram[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-    return vals.min(axis=1)
+    return _minhash_from_th(_token_hashes(toks), a, b, k)
 
 
 def _distinct_pairs(pairs, num_partitions: int | None = None):
@@ -250,9 +313,10 @@ def minhash_signatures(
 
     def _sig(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col)
+        th, offs = _batch_token_hashes(batch.column(text_col))
         sigs = [
-            _doc_minhash(t or "", a, b, shingle_k)
-            for t in batch.column(text_col).to_pylist()
+            _minhash_from_th(th[offs[i]:offs[i + 1]], a, b, shingle_k)
+            for i in range(len(ids))
         ]
         return pa.Table.from_pydict(
             {
@@ -362,11 +426,12 @@ def _minhash_pairs_carry(ds, text_col, id_col, a, b, bands, rows_per_band,
 
     def _band_rows(batch: pa.Table) -> pa.Table:
         ids_out, band_keys, sigs_out = [], [], []
-        for i, t in zip(batch.column(id_col).to_pylist(),
-                        batch.column(text_col).to_pylist()):
-            if not (t or "").strip():
+        th_all, offs = _batch_token_hashes(batch.column(text_col))
+        for j, i in enumerate(batch.column(id_col).to_pylist()):
+            th = th_all[offs[j]:offs[j + 1]]
+            if len(th) == 0:
                 continue  # empty doc: no signature, no bucket
-            sig = _doc_minhash(t or "", a, b, shingle_k)
+            sig = _minhash_from_th(th, a, b, shingle_k)
             sl = sig.tolist()
             keys = _band_keys(sig, bands, rows_per_band)
             ids_out.extend([i] * bands)
@@ -508,11 +573,12 @@ def minhash_lsh_pairs(
     def _band_rows(batch: pa.Table) -> pa.Table:
         ids_out, band_keys = [], []
         ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        for i, t in zip(ids, texts):
-            if not (t or "").strip():
+        th_all, offs = _batch_token_hashes(batch.column(text_col))
+        for j, i in enumerate(ids):
+            th = th_all[offs[j]:offs[j + 1]]
+            if len(th) == 0:
                 continue  # empty doc: no signature, no bucket
-            sig = _doc_minhash(t or "", a, b, shingle_k)
+            sig = _minhash_from_th(th, a, b, shingle_k)
             ids_out.extend([i] * bands)
             band_keys.extend(_band_keys(sig, bands, rows_per_band).tolist())
         return pa.Table.from_pydict(
@@ -696,22 +762,25 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     (T, 64) bit matrix and one weighted column-sum replaces the
     per-token Python loop — values identical to the scalar form."""
     shifts = np.arange(64, dtype=np.uint64)
-    out = []
-    for t in batch.column(text_col).to_pylist():
-        toks = (t or "").lower().split()
-        if not toks:
-            out.append(0)
-            continue
-        uniq, cnt = np.unique(np.asarray(toks, dtype=object),
-                              return_counts=True)
-        th = _token_hashes(list(uniq))
-        bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        acc = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
+    th_all, offs = _batch_token_hashes(batch.column(text_col))
+    n = batch.num_rows
+    out = np.zeros(n, dtype=np.uint64)
+    lens = np.diff(offs)
+    nonempty = np.flatnonzero(lens > 0)
+    if len(nonempty):
+        # (T, 64) bit matrix over the whole batch's token stream, ONE
+        # segmented sum per doc (np.add.reduceat at doc offsets) —
+        # summing per-token signs equals the scalar form's
+        # count-weighted unique-token sum, and unique-by-hash equals
+        # unique-by-string because equal tokens share a hash.
+        bits = ((th_all[:, None] >> shifts[None, :]) & np.uint64(1)) \
+            .astype(np.int32)
+        sums = np.add.reduceat(bits, offs[nonempty], axis=0)
+        acc = 2 * sums - lens[nonempty, None].astype(np.int32)
         bitsv = (acc > 0).astype(np.uint64)
-        out.append(int((bitsv << shifts).sum()))
-    return batch.append_column("simhash", pa.array(out, pa.uint64()))
+        out[nonempty] = (bitsv << shifts[None, :]).sum(axis=1)
+    return batch.append_column(
+        "simhash", pa.array(out, pa.uint64()))
 
 
 def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",

@@ -927,3 +927,54 @@ class TestHashedGramVerify:
             assert len(h) == len(set(shingles(txt or "", 5)))
             assert (np.diff(h.astype(np.uint64)) > 0).all() \
                 if len(h) > 1 else True
+
+
+class TestBatchTokenHashes:
+    """Late-r04: the batch tokenizer (Arrow lower+split+dict-encode)
+    must produce byte-identical token hashes, minhash signatures, and
+    simhashes to the scalar forms it replaced."""
+
+    TEXTS = ["", None, "  ", "one", "a b c d e f g",
+             " lead  and trail ", "x\ty\nz", "dup dup dup other",
+             "A B C a b c", "x\xa0y", "x y",
+             "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"]
+
+    def test_token_and_minhash_equivalence(self):
+        from raydoc.ops.dedup import (_batch_token_hashes, _doc_minhash,
+                                      _minhash_from_th, _perm_params,
+                                      _token_hashes)
+
+        a, b = _perm_params(64)
+        th_all, offs = _batch_token_hashes(
+            pa.array(self.TEXTS, pa.string()))
+        for i, t in enumerate(self.TEXTS):
+            toks = (t or "").lower().split()
+            ref = _token_hashes(toks) if toks \
+                else np.empty(0, np.uint64)
+            got = th_all[offs[i]:offs[i + 1]]
+            assert np.array_equal(ref, got), repr(t)
+            assert np.array_equal(
+                _doc_minhash(t or "", a, b, 5),
+                _minhash_from_th(got, a, b, 5)), repr(t)
+
+    def test_simhash_matches_scalar_form(self):
+        from raydoc.ops.dedup import _token_hashes, simhash_batch
+
+        shifts = np.arange(64, dtype=np.uint64)
+        got = simhash_batch(pa.table({
+            "text": pa.array(self.TEXTS, pa.string())
+        }))["simhash"].to_pylist()
+        for i, t in enumerate(self.TEXTS):
+            toks = (t or "").lower().split()
+            if not toks:
+                ref = 0
+            else:
+                uniq, cnt = np.unique(
+                    np.asarray(toks, dtype=object), return_counts=True)
+                th = _token_hashes(list(uniq))
+                bits = ((th[:, None] >> shifts[None, :])
+                        & np.uint64(1)).astype(np.int64)
+                acc = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
+                ref = int((((acc > 0).astype(np.uint64))
+                           << shifts).sum())
+            assert got[i] == ref, repr(t)
