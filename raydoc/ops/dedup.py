@@ -642,12 +642,21 @@ def minhash_lsh_pairs(
     ).materialize()  # small vs corpus; reused for ids + the attach
 
     # candidate ids stay a DATASET — never collected on the driver
-    # (web corpora run 30-50% duplicates; O(corpus) driver sets OOM)
-    cand_ids = candidates.map_batches(_pair_id_rows(id_col),
-                                      batch_format="pyarrow").materialize()
-    n_cand = cand_ids.count()  # per-block-deduped upper bound
+    # (web corpora run 30-50% duplicates; O(corpus) driver sets OOM).
+    # GLOBALLY distinct (late r04): the per-block-deduped count
+    # overshoots true cardinality by the cross-block repeat factor —
+    # measured 1.37M upper bound vs well-under-cap true distinct on a
+    # 900k-doc/683k-candidate corpus, which silently tipped the
+    # estimate onto the co-partition plan (two 45 s sorts) when the
+    # broadcast plan was cheap and correct. One bucketed distinct over
+    # the id table costs far less than the misrouted estimate.
+    from raydoc.ops.relational import distinct_on, semi_join
 
-    from raydoc.ops.relational import semi_join
+    cand_ids = distinct_on(
+        candidates.map_batches(_pair_id_rows(id_col),
+                               batch_format="pyarrow"),
+        id_col, bucketed=True).materialize()
+    n_cand = cand_ids.count()
 
     sigs = minhash_signatures(
         semi_join(ds, cand_ids, id_col, id_col,
@@ -919,12 +928,14 @@ def ngram_jaccard_pairs(
         max_bucket_docs=max_bucket_docs,
     ).materialize()  # small vs corpus; reused for ids + both attaches
 
-    from raydoc.ops.relational import semi_join
+    from raydoc.ops.relational import distinct_on, semi_join
 
-    # candidate ids stay a DATASET (no driver collection) — see
-    # minhash_lsh_pairs
-    cand_ids = candidates.map_batches(_pair_id_rows(id_col),
-                                      batch_format="pyarrow").materialize()
+    # candidate ids stay a DATASET (no driver collection), globally
+    # distinct so n_cand is true cardinality — see minhash_lsh_pairs
+    cand_ids = distinct_on(
+        candidates.map_batches(_pair_id_rows(id_col),
+                               batch_format="pyarrow"),
+        id_col, bucketed=True).materialize()
     n_cand = cand_ids.count()
     docs = semi_join(ds, cand_ids, id_col, id_col,
                      broadcast_cap=_TEXT_BROADCAST_CAP)
