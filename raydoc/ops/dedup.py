@@ -765,29 +765,51 @@ def minhash_lsh_pairs(
     return withB.map_batches(_estimate, batch_format="pyarrow")
 
 
+# bit-matrix unpack cap: 65536 tokens x 64 bits x int32 = 16.8 MB per
+# chunk — a whole 1024-doc batch of long docs would unpack to a fresh
+# >100 MB (T, 64) matrix, the allocation class that page-fault-storms
+# under full-width concurrency on this hardware (see BASELINE.md and
+# bucketing.pair_cosine, which exists to bound exactly this)
+_SIMHASH_CHUNK_TOKENS = 65536
+
+
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append a 64-bit SimHash of whitespace tokens (count-weighted).
     Vectorized: distinct-token hashes (per-process cache) unpack to a
-    (T, 64) bit matrix and one weighted column-sum replaces the
-    per-token Python loop — values identical to the scalar form."""
+    (T, 64) bit matrix and a segmented column-sum (np.add.reduceat at
+    doc offsets) replaces the per-token Python loop — summing per-token
+    signs equals the scalar form's count-weighted unique-token sum, and
+    unique-by-hash equals unique-by-string because equal tokens share a
+    hash. The unpack runs in doc-aligned chunks of
+    ``_SIMHASH_CHUNK_TOKENS`` so no fresh matrix exceeds ~17 MB."""
     shifts = np.arange(64, dtype=np.uint64)
     th_all, offs = _batch_token_hashes(batch.column(text_col))
     n = batch.num_rows
     out = np.zeros(n, dtype=np.uint64)
     lens = np.diff(offs)
     nonempty = np.flatnonzero(lens > 0)
-    if len(nonempty):
-        # (T, 64) bit matrix over the whole batch's token stream, ONE
-        # segmented sum per doc (np.add.reduceat at doc offsets) —
-        # summing per-token signs equals the scalar form's
-        # count-weighted unique-token sum, and unique-by-hash equals
-        # unique-by-string because equal tokens share a hash.
-        bits = ((th_all[:, None] >> shifts[None, :]) & np.uint64(1)) \
+    ends = offs[nonempty + 1]  # token end per nonempty doc
+    start = 0
+    while start < len(nonempty):
+        tok0 = offs[nonempty[start]]
+        # widest run of docs whose token span fits the cap; always
+        # advance by >=1 doc so a single over-cap doc still processes
+        # (one oversized unpack, not an infinite loop)
+        stop = max(start + 1,
+                   int(np.searchsorted(ends, tok0 + _SIMHASH_CHUNK_TOKENS,
+                                       side="right")))
+        seg = nonempty[start:stop]
+        th = th_all[tok0:ends[stop - 1]]
+        bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)) \
             .astype(np.int32)
-        sums = np.add.reduceat(bits, offs[nonempty], axis=0)
-        acc = 2 * sums - lens[nonempty, None].astype(np.int32)
+        # consecutive nonempty docs are token-adjacent (empty docs
+        # contribute zero tokens), so reduceat segments at the docs'
+        # chunk-relative starts cover the chunk exactly
+        sums = np.add.reduceat(bits, offs[seg] - tok0, axis=0)
+        acc = 2 * sums - lens[seg, None].astype(np.int32)
         bitsv = (acc > 0).astype(np.uint64)
-        out[nonempty] = (bitsv << shifts[None, :]).sum(axis=1)
+        out[seg] = (bitsv << shifts[None, :]).sum(axis=1)
+        start = stop
     return batch.append_column(
         "simhash", pa.array(out, pa.uint64()))
 

@@ -978,3 +978,25 @@ class TestBatchTokenHashes:
                 ref = int((((acc > 0).astype(np.uint64))
                            << shifts).sum())
             assert got[i] == ref, repr(t)
+
+    def test_simhash_chunked_unpack_equivalence(self, monkeypatch):
+        """The doc-aligned chunked bit-matrix unpack must produce the
+        same hashes as one whole-batch unpack: force a tiny token cap
+        so every chunk boundary case runs — multiple docs per chunk,
+        one doc per chunk, a single over-cap doc, and empty docs
+        interleaved at chunk edges."""
+        import raydoc.ops.dedup as dd
+
+        rng = np.random.default_rng(7)
+        words = [f"w{i}" for i in range(50)]
+        texts = []
+        for i in range(40):
+            ln = int(rng.integers(0, 30))
+            texts.append(" ".join(rng.choice(words, ln)) if ln else
+                         ("" if i % 2 else None))
+        texts.append(" ".join(rng.choice(words, 200)))  # over any cap
+        tbl = pa.table({"text": pa.array(texts, pa.string())})
+        want = dd.simhash_batch(tbl)["simhash"].to_pylist()
+        for cap in (1, 7, 64):
+            monkeypatch.setattr(dd, "_SIMHASH_CHUNK_TOKENS", cap)
+            assert dd.simhash_batch(tbl)["simhash"].to_pylist() == want
