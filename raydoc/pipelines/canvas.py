@@ -43,7 +43,7 @@ import random
 import re
 from collections import Counter
 
-__all__ = ["load_canvas", "run_canvas"]
+__all__ = ["CanvasSession", "load_canvas", "run_canvas"]
 
 _SLOT_RE = re.compile(r"\{([A-Za-z0-9_:@-]+)\}")
 _MAX_STEPS = 24  # hard backstop on top of suffix-pattern detection
@@ -208,40 +208,86 @@ class _Runtime:
         return _evidence(_attach_texts(self.sf_dir, top))
 
 
-def run_canvas(path_or_dict, sf_dir: str | None = None,
-               user_inputs: list[str] | None = None,
-               llm_overrides: dict | None = None, seed: int = 0) -> list[dict]:
-    """Execute a reference canvas JSON, one dict per user turn:
-    {"turn", "input", "answer", "path": [component ids visited]}."""
-    dsl = load_canvas(path_or_dict)
-    comps = dsl["components"]
-    rt = _Runtime(sf_dir, llm_overrides, seed)
-    if user_inputs is None:
-        user_inputs = ["hello"]
+class CanvasSession:
+    """Stateful multi-turn canvas runtime with whole-state snapshot
+    parity (reference canvas.py:128-151: ``Canvas.__str__`` serializes
+    params AND live component outputs, ``load`` restores them so a
+    dialogue continues mid-stream). The session equivalent here:
+    ``run_turn`` executes ONE user turn; ``dumps`` serializes the graph
+    plus all cross-turn live state (dialogue history, turn counter,
+    the last turn's component outputs); ``CanvasSession.loads`` rebuilds
+    a session that continues exactly as the unbroken one would —
+    including Message-node seeded choices (turn-indexed rng) and
+    RewriteQuestion (history-dependent). ``llm_overrides`` are live
+    callables and so, like the reference's LLM bindings, are re-supplied
+    at load time rather than serialized."""
 
-    def _cname(cid: str) -> str:
-        return comps[cid]["obj"]["component_name"].lower()
+    def __init__(self, path_or_dict, sf_dir: str | None = None,
+                 llm_overrides: dict | None = None, seed: int = 0) -> None:
+        self.dsl = load_canvas(path_or_dict)
+        self.comps = self.dsl["components"]
+        self.sf_dir = sf_dir
+        self.seed = seed
+        self.rt = _Runtime(sf_dir, llm_overrides, seed)
+        self.history: list[str] = []
+        self.turn = 0
+        self.last_state: dict = {}
+        begins = [c for c in self.comps if self._cname(c) == "begin"]
+        if not begins:
+            raise ValueError("canvas has no Begin component")
+        self.entry_answer = self.comps[begins[0]]["downstream"][0]
 
-    def _resolve(nxt: str | None):
-        """Downstream id -> existing id; the reference corpus contains
-        dangling edges (keyword_wikipedia_and_generate.json points
-        wikipedia:0 at "generate:0" while only generate:1 exists) —
-        resolve by component-name prefix when unique, else None."""
-        if nxt is None or nxt in comps:
-            return nxt
-        prefix = nxt.split(":")[0]
-        cands = [c for c in comps if c.split(":")[0] == prefix]
-        return cands[0] if len(cands) == 1 else None
+    def dumps(self) -> str:
+        """JSON snapshot of graph + live state (the ``__str__`` twin).
+        Component outputs are strings in this interpreter, so the last
+        turn's state dict serializes directly."""
+        return json.dumps({
+            "dsl": self.dsl,
+            "history": self.history,
+            "turn": self.turn,
+            "seed": self.seed,
+            "sf_dir": self.sf_dir,
+            "state": self.last_state,
+        })
 
-    begins = [c for c in comps if _cname(c) == "begin"]
-    if not begins:
-        raise ValueError("canvas has no Begin component")
-    entry_answer = comps[begins[0]]["downstream"][0]
+    @classmethod
+    def loads(cls, snapshot: str,
+              llm_overrides: dict | None = None) -> "CanvasSession":
+        """Rebuild a session from ``dumps`` output (the ``load`` twin);
+        pass ``llm_overrides`` again to re-bind live model callables."""
+        d = json.loads(snapshot)
+        sess = cls(d["dsl"], sf_dir=d.get("sf_dir"),
+                   llm_overrides=llm_overrides, seed=int(d.get("seed", 0)))
+        sess.history = list(d.get("history", []))
+        sess.turn = int(d.get("turn", 0))
+        sess.last_state = dict(d.get("state", {}))
+        return sess
 
-    history: list[str] = []
-    results: list[dict] = []
+    def _cname(self, cid: str) -> str:
+        return self.comps[cid]["obj"]["component_name"].lower()
 
-    for ti, user in enumerate(user_inputs):
+    def run_turn(self, user: str) -> dict:
+        """Execute one user turn:
+        {"turn", "input", "answer", "path": [component ids visited]}."""
+        comps = self.comps
+        rt = self.rt
+        history = self.history
+        ti = self.turn
+        seed = self.seed
+        _cname = self._cname
+
+        def _resolve(nxt: str | None):
+            """Downstream id -> existing id; the reference corpus contains
+            dangling edges (keyword_wikipedia_and_generate.json points
+            wikipedia:0 at "generate:0" while only generate:1 exists) —
+            resolve by component-name prefix when unique, else None."""
+            if nxt is None or nxt in comps:
+                return nxt
+            prefix = nxt.split(":")[0]
+            cands = [c for c in comps if c.split(":")[0] == prefix]
+            return cands[0] if len(cands) == 1 else None
+
+        entry_answer = self.entry_answer
         state: dict = {"user_input": user, "begin": ""}
         path: list[str] = []
 
@@ -438,6 +484,22 @@ def run_canvas(path_or_dict, sf_dir: str | None = None,
             if not frontier:
                 answer = state.get(cur, "")
         history.extend([user, answer])
-        results.append({"turn": ti, "input": user, "answer": answer,
-                        "path": path})
-    return results
+        # live outputs of this turn ride the snapshot (reference
+        # serializes component outputs too); per-turn evaluation always
+        # starts from a fresh state dict, so this is snapshot payload,
+        # not an input to the next turn
+        self.last_state = dict(state)
+        self.turn += 1
+        return {"turn": ti, "input": user, "answer": answer, "path": path}
+
+
+def run_canvas(path_or_dict, sf_dir: str | None = None,
+               user_inputs: list[str] | None = None,
+               llm_overrides: dict | None = None, seed: int = 0) -> list[dict]:
+    """Execute a reference canvas JSON, one dict per user turn:
+    {"turn", "input", "answer", "path": [component ids visited]}.
+    Convenience wrapper over ``CanvasSession`` (which adds per-turn
+    snapshot/reload)."""
+    sess = CanvasSession(path_or_dict, sf_dir=sf_dir,
+                         llm_overrides=llm_overrides, seed=seed)
+    return [sess.run_turn(u) for u in (user_inputs or ["hello"])]

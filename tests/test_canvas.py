@@ -101,3 +101,61 @@ class TestCanvasInterpreter:
         }}
         res = run_canvas(dsl, None, ["shout this please"])
         assert res[0]["answer"] == "SHOUT THIS PLEASE"
+
+    def test_snapshot_reload_continues_dialogue(self):
+        """Whole-state snapshot parity (reference canvas.py:128-151
+        __str__/load round-trip): snapshot after turn 2 of a 4-turn
+        dialogue on a history-dependent graph (RewriteQuestion reads the
+        dialogue history; customer_service.json), reload into a FRESH
+        session, continue — every turn must match the unbroken run."""
+        from raydoc.pipelines.canvas import CanvasSession, run_canvas
+
+        p = f"{TPL_DIR}/customer_service.json"
+        turns = ["how does the hash join stream batches",
+                 "what about it under memory pressure",
+                 "and when does it spill",
+                 "thanks, summarize that"]
+        unbroken = run_canvas(p, SF, turns, seed=3)
+
+        sess = CanvasSession(p, sf_dir=SF, seed=3)
+        first = [sess.run_turn(t) for t in turns[:2]]
+        snap = sess.dumps()
+        resumed = CanvasSession.loads(snap)
+        rest = [resumed.run_turn(t) for t in turns[2:]]
+        assert first + rest == unbroken
+        # the snapshot carries live outputs (reference serializes
+        # component outputs) and the dialogue history
+        import json as _json
+
+        d = _json.loads(snap)
+        assert d["turn"] == 2 and len(d["history"]) == 4
+        assert d["state"], "live component outputs missing from snapshot"
+
+    def test_snapshot_preserves_seeded_message_choice(self):
+        """A seeded Message node must pick the SAME message after
+        reload as the unbroken session would on that turn (the rng is
+        turn-indexed, so the restored turn counter pins it)."""
+        from raydoc.pipelines.canvas import CanvasSession, run_canvas
+
+        dsl = {"components": {
+            "begin": {"obj": {"component_name": "Begin",
+                              "params": {"prologue": "hi"}},
+                      "downstream": ["answer:0"], "upstream": []},
+            "answer:0": {"obj": {"component_name": "Answer", "params": {}},
+                         "downstream": ["message:0"],
+                         "upstream": ["begin"]},
+            "message:0": {"obj": {"component_name": "Message",
+                                  "params": {"messages":
+                                             ["a", "b", "c", "d", "e"]}},
+                          "downstream": ["answer:1"],
+                          "upstream": ["answer:0"]},
+            "answer:1": {"obj": {"component_name": "Answer", "params": {}},
+                         "downstream": [], "upstream": ["message:0"]},
+        }}
+        turns = ["t0", "t1", "t2", "t3"]
+        unbroken = run_canvas(dsl, None, turns, seed=11)
+        sess = CanvasSession(dsl, seed=11)
+        sess.run_turn("t0")
+        resumed = CanvasSession.loads(sess.dumps())
+        rest = [resumed.run_turn(t) for t in turns[1:]]
+        assert rest == unbroken[1:]
