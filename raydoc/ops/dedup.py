@@ -226,6 +226,101 @@ def _minhash_from_th(th: np.ndarray, a: np.ndarray, b: np.ndarray,
     return vals.min(axis=1)
 
 
+_SIG_CHUNK_TOKENS = 1 << 16
+
+
+def _batch_minhash(th_all: np.ndarray, offs: np.ndarray, a: np.ndarray,
+                   b: np.ndarray, k: int) -> np.ndarray:
+    """(n_docs, num_perm) uint64 signature matrix for a whole batch —
+    byte-identical to per-doc ``_minhash_from_th`` (same k-gram
+    polynomial, same wraparound permute arithmetic, same min), with the
+    per-doc Python loop replaced by flat-gram arrays and
+    ``np.minimum.reduceat`` at doc gram boundaries (r05; the per-doc
+    permute/min cost ~150 µs/doc/core and was the last row loop in the
+    near-dup path). Docs with no tokens get all-``_MAXU64`` rows, the
+    empty-signature sentinel the scalar path emits.
+
+    Work is chunked at doc boundaries to ~``_SIG_CHUNK_TOKENS`` tokens
+    so every transient stays ~0.5 MB and the permute reuses ONE
+    preallocated buffer — fresh multi-100MB allocations page-fault-storm
+    under concurrency on this host class (see simhash_batch and
+    bucketing.pair_cosine for the measurements)."""
+    n = len(offs) - 1
+    P = len(a)
+    sig = np.full((n, P), _MAXU64, dtype=np.uint64)
+    if n == 0 or len(th_all) == 0:
+        return sig
+    lens = np.diff(offs)
+    # grams per doc: 0 if empty; one whole-text gram if 0 < L < k
+    # (L == k's single sliding window equals the whole-text gram, so
+    # it rides the sliding branch); else L - k + 1 sliding grams
+    g = np.where(lens == 0, 0,
+                 np.maximum(lens - (k - 1), 1)).astype(np.int64)
+    chunk_tokens = max(_SIG_CHUNK_TOKENS, int(lens.max()))
+    buf = None
+    d0 = 0
+    while d0 < n:
+        d1 = int(np.searchsorted(offs, offs[d0] + chunk_tokens,
+                                 side="right")) - 1
+        d1 = max(d1, d0 + 1)
+        t0, t1 = int(offs[d0]), int(offs[d1])
+        th = th_all[t0:t1]
+        T = t1 - t0
+        nc = d1 - d0
+        lens_c = lens[d0:d1]
+        g_c = g[d0:d1]
+        starts_tok = (offs[d0:d1] - t0).astype(np.int64)
+        gram_offs = np.zeros(nc + 1, dtype=np.int64)
+        np.cumsum(g_c, out=gram_offs[1:])
+        total_g = int(gram_offs[-1])
+        if total_g == 0:
+            d0 = d1
+            continue
+        grams = np.empty(total_g, dtype=np.uint64)
+        slot_doc = np.repeat(np.arange(nc, dtype=np.int64), g_c)
+        long_slot = lens_c[slot_doc] >= k
+        with np.errstate(over="ignore"):
+            if T >= k and long_slot.any():
+                # flat sliding-window polynomial: k shifted
+                # multiply-adds instead of an (S, k) window matrix
+                poly = th[: T - k + 1] * _GRAM_W[0]
+                for j in range(1, k):
+                    poly = poly + th[j: T - k + 1 + j] * _GRAM_W[j]
+                # window start positions valid for their containing doc
+                doc_of = np.repeat(np.arange(nc, dtype=np.int64),
+                                   lens_c)[: T - k + 1]
+                pos_in_doc = (np.arange(T - k + 1, dtype=np.int64)
+                              - starts_tok[doc_of])
+                valid = pos_in_doc <= (lens_c[doc_of] - k)
+                grams[long_slot] = poly[valid]
+            short_docs = np.flatnonzero((lens_c > 0) & (lens_c < k))
+            if len(short_docs):
+                tok_doc = np.repeat(np.arange(nc, dtype=np.int64), lens_c)
+                short_tok = np.isin(tok_doc, short_docs)
+                pos_tok = (np.arange(T, dtype=np.int64)
+                           - starts_tok[tok_doc])[short_tok]
+                wt = th[short_tok] * _GRAM_W[pos_tok]
+                sl = lens_c[short_docs]
+                st = np.zeros(len(short_docs), dtype=np.int64)
+                np.cumsum(sl[:-1], out=st[1:])
+                grams[~long_slot] = np.add.reduceat(wt, st)
+            # permute + per-doc min: one reused buffer, P passes
+            if buf is None or len(buf) < total_g:
+                buf = np.empty(max(total_g, chunk_tokens),
+                               dtype=np.uint64)
+            v = buf[:total_g]
+            nz = g_c > 0
+            gs = gram_offs[:-1][nz]
+            rows = d0 + np.flatnonzero(nz)
+            for p in range(P):
+                np.multiply(grams, a[p], out=v)
+                v += b[p]
+                v %= np.uint64(_MERSENNE)
+                sig[rows, p] = np.minimum.reduceat(v, gs)
+        d0 = d1
+    return sig
+
+
 def _doc_shingle_hashes(text: str, k: int) -> np.ndarray:
     """Sorted-unique uint64 hash per DISTINCT word-k-shingle of
     ``text``, with ``ops.text.shingles`` semantics exactly: empty text
@@ -314,16 +409,13 @@ def minhash_signatures(
     def _sig(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col)
         th, offs = _batch_token_hashes(batch.column(text_col))
-        sigs = [
-            _minhash_from_th(th[offs[i]:offs[i + 1]], a, b, shingle_k)
-            for i in range(len(ids))
-        ]
-        return pa.Table.from_pydict(
-            {
-                id_col: ids,
-                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
-            }
-        )
+        sig = _batch_minhash(th, offs, a, b, shingle_k)
+        n, P = sig.shape
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * P, P, dtype=np.int32),
+                     pa.int32()),
+            pa.array(sig.ravel()))
+        return pa.Table.from_pydict({id_col: ids, "sig": lst})
 
     return ds.map_batches(_sig, batch_format="pyarrow")
 
@@ -425,22 +517,29 @@ def _minhash_pairs_carry(ds, text_col, id_col, a, b, bands, rows_per_band,
     estimate inline (see minhash_lsh_pairs for when this is safe)."""
 
     def _band_rows(batch: pa.Table) -> pa.Table:
-        ids_out, band_keys, sigs_out = [], [], []
+        # batch signature matrix + vectorized band keys (r05): empty
+        # docs (no tokens) are dropped — no signature, no bucket
+        ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
         th_all, offs = _batch_token_hashes(batch.column(text_col))
-        for j, i in enumerate(batch.column(id_col).to_pylist()):
-            th = th_all[offs[j]:offs[j + 1]]
-            if len(th) == 0:
-                continue  # empty doc: no signature, no bucket
-            sig = _minhash_from_th(th, a, b, shingle_k)
-            sl = sig.tolist()
-            keys = _band_keys(sig, bands, rows_per_band)
-            ids_out.extend([i] * bands)
-            band_keys.extend(keys.tolist())
-            sigs_out.extend([sl] * bands)
+        sig = _batch_minhash(th_all, offs, a, b, shingle_k)
+        ne = np.diff(offs) > 0
+        sig, ids = sig[ne], ids[ne]
+        n = len(ids)
+        num_perm = bands * rows_per_band
+        with np.errstate(over="ignore"):
+            keys = (sig.reshape(n, bands, rows_per_band)
+                    * _GRAM_W[None, None, :rows_per_band]).sum(axis=2) \
+                + _BAND_SALT[None, :bands]
+        sig_rep = np.repeat(sig, bands, axis=0)
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n * bands + 1) * num_perm, num_perm,
+                               dtype=np.int32), pa.int32()),
+            pa.array(sig_rep.ravel()))
         return pa.Table.from_pydict(
-            {id_col: pa.array(ids_out, pa.int64()),
-             "band_key": pa.array(band_keys, pa.uint64()),
-             "sig": pa.array(sigs_out, pa.list_(pa.uint64()))}
+            {id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+             "band_key": pa.array(keys.ravel(), pa.uint64()),
+             "sig": lst}
         )
 
     # coarse-bucketed vectorized clique + inline estimate (r03; was one
@@ -571,20 +670,23 @@ def minhash_lsh_pairs(
         )
 
     def _band_rows(batch: pa.Table) -> pa.Table:
-        ids_out, band_keys = [], []
-        ids = batch.column(id_col).to_pylist()
+        # slim variant of the carry plan's band stage (no sig column):
+        # batch signature matrix + vectorized band keys (r05)
+        ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
         th_all, offs = _batch_token_hashes(batch.column(text_col))
-        for j, i in enumerate(ids):
-            th = th_all[offs[j]:offs[j + 1]]
-            if len(th) == 0:
-                continue  # empty doc: no signature, no bucket
-            sig = _minhash_from_th(th, a, b, shingle_k)
-            ids_out.extend([i] * bands)
-            band_keys.extend(_band_keys(sig, bands, rows_per_band).tolist())
+        sig = _batch_minhash(th_all, offs, a, b, shingle_k)
+        ne = np.diff(offs) > 0
+        sig, ids = sig[ne], ids[ne]
+        n = len(ids)
+        with np.errstate(over="ignore"):
+            keys = (sig.reshape(n, bands, rows_per_band)
+                    * _GRAM_W[None, None, :rows_per_band]).sum(axis=2) \
+                + _BAND_SALT[None, :bands]
         return pa.Table.from_pydict(
             {
-                id_col: pa.array(ids_out, pa.int64()),
-                "band_key": pa.array(band_keys, pa.uint64()),
+                id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+                "band_key": pa.array(keys.ravel(), pa.uint64()),
             }
         )
 
@@ -765,11 +867,16 @@ def minhash_lsh_pairs(
     return withB.map_batches(_estimate, batch_format="pyarrow")
 
 
-# bit-matrix unpack cap: 65536 tokens x 64 bits x int32 = 16.8 MB per
-# chunk — a whole 1024-doc batch of long docs would unpack to a fresh
-# >100 MB (T, 64) matrix, the allocation class that page-fault-storms
-# under full-width concurrency on this hardware (see BASELINE.md and
-# bucketing.pair_cosine, which exists to bound exactly this)
+# bit-matrix unpack cap: the unpack buffer is 65536 tokens x 64 bits x
+# int32 = 16.8 MB, preallocated ONCE per call and reused across chunks
+# (the shift writes straight into it, so there is no transient uint64
+# (T, 64) matrix — ADVICE r04: that intermediate alone was ~33.5 MB
+# per chunk). A whole 1024-doc batch of long docs would otherwise
+# unpack to a fresh >100 MB matrix, the allocation class that
+# page-fault-storms under full-width concurrency on this hardware (see
+# BASELINE.md and bucketing.pair_cosine, which exists to bound exactly
+# this); the remaining per-chunk transients (reduceat output, acc) are
+# O(docs x 64), a few hundred KB.
 _SIMHASH_CHUNK_TOKENS = 65536
 
 
@@ -790,6 +897,7 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     nonempty = np.flatnonzero(lens > 0)
     ends = offs[nonempty + 1]  # token end per nonempty doc
     start = 0
+    buf = None
     while start < len(nonempty):
         tok0 = offs[nonempty[start]]
         # widest run of docs whose token span fits the cap; always
@@ -800,8 +908,16 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
                                        side="right")))
         seg = nonempty[start:stop]
         th = th_all[tok0:ends[stop - 1]]
-        bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)) \
-            .astype(np.int32)
+        if buf is None or buf.shape[0] < len(th):
+            buf = np.empty((max(len(th), _SIMHASH_CHUNK_TOKENS), 64),
+                           dtype=np.int32)
+        bits = buf[: len(th)]
+        # unsafe-cast shift straight into the reused int32 buffer: bit 0
+        # survives the truncation, and no uint64 (T, 64) temporary is
+        # ever allocated (ADVICE r04)
+        np.right_shift(th[:, None], shifts[None, :], out=bits,
+                       casting="unsafe")
+        np.bitwise_and(bits, 1, out=bits)
         # consecutive nonempty docs are token-adjacent (empty docs
         # contribute zero tokens), so reduceat segments at the docs'
         # chunk-relative starts cover the chunk exactly
