@@ -44,8 +44,11 @@ def corpus_md5(out_dir: str) -> str:
 
     t = pq.read_table(os.path.join(out_dir, "extracted"),
                       columns=["url", "text"])
-    t = t.sort_by("url")
     st = pa.large_string()
+    # large_string BEFORE the sort: take() on >2 GB of 32-bit-offset
+    # string chunks overflows while concatenating
+    t = t.cast(pa.schema([("url", st), ("text", st)]))
+    t = t.sort_by("url")
     joined = pc.binary_join_element_wise(
         t.column("url").cast(st), t.column("text").cast(st),
         pa.scalar("\0", st))
