@@ -60,6 +60,16 @@ class GenerateStage:
     vector 0.3, generate.py:92-125) via ops.retrieval.insert_citations,
     emitting ``##N$$`` markers and the dedup'd ``cited_chunks`` list.
     Swapping in a real model keeps the interface: load it in __init__.
+
+    ``enabled_tools`` mirrors the reference's ``llm_enabled_tools``
+    (generate.py:152-158): named plugins are resolved from
+    ``raydoc.plugins.GLOBAL_PLUGINS`` ONCE at construction (per-actor
+    slot; unknown names fail loudly here, like check_valid), and the
+    deterministic double invokes each tool on the row's input and
+    appends ``[tool:name] result`` lines — where a real chat model
+    would receive the same tools as OpenAI schemas
+    (``llm_tool_metadata_to_openai_tool``) and call them through a
+    ``PluginCallSession``.
     """
 
     def __init__(self, prompt: str = "Q: {input}\nA: {evidence}",
@@ -67,7 +77,8 @@ class GenerateStage:
                  out_col: str = "answer", cite: bool = False,
                  chunks_col: str = "chunk_texts",
                  vectors_col: str = "chunk_vectors",
-                 cite_threshold: float = 0.3) -> None:
+                 cite_threshold: float = 0.3,
+                 enabled_tools: list[str] | None = None) -> None:
         self.prompt = prompt  # the per-actor "model" slot
         self.input_col = input_col
         self.evidence_col = evidence_col
@@ -76,6 +87,17 @@ class GenerateStage:
         self.chunks_col = chunks_col
         self.vectors_col = vectors_col
         self.cite_threshold = cite_threshold
+        self.tools = []
+        if enabled_tools:
+            from raydoc.plugins import GLOBAL_PLUGINS
+
+            resolved = GLOBAL_PLUGINS.get_llm_tools_by_names(enabled_tools)
+            known = {t.name for t in resolved}
+            bad = [n for n in enabled_tools if n not in known]
+            if bad:
+                raise ValueError(f"unknown LLM tool(s) {bad}; registered: "
+                                 f"{GLOBAL_PLUGINS.names()}")
+            self.tools = [t() for t in resolved]  # once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = batch.column_names
@@ -87,6 +109,13 @@ class GenerateStage:
             self.prompt.replace("{input}", i or "").replace("{evidence}", e or "")
             for i, e in zip(ins, evs)
         ]
+        if self.tools:
+            out = [
+                ans + "".join(
+                    f"\n[tool:{t.name}] {t.invoke(text=i or '')}"
+                    for t in self.tools)
+                for ans, i in zip(out, ins)
+            ]
         if not (self.cite and self.chunks_col in cols
                 and self.vectors_col in cols):
             return batch.append_column(self.out_col,
