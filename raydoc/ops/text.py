@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -189,16 +190,61 @@ def langid_batch(batch: pa.Table, col: str = "text") -> pa.Table:
                                pa.array(preds.tolist(), type=pa.string()))
 
 
+def _rolling_sigs(col, k: int = 8) -> np.ndarray:
+    """Min rolling word-k-gram hash per doc, vectorized (r05; replaced
+    one blake2b call per SHINGLE with one per DISTINCT token + a flat
+    position-weighted polynomial and ``np.minimum.reduceat`` at doc
+    boundaries — the dedup signature builders' gram hash, so the per-doc
+    cost is O(tokens) numpy, not O(shingles) hashlib). ``shingles``
+    semantics: lowercase + whitespace collapse; fewer-than-k tokens ->
+    ONE whole-text gram; empty -> 0. Values are a different (equally
+    stable/uniform) hash family than the pre-r05 string-blake2b — the
+    signature is an edit-robust shape estimator, not an oracle-pinned
+    value."""
+    from raydoc.ops.dedup import _GRAM_W, _batch_token_hashes
+
+    th, offs = _batch_token_hashes(col)
+    n = len(offs) - 1
+    lens = np.diff(offs)
+    out = np.zeros(n, dtype=np.uint64)
+    T = len(th)
+    if T == 0:
+        return out
+    with np.errstate(over="ignore"):
+        long_docs = np.flatnonzero(lens >= k)
+        if T >= k and len(long_docs):
+            poly = th[: T - k + 1] * _GRAM_W[0]
+            for j in range(1, k):
+                poly = poly + th[j: T - k + 1 + j] * _GRAM_W[j]
+            doc_of = np.repeat(np.arange(n, dtype=np.int64),
+                               lens)[: T - k + 1]
+            pos = (np.arange(T - k + 1, dtype=np.int64)
+                   - offs[:-1][doc_of])
+            vm = poly[pos <= (lens[doc_of] - k)]
+            g = (lens[long_docs] - k + 1).astype(np.int64)
+            starts = np.zeros(len(long_docs), dtype=np.int64)
+            np.cumsum(g[:-1], out=starts[1:])
+            out[long_docs] = np.minimum.reduceat(vm, starts)
+        short = np.flatnonzero((lens > 0) & (lens < k))
+        if len(short):
+            tok_doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+            stok = np.isin(tok_doc, short)
+            pos_t = (np.arange(T, dtype=np.int64)
+                     - offs[:-1][tok_doc])[stok]
+            wt = th[stok] * _GRAM_W[pos_t]
+            st = np.zeros(len(short), dtype=np.int64)
+            np.cumsum(lens[short][:-1], out=st[1:])
+            out[short] = np.add.reduceat(wt, st)
+    return out
+
+
 def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Append ``fingerprint`` (md5 hex of the text — matches DuckDB
-    ``md5()``) and ``rolling_sig`` (min of rolling 8-gram stable hashes,
-    a document-shape signature robust to small edits)."""
-    fps, sigs = [], []
-    for t in _texts(batch, col):
-        t = t or ""
-        fps.append(md5_hex(t))
-        grams = shingles(t, 8)
-        sigs.append(min((stable_u64(g) for g in grams), default=0))
+    ``md5()``, the oracle-pinned column) and ``rolling_sig`` (min of
+    rolling 8-gram hashes, a document-shape signature robust to small
+    edits; vectorized, see ``_rolling_sigs``)."""
+    fps = [md5_hex(t or "") for t in _texts(batch, col)]
+    sigs = _rolling_sigs(batch.column(col))
     return batch.append_column(
         "fingerprint", pa.array(fps, type=pa.string())
     ).append_column("rolling_sig", pa.array(sigs, type=pa.uint64()))
