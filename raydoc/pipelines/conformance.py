@@ -147,6 +147,37 @@ class GenerateStage:
             "cited_chunks", pa.array(cited_lists, pa.list_(pa.int64()))
         )
 
+    def stream_row(self, input: str = "", evidence: str = "",
+                   chunk_texts: list[str] | None = None,
+                   chunk_vectors: list | None = None,
+                   empty_responses: list[str] | None = None,
+                   chunk_tokens: int = 1):
+        """Stream ONE row's answer as cumulative prefixes — the
+        ``Generate.stream_output`` contract (generate.py:235-262) over
+        this stage's prompt/tool/cite config. The final content-yield
+        (and, with ``cite``, the final cited yield) is byte-identical
+        to what ``__call__`` puts in ``out_col`` / ``cited_chunks``
+        for the same row, so batch and conversational paths agree."""
+        from raydoc.ops.streaming import generate_stream
+
+        ans = (self.prompt.replace("{input}", input or "")
+               .replace("{evidence}", evidence or ""))
+        if self.tools:
+            ans += "".join(f"\n[tool:{t.name}] {t.invoke(text=input or '')}"
+                           for t in self.tools)
+        dim = (len(chunk_vectors[0])
+               if self.cite and chunk_vectors else 8)
+        return generate_stream(
+            ans,
+            chunk_texts=chunk_texts if self.cite else None,
+            chunk_vectors=chunk_vectors if self.cite else None,
+            cite=self.cite,
+            threshold=self.cite_threshold,
+            embed_fn=(lambda s: _pseudo_embedding(s, dim)),
+            empty_responses=empty_responses,
+            chunk_tokens=chunk_tokens,
+        )
+
 
 def rewrite_query(query: str, history: list[str]) -> str:
     """Deterministic double of RewriteQuestion (rewrite.py:21-94):
