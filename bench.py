@@ -70,16 +70,18 @@ def _consume(res) -> int:
     return 0
 
 
-def run_headline(sf: float, num_cpus: int, runs: int = 3) -> dict:
+def run_headline(sf: float, num_cpus: int, runs: int = 4) -> dict:
     """Full checkpointed extraction pipeline over the pages corpus for
     this sf: read -> extract task pool -> url-hash shuffle -> atomic
     parquet + manifests.
 
-    Runs the identical job three times (fresh output dir each time):
-    ``cold`` is the first run and includes the one-time cluster
-    spin-up (worker-process fork, shuffle-aggregator actor creation,
-    code import) that a fresh Ray session pays exactly once;
-    ``docs_per_sec`` is the BEST of the two warm repeats — the
+    Runs the identical job ``runs`` times (fresh output dir each
+    time; 4 by default since r05 — 3 warm samples halve the odds that
+    every warm repeat lands in one noisy window, ~10 s extra): ``cold``
+    is the first run and includes the one-time cluster spin-up
+    (worker-process fork, shuffle-aggregator actor creation, code
+    import) that a fresh Ray session pays exactly once;
+    ``docs_per_sec`` is the BEST of the warm repeats — the
     sustained rate that matches the 10^12-document design point, where
     spin-up amortizes to zero. Best-of-warm is the standard shared-
     hardware discipline: this sandbox shows ±20% co-tenant noise
@@ -150,10 +152,21 @@ def main() -> int:
     if not args.headline_only:
         from raydoc.pipelines.queries import QUERIES
 
+        # best of 2 back-to-back executions per leg (r05): this sandbox
+        # shows ±20% co-tenant noise and single-shot legs billed whole
+        # rounds to noisy windows (BENCH_r04 vs the r04 quiet re-runs,
+        # BASELINE.md "Round 5"). The first execution of a leg also
+        # pays its one-time import/read-planning cost, so best-of-2 is
+        # slightly below historical single-shot numbers by design —
+        # comparisons belong against same-harness rounds (r05+).
         for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            _consume(QUERIES[name](sf_dir))
-            queries[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                _consume(QUERIES[name](sf_dir))
+                w = time.perf_counter() - t0
+                best = w if best is None else min(best, w)
+            queries[name] = round(best, 3)
 
     scaling_block = None
     scaling_path = os.path.join(REPO, "SCALING_sf1.json")
@@ -168,13 +181,16 @@ def main() -> int:
     out = {
         "metric": "docs_per_sec_extracted",
         "value": round(head["docs_per_sec"], 2),
-        "value_definition": "steady (best of 2 warm repeats of the "
+        "value_definition": "steady (best of 3 warm repeats of the "
                             "identical job in the process; cold 1st-job "
                             "numbers in headline.cold_*)",
         "unit": "docs/sec",
         "headline": {k: (round(v, 3) if isinstance(v, float) else v)
                      for k, v in head.items()},
         "queries": queries,
+        "queries_definition": "seconds, best of 2 back-to-back "
+                              "executions per leg (r05; single-shot "
+                              "before r05)",
         "sf": sf,
         "num_cpus": num_cpus,
         "scaling": scaling_block,
