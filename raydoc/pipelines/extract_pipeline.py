@@ -245,12 +245,17 @@ def run_extract_pipeline(
     concurrency: int | None = None,
     rows_per_part: int | None = None,
     durable: bool = False,
+    collect_stats: bool = False,
 ) -> dict:
     """Checkpointed, resumable flagship run. Returns a summary dict.
 
     Resume semantics (north rule): partitions listed in
     ``out_dir/_manifest`` are skipped entirely — their pages are
     filtered out right after the read, BEFORE any parse work.
+
+    ``collect_stats=True`` adds the executed Dataset's
+    ``stats()`` string to the summary (``stats_str``) for per-stage
+    wall/CPU attribution (tools/stage_split.py).
     """
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -505,7 +510,11 @@ def run_extract_pipeline(
         ctx.max_hash_shuffle_aggregators = prev_max_agg
 
     all_manifests = load_manifests(out_dir)
+    summary_extra = {}
+    if collect_stats:
+        summary_extra["stats_str"] = manifests_ds.stats()
     return {
+        **summary_extra,
         "out_dir": out_dir,
         "num_parts": P,
         "n_parts_committed": len(all_manifests),
