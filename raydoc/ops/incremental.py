@@ -1,0 +1,481 @@
+"""Incremental near-duplicate dedup against a PERSISTED band index.
+
+The continuous-crawl regime the batch LSH (ops/dedup.py
+``minhash_lsh_pairs``) cannot serve: a committed corpus is never
+re-read — its MinHash band keys and signatures live as Parquet under
+``index_dir`` (written once, appended per ingest batch), and each NEW
+crawl batch is banded alone, joined against the persisted band table,
+and verified by signature estimate. At 100 TB the corpus-side cost of
+a new batch is one pruned read of the (doc_id, band_key) table —
+~bands x 16 B per corpus doc — instead of re-shingling petabytes.
+
+Reference anchor: the reference's only dedup is get_input's exact
+``drop_duplicates`` on content (base.py:474, 509); this module is an
+engine-side extension of that semantic to rolling corpus-scale
+near-dedup (same MinHash definitions as ops/dedup.py — shared
+``_perm_params`` / ``_GRAM_W`` / ``_BAND_SALT`` constants, so an index
+written today matches signatures computed tomorrow: every hash is
+library-version-independent ``stable_u64`` arithmetic, the round-5
+persisted-hash rule).
+
+Index layout (all Parquet, append-only, ``_meta.json`` is the commit
+marker and parameter pin)::
+
+    index_dir/
+      _meta.json        {"version": "minhash_band_v1", num_perm,
+                         bands, rows_per_band, shingle_k, ...}
+      sigs/*.parquet    (doc_id int64, sig list<uint64>[num_perm])
+      bands/*.parquet   (doc_id int64, band_key uint64)
+
+Plans (chosen by new-batch size, mirroring dedup.py's carry/slim
+split):
+
+* new batch small (band rows <= ``broadcast_cap``): the new side's
+  (id, band_key) rows are broadcast once via object-store refs; ONE
+  streaming pass over the corpus band table probes them with
+  searchsorted — zero shuffle of corpus data.
+* new batch large, or ``max_bucket_docs`` set: tag-union co-partition
+  of both band tables on band_key (the coarse-bucket plan — P Python
+  calls total), cross-side pairs per band run, with the same
+  star-pair cap discipline as dedup.py for mass-dup boilerplate
+  buckets.
+
+Either way candidate pairs are verified by minhash-estimate >= the
+threshold: corpus signatures are fetched from the index by candidate
+id (semi-join pruned read), new-side signatures are computed once and
+reused. Candidate ids/pairs stay Datasets end to end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raydoc.ops.dedup import (
+    _BAND_SALT,
+    _GRAM_W,
+    _MAXU64,
+    _attach_pair_values,
+    _distinct_pairs,
+    minhash_signatures,
+)
+
+__all__ = [
+    "write_neardup_index",
+    "append_neardup_index",
+    "read_index_meta",
+    "incremental_near_dup_pairs",
+    "incremental_dedup",
+]
+
+INDEX_VERSION = "minhash_band_v1"
+_BROADCAST_BAND_ROWS_CAP = 4_000_000  # 16 B/row -> ~64 MB broadcast
+
+
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_meta.json")
+
+
+def read_index_meta(index_dir: str) -> dict:
+    with open(_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    if meta.get("version") != INDEX_VERSION:
+        raise ValueError(
+            f"near-dup index at {index_dir} has version "
+            f"{meta.get('version')!r}, this build reads {INDEX_VERSION!r}")
+    return meta
+
+
+def _band_rows_from_sigs(id_col: str, bands: int, rows_per_band: int):
+    """map_batches UDF: (id, sig) rows -> (id, band_key) rows, one per
+    band — the same position-weighted poly + per-band salt as
+    dedup._band_rows, computed from the STORED signature so index
+    build/append never re-reads text. Docs with no shingles carry the
+    all-MAX empty signature (every real minhash value is < 2^61, so
+    all-MAX <=> zero tokens) and are excluded, exactly like
+    dedup._band_rows' ``ne`` filter — empty docs are exact_dedup's
+    job and would otherwise collapse into one mega-bucket."""
+    from raydoc.util import embedding_matrix
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.Table.from_pydict(
+                {id_col: pa.array([], pa.int64()),
+                 "band_key": pa.array([], pa.uint64())})
+        sig = embedding_matrix(batch.column("sig"), dtype=np.uint64)
+        ne = ~(sig == _MAXU64).all(axis=1)
+        sig, ids = sig[ne], ids[ne]
+        n = len(ids)
+        with np.errstate(over="ignore"):
+            keys = (sig.reshape(n, bands, rows_per_band)
+                    * _GRAM_W[None, None, :rows_per_band]).sum(axis=2) \
+                + _BAND_SALT[None, :bands]
+        return pa.Table.from_pydict(
+            {id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+             "band_key": pa.array(keys.ravel(), pa.uint64())})
+
+    return _rows
+
+
+def _write_index_rows(ds, index_dir: str, meta: dict, *, text_col: str,
+                      id_col: str) -> None:
+    """Compute signatures once, persist sigs, then derive band rows
+    FROM the persisted sigs (a second read of ~num_perm x 8 B per doc,
+    not a second shingling of the text)."""
+    import ray.data as rd
+
+    sig_dir = os.path.join(index_dir, "sigs")
+    band_dir = os.path.join(index_dir, "bands")
+    os.makedirs(sig_dir, exist_ok=True)
+    os.makedirs(band_dir, exist_ok=True)
+    sigs = minhash_signatures(
+        ds, text_col, id_col,
+        num_perm=meta["num_perm"], shingle_k=meta["shingle_k"])
+    sigs.write_parquet(sig_dir)
+    rd.read_parquet(sig_dir).map_batches(
+        _band_rows_from_sigs(id_col, meta["bands"], meta["rows_per_band"]),
+        batch_format="pyarrow",
+    ).write_parquet(band_dir)
+
+
+def write_neardup_index(
+    ds,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> dict:
+    """Build a fresh persisted near-dup index over ``ds``. Fails if a
+    committed index already exists (use ``append_neardup_index``).
+    ``_meta.json`` is written LAST via tmp+rename — a killed build
+    leaves no committed marker and is simply rebuilt."""
+    if os.path.exists(_meta_path(index_dir)):
+        raise FileExistsError(
+            f"near-dup index already committed at {index_dir}; use "
+            "append_neardup_index to add a batch")
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    meta = {
+        "version": INDEX_VERSION,
+        "num_perm": num_perm,
+        "bands": bands,
+        "rows_per_band": num_perm // bands,
+        "shingle_k": shingle_k,
+        "id_col": id_col,
+        # provenance of the persisted hashes: all values derive from
+        # stable_u64 token hashes + fixed-seed numpy constants
+        # (perm seed 7, gram seed 17, band-salt seed 29) — process- and
+        # library-version-independent by construction
+        "hash_rule": "stable_u64+poly64 minhash, seeds 7/17/29",
+    }
+    _write_index_rows(ds, index_dir, meta, text_col=text_col,
+                      id_col=id_col)
+    tmp = _meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _meta_path(index_dir))
+    return meta
+
+
+def append_neardup_index(
+    ds,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Add a batch to a committed index: signatures + band rows land
+    as NEW Parquet files in the same directories (Ray names files
+    per-task-uniquely, so appends never clobber). LSH parameters come
+    from the index meta — a batch indexed with different parameters
+    would silently never match, so they are not even accepted here."""
+    meta = read_index_meta(index_dir)
+    _write_index_rows(ds, index_dir, meta, text_col=text_col,
+                      id_col=id_col)
+    return meta
+
+
+def incremental_near_dup_pairs(
+    new_ds,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    max_bucket_docs: int | None = None,
+    broadcast_cap: int = _BROADCAST_BAND_ROWS_CAP,
+    num_partitions: int | None = None,
+):
+    """Near-dup pairs between a NEW batch and the indexed corpus.
+
+    Output Dataset: ``(id_new, id_corpus, est_jaccard)`` — one row per
+    cross pair whose minhash-estimate >= ``threshold``. New-batch ids
+    should not collide with corpus ids if you want to tell the sides
+    apart downstream (the engine itself keys each side separately).
+
+    ``max_bucket_docs``: per-band-bucket corpus-side cap. ``None``
+    enumerates every cross pair in a bucket (exact semantics — what
+    the oracle checks). With a cap, a bucket whose CORPUS side exceeds
+    it pairs each new doc with the bucket's min corpus id only — the
+    dedup.py star-pair discipline: victim detection ("is this new doc
+    a dup of the corpus?") is preserved, pair enumeration inside
+    mass-dup boilerplate clusters is not. Setting it forces the
+    co-partition plan (the cap needs whole buckets in view).
+    """
+    import ray
+    import ray.data as rd
+
+    meta = read_index_meta(index_dir)
+    bands, rows_per_band = meta["bands"], meta["rows_per_band"]
+
+    # new-side signatures: computed ONCE, reused for band rows and the
+    # estimate attach. Slim (num_perm x 8 B per doc), so materializing
+    # is object-store-cheap even for a large ingest batch.
+    new_sigs = minhash_signatures(
+        new_ds, text_col, id_col,
+        num_perm=meta["num_perm"], shingle_k=meta["shingle_k"],
+    ).materialize()
+    new_bands = new_sigs.map_batches(
+        _band_rows_from_sigs(id_col, bands, rows_per_band),
+        batch_format="pyarrow")
+
+    idx_bands = rd.read_parquet(os.path.join(index_dir, "bands"))
+
+    n_band_rows = new_sigs.count() * bands
+    if max_bucket_docs is None and n_band_rows <= broadcast_cap:
+        # broadcast plan: ship the new side's (id, band_key) rows once
+        # via object-store refs; one streaming pass over the corpus
+        # band table probes them — the corpus is never shuffled.
+        refs = list(new_bands.materialize().to_arrow_refs())
+
+        class _Probe:
+            def __init__(self, refs) -> None:
+                tbls = [t for t in ray.get(list(refs)) if t.num_rows]
+                if tbls:
+                    t = pa.concat_tables(tbls)
+                    keys = t.column("band_key").combine_chunks().to_numpy(
+                        zero_copy_only=False)
+                    ids = t.column(id_col).combine_chunks().to_numpy(
+                        zero_copy_only=False)
+                    order = np.argsort(keys, kind="stable")
+                    self.keys = keys[order]
+                    self.ids = ids[order]
+                else:
+                    self.keys = np.empty(0, np.uint64)
+                    self.ids = np.empty(0, np.int64)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                z = pa.array([], pa.int64())
+                if batch.num_rows == 0 or len(self.keys) == 0:
+                    return pa.Table.from_pydict({"id_a": z, "id_b": z})
+                bk = batch.column("band_key").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                cid = batch.column(id_col).combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                lo = np.searchsorted(self.keys, bk, side="left")
+                hi = np.searchsorted(self.keys, bk, side="right")
+                cnt = hi - lo
+                nz = cnt > 0
+                if not nz.any():
+                    return pa.Table.from_pydict({"id_a": z, "id_b": z})
+                lo, cnt, cid = lo[nz], cnt[nz], cid[nz]
+                total = int(cnt.sum())
+                # segmented arange: for corpus row r, new-side slots
+                # lo[r] .. lo[r]+cnt[r]-1
+                ends = np.cumsum(cnt)
+                starts = ends - cnt
+                pos = (np.arange(total, dtype=np.int64)
+                       - np.repeat(starts, cnt) + np.repeat(lo, cnt))
+                return pa.Table.from_pydict(
+                    {"id_a": pa.array(self.ids[pos], pa.int64()),
+                     "id_b": pa.array(np.repeat(cid, cnt), pa.int64())})
+
+        from raydoc.util import cpu_cap
+
+        raw_pairs = idx_bands.map_batches(
+            _Probe, fn_constructor_args=(refs,),
+            batch_format="pyarrow", concurrency=(1, cpu_cap()))
+    else:
+        # co-partition plan: tag-union both band tables, coarse-bucket
+        # on band_key, cross-side pairs per band run — vectorized over
+        # ALL runs of a bucket at once (P Python calls total).
+        def _tag(side_val: int):
+            def _t(b: pa.Table) -> pa.Table:
+                return pa.Table.from_pydict(
+                    {"band_key": b.column("band_key"),
+                     "_id": b.column(id_col),
+                     "_side": pa.array(
+                         np.full(b.num_rows, side_val, np.int8))})
+
+            return _t
+
+        tagged = idx_bands.map_batches(
+            _tag(0), batch_format="pyarrow").union(
+            new_bands.map_batches(_tag(1), batch_format="pyarrow"))
+
+        def _cross_bucket(t: pa.Table, starts: np.ndarray,
+                          counts: np.ndarray) -> pa.Table:
+            z = pa.array([], pa.int64())
+            if t.num_rows == 0:
+                return pa.Table.from_pydict({"id_a": z, "id_b": z})
+            side = t.column("_side").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            ids = t.column("_id").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            c_cnt = np.add.reduceat((side == 0).astype(np.int64), starts)
+            n_cnt = counts - c_cnt
+            act = (c_cnt > 0) & (n_cnt > 0)
+            if not act.any():
+                return pa.Table.from_pydict({"id_a": z, "id_b": z})
+            s, c, nn = starts[act], c_cnt[act], n_cnt[act]
+            if max_bucket_docs is not None:
+                star = c > max_bucket_docs
+            else:
+                star = np.zeros(len(s), dtype=bool)
+            # full runs: every (new j, corpus i) pair
+            fs, fc, fn_ = s[~star], c[~star], nn[~star]
+            pair_cnt = fc * fn_
+            total = int(pair_cnt.sum())
+            ends = np.cumsum(pair_cnt)
+            starts_p = ends - pair_cnt
+            p = (np.arange(total, dtype=np.int64)
+                 - np.repeat(starts_p, pair_cnt))
+            run = np.repeat(np.arange(len(fs), dtype=np.int64), pair_cnt)
+            i = p % np.maximum(fc, 1)[run]
+            j = p // np.maximum(fc, 1)[run]
+            a_full = ids[fs[run] + fc[run] + j]   # new side (sorted after corpus)
+            b_full = ids[fs[run] + i]             # corpus side
+            # star runs: each new id x the run's min corpus id (row 0
+            # of the run — sort order is (_side asc, id asc))
+            ss, sc, sn = s[star], c[star], nn[star]
+            a_star = ids[np.repeat(ss + sc, sn)
+                         + _seg_arange(sn)] if len(ss) else \
+                np.empty(0, np.int64)
+            b_star = np.repeat(ids[ss], sn) if len(ss) else \
+                np.empty(0, np.int64)
+            return pa.Table.from_pydict(
+                {"id_a": pa.array(np.concatenate([a_full, a_star]),
+                                  pa.int64()),
+                 "id_b": pa.array(np.concatenate([b_full, b_star]),
+                                  pa.int64())})
+
+        from raydoc.ops.bucketing import bucketed_sorted_apply
+
+        raw_pairs = bucketed_sorted_apply(
+            tagged, ["band_key"],
+            [("band_key", "ascending"), ("_side", "ascending"),
+             ("_id", "ascending")],
+            _cross_bucket, num_partitions=num_partitions)
+
+    candidates = _distinct_pairs(raw_pairs,
+                                 num_partitions=num_partitions).materialize()
+
+    # verify: attach both sides' signatures by co-partitioned id and
+    # estimate in one vectorized compare per batch. Corpus signatures
+    # come from the INDEX, pruned to candidate ids (never the corpus).
+    from raydoc.ops.relational import distinct_on, semi_join
+
+    sig_t = pa.list_(pa.uint64())
+
+    def _side_ids(col):
+        def _ids(b: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {id_col: pc.unique(b.column(col).combine_chunks())})
+
+        return _ids
+
+    cand_corpus_ids = distinct_on(
+        candidates.map_batches(_side_ids("id_b"), batch_format="pyarrow"),
+        id_col, bucketed=True)
+    corpus_sigs = semi_join(
+        rd.read_parquet(os.path.join(index_dir, "sigs")),
+        cand_corpus_ids, id_col, id_col).materialize()
+    cand_new_ids = distinct_on(
+        candidates.map_batches(_side_ids("id_a"), batch_format="pyarrow"),
+        id_col, bucketed=True)
+    new_cand_sigs = semi_join(new_sigs, cand_new_ids, id_col,
+                              id_col).materialize()
+
+    withA = _attach_pair_values(candidates, new_cand_sigs, id_col,
+                                "sig", "a", {}, sig_t,
+                                num_partitions=num_partitions)
+    withB = _attach_pair_values(withA, corpus_sigs, id_col, "sig", "b",
+                                {"sig_a": sig_t}, sig_t,
+                                num_partitions=num_partitions)
+
+    def _estimate(bt: pa.Table) -> pa.Table:
+        from raydoc.util import embedding_matrix
+
+        bt = bt.filter(pc.and_(pc.is_valid(bt.column("sig_a")),
+                               pc.is_valid(bt.column("sig_b"))))
+        z = pa.array([], pa.int64())
+        if bt.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"id_new": z, "id_corpus": z,
+                 "est_jaccard": pa.array([], pa.float64())})
+        sa = embedding_matrix(bt.column("sig_a"), dtype=np.uint64)
+        sb = embedding_matrix(bt.column("sig_b"), dtype=np.uint64)
+        eq = sa == sb
+        est = eq.sum(axis=1) / eq.shape[1]
+        keep = est >= threshold
+        mask = pa.array(keep)
+        return pa.Table.from_pydict(
+            {"id_new": bt.column("id_a").filter(mask).combine_chunks(),
+             "id_corpus": bt.column("id_b").filter(mask).combine_chunks(),
+             "est_jaccard": pa.array(est[keep], pa.float64())})
+
+    return withB.map_batches(_estimate, batch_format="pyarrow")
+
+
+def _seg_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated."""
+    total = int(counts.sum())
+    ends = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts,
+                                                        counts)
+
+
+def incremental_dedup(
+    new_ds,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    max_bucket_docs: int | None = None,
+    update_index: bool = False,
+    num_partitions: int | None = None,
+):
+    """Drop new-batch docs that near-duplicate the indexed corpus
+    (the corpus always wins — it is already committed). Returns
+    ``(kept_new_ds, pairs_ds)``. ``update_index=True`` appends the
+    KEPT docs' signatures/bands to the index, so the next batch
+    dedups against corpus + this batch in one probe.
+
+    Within-batch near-dups are deliberately out of scope here — run
+    ``minhash_lsh_pairs``/``curate_documents`` on the batch first;
+    composing the two keeps each job's shuffle payload slim."""
+    from raydoc.ops.relational import semi_join
+
+    pairs = incremental_near_dup_pairs(
+        new_ds, index_dir, text_col=text_col, id_col=id_col,
+        threshold=threshold, max_bucket_docs=max_bucket_docs,
+        num_partitions=num_partitions,
+    ).materialize()  # duplicate-rate-sized, reused for victims + return
+    victims = pairs.select_columns(["id_new"])
+    kept = semi_join(new_ds, victims, id_col, "id_new", anti=True)
+    if update_index:
+        append_neardup_index(kept, index_dir, text_col=text_col,
+                             id_col=id_col)
+    return kept, pairs

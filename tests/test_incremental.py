@@ -1,0 +1,217 @@
+"""Incremental near-dup dedup against a persisted band index
+(ops/incremental.py): index round-trip, append, plan parity, the
+star-pair cap, victim removal, and the fail-loud parameter pins."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from raydoc.ops.incremental import (
+    append_neardup_index,
+    incremental_dedup,
+    incremental_near_dup_pairs,
+    read_index_meta,
+    write_neardup_index,
+)
+
+BOILER = ("mass duplicated boilerplate navigation footer text repeated "
+          "across every page of the site")
+
+
+def _corpus_table() -> pa.Table:
+    uniq = [
+        f"unique corpus document number {i} about topic {i * 7} with "
+        f"words {i * 13} and {i * 29} plus filler {i * 31}"
+        for i in range(10)
+    ]
+    return pa.table({
+        "doc_id": list(range(16)),
+        "text": [BOILER] * 4 + uniq + ["", " "],  # 14/15: no tokens
+    })
+
+
+def _pairs_set(ds) -> set[tuple[int, int]]:
+    t = ds.to_pandas()
+    return set(map(tuple, t[["id_new", "id_corpus"]].values.tolist()))
+
+
+@pytest.fixture()
+def index_dir(tmp_path, ray_session):
+    import ray.data as rd
+
+    d = str(tmp_path / "idx")
+    write_neardup_index(rd.from_arrow(_corpus_table()), d)
+    return d
+
+
+class TestIndexLifecycle:
+    def test_layout_and_meta(self, index_dir):
+        meta = read_index_meta(index_dir)
+        assert meta["num_perm"] == 64 and meta["bands"] == 16
+        assert meta["rows_per_band"] == 4
+        assert os.path.isdir(os.path.join(index_dir, "sigs"))
+        assert os.path.isdir(os.path.join(index_dir, "bands"))
+        import pyarrow.parquet as pq
+
+        sigs = pq.read_table(os.path.join(index_dir, "sigs"))
+        assert sigs.num_rows == 16  # every doc gets a signature row
+        bands = pq.read_table(os.path.join(index_dir, "bands"))
+        # empty/whitespace docs are NOT banded (no shingles)
+        assert bands.num_rows == 14 * 16
+        assert bands.schema.field("band_key").type == pa.uint64()
+
+    def test_write_refuses_committed_dir(self, index_dir, ray_session):
+        import ray.data as rd
+
+        with pytest.raises(FileExistsError):
+            write_neardup_index(rd.from_arrow(_corpus_table()), index_dir)
+
+    def test_version_pin_fails_loudly(self, index_dir):
+        p = os.path.join(index_dir, "_meta.json")
+        meta = json.load(open(p))
+        meta["version"] = "minhash_band_v0"
+        json.dump(meta, open(p, "w"))
+        with pytest.raises(ValueError, match="version"):
+            read_index_meta(index_dir)
+
+    def test_bad_params_rejected(self, tmp_path, ray_session):
+        import ray.data as rd
+
+        with pytest.raises(ValueError, match="divisible"):
+            write_neardup_index(rd.from_arrow(_corpus_table()),
+                                str(tmp_path / "x"), num_perm=64, bands=15)
+
+
+class TestPairs:
+    def _new_batch(self) -> pa.Table:
+        return pa.table({
+            "doc_id": [900, 901, 902],
+            "text": [
+                BOILER,                              # dup of corpus 0-3
+                _corpus_table().column("text")[7].as_py()
+                + " extraword",                      # near-dup of corpus 7
+                "totally fresh content about parquet shards and object "
+                "store spilling behavior in the engine",
+            ],
+        })
+
+    def test_broadcast_plan(self, index_dir, ray_session):
+        import ray.data as rd
+
+        pairs = _pairs_set(incremental_near_dup_pairs(
+            rd.from_arrow(self._new_batch()), index_dir, threshold=0.6))
+        assert pairs == {(900, 0), (900, 1), (900, 2), (900, 3), (901, 7)}
+
+    def test_shuffle_plan_parity(self, index_dir, ray_session):
+        import ray.data as rd
+
+        b = _pairs_set(incremental_near_dup_pairs(
+            rd.from_arrow(self._new_batch()), index_dir, threshold=0.6))
+        s = _pairs_set(incremental_near_dup_pairs(
+            rd.from_arrow(self._new_batch()), index_dir, threshold=0.6,
+            broadcast_cap=0))
+        assert b == s
+
+    def test_star_cap_preserves_victims(self, index_dir, ray_session):
+        import ray.data as rd
+
+        pairs = _pairs_set(incremental_near_dup_pairs(
+            rd.from_arrow(self._new_batch()), index_dir, threshold=0.6,
+            max_bucket_docs=2))
+        # boilerplate bucket (4 corpus docs > cap) collapses to the min
+        # corpus id; the unique near-dup bucket is under the cap
+        assert pairs == {(900, 0), (901, 7)}
+
+    def test_empty_new_batch(self, index_dir, ray_session):
+        import ray.data as rd
+
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())})
+        out = incremental_near_dup_pairs(rd.from_arrow(empty), index_dir)
+        assert out.count() == 0
+
+    def test_no_tokens_new_doc_kept(self, index_dir, ray_session):
+        import ray.data as rd
+
+        t = pa.table({"doc_id": [1000], "text": [""]})
+        kept, pairs = incremental_dedup(rd.from_arrow(t), index_dir)
+        assert pairs.count() == 0
+        assert kept.count() == 1
+
+
+class TestDedupAndAppend:
+    def test_dedup_and_index_update(self, index_dir, ray_session):
+        import ray.data as rd
+
+        fresh_text = ("totally fresh content about parquet shards and "
+                      "object store spilling behavior in the engine")
+        batch1 = pa.table({
+            "doc_id": [900, 901],
+            "text": [BOILER, fresh_text],
+        })
+        kept, pairs = incremental_dedup(
+            rd.from_arrow(batch1), index_dir, threshold=0.6,
+            update_index=True)
+        assert sorted(kept.to_pandas()["doc_id"]) == [901]
+        assert {p[0] for p in _pairs_set(pairs)} == {900}
+        # batch 2: a clone of the KEPT doc 901 must now be caught by
+        # the UPDATED index without re-reading either corpus or batch 1
+        batch2 = pa.table({"doc_id": [950], "text": [fresh_text]})
+        p2 = _pairs_set(incremental_near_dup_pairs(
+            rd.from_arrow(batch2), index_dir, threshold=0.6))
+        assert p2 == {(950, 901)}
+
+    def test_append_only_kept_docs(self, index_dir, ray_session):
+        import ray.data as rd
+        import pyarrow.parquet as pq
+
+        before = pq.read_table(os.path.join(index_dir, "sigs")).num_rows
+        batch = pa.table({"doc_id": [900], "text": [BOILER]})
+        incremental_dedup(rd.from_arrow(batch), index_dir, threshold=0.6,
+                          update_index=True)
+        after = pq.read_table(os.path.join(index_dir, "sigs")).num_rows
+        assert after == before  # the dup was dropped, nothing appended
+
+    def test_plain_append(self, index_dir, ray_session):
+        import ray.data as rd
+        import pyarrow.parquet as pq
+
+        meta = append_neardup_index(
+            rd.from_arrow(pa.table({"doc_id": [77],
+                                    "text": ["entirely new words here "
+                                             "for the appended batch"]})),
+            index_dir)
+        assert meta["version"] == "minhash_band_v1"
+        sigs = pq.read_table(os.path.join(index_dir, "sigs"))
+        assert 77 in sigs.column("doc_id").to_pylist()
+
+
+class TestAgainstBatchLsh:
+    def test_matches_batch_mode_cross_pairs(self, index_dir, ray_session):
+        """Pairs from the incremental probe == the cross-side subset of
+        batch-mode minhash_lsh_pairs over corpus UNION new batch (the
+        semantics the index exists to avoid recomputing)."""
+        import ray.data as rd
+
+        from raydoc.ops.dedup import minhash_lsh_pairs
+
+        corpus = _corpus_table()
+        new = pa.table({
+            "doc_id": [900, 901],
+            "text": [BOILER,
+                     corpus.column("text")[9].as_py() + " tailword"],
+        })
+        inc = _pairs_set(incremental_near_dup_pairs(
+            rd.from_arrow(new), index_dir, threshold=0.6))
+        both = rd.from_arrow(pa.concat_tables([corpus, new]))
+        batch_pairs = minhash_lsh_pairs(both, threshold=0.6).to_pandas()
+        cross = set()
+        for a, b in batch_pairs[["id_a", "id_b"]].values.tolist():
+            lo, hi = min(a, b), max(a, b)
+            if hi >= 900 and lo < 900:
+                cross.add((hi, lo))
+        assert inc == cross
