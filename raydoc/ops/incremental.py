@@ -256,56 +256,57 @@ def incremental_near_dup_pairs(
     if max_bucket_docs is None and n_band_rows <= broadcast_cap:
         # broadcast plan: ship the new side's (id, band_key) rows once
         # via object-store refs; one streaming pass over the corpus
-        # band table probes them — the corpus is never shuffled.
+        # band table probes them — the corpus is never shuffled. A
+        # TASK pool with the per-process broadcast cache
+        # (relational._bcast_cached), not an actor pool: the fixed
+        # actor count + per-actor queues cap effective parallelism on
+        # wide streaming passes (the measured extract-stage lesson).
+        from raydoc.ops.relational import _bcast_cached
+
         refs = list(new_bands.materialize().to_arrow_refs())
+        cache_key = tuple(r.hex() for r in refs) + (id_col, "incr_probe")
 
-        class _Probe:
-            def __init__(self, refs) -> None:
-                tbls = [t for t in ray.get(list(refs)) if t.num_rows]
-                if tbls:
-                    t = pa.concat_tables(tbls)
-                    keys = t.column("band_key").combine_chunks().to_numpy(
-                        zero_copy_only=False)
-                    ids = t.column(id_col).combine_chunks().to_numpy(
-                        zero_copy_only=False)
-                    order = np.argsort(keys, kind="stable")
-                    self.keys = keys[order]
-                    self.ids = ids[order]
-                else:
-                    self.keys = np.empty(0, np.uint64)
-                    self.ids = np.empty(0, np.int64)
+        def _load_probe():
+            tbls = [t for t in ray.get(list(refs)) if t.num_rows]
+            if not tbls:
+                return None
+            t = pa.concat_tables(tbls)
+            keys = t.column("band_key").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            ids = t.column(id_col).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            order = np.argsort(keys, kind="stable")
+            return keys[order], ids[order]
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                z = pa.array([], pa.int64())
-                if batch.num_rows == 0 or len(self.keys) == 0:
-                    return pa.Table.from_pydict({"id_a": z, "id_b": z})
-                bk = batch.column("band_key").combine_chunks().to_numpy(
-                    zero_copy_only=False)
-                cid = batch.column(id_col).combine_chunks().to_numpy(
-                    zero_copy_only=False)
-                lo = np.searchsorted(self.keys, bk, side="left")
-                hi = np.searchsorted(self.keys, bk, side="right")
-                cnt = hi - lo
-                nz = cnt > 0
-                if not nz.any():
-                    return pa.Table.from_pydict({"id_a": z, "id_b": z})
-                lo, cnt, cid = lo[nz], cnt[nz], cid[nz]
-                total = int(cnt.sum())
-                # segmented arange: for corpus row r, new-side slots
-                # lo[r] .. lo[r]+cnt[r]-1
-                ends = np.cumsum(cnt)
-                starts = ends - cnt
-                pos = (np.arange(total, dtype=np.int64)
-                       - np.repeat(starts, cnt) + np.repeat(lo, cnt))
-                return pa.Table.from_pydict(
-                    {"id_a": pa.array(self.ids[pos], pa.int64()),
-                     "id_b": pa.array(np.repeat(cid, cnt), pa.int64())})
+        def _probe(batch: pa.Table) -> pa.Table:
+            z = pa.array([], pa.int64())
+            loaded = _bcast_cached(cache_key, _load_probe)
+            if batch.num_rows == 0 or loaded is None:
+                return pa.Table.from_pydict({"id_a": z, "id_b": z})
+            nkeys, nids = loaded
+            bk = batch.column("band_key").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            cid = batch.column(id_col).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            lo = np.searchsorted(nkeys, bk, side="left")
+            hi = np.searchsorted(nkeys, bk, side="right")
+            cnt = hi - lo
+            nz = cnt > 0
+            if not nz.any():
+                return pa.Table.from_pydict({"id_a": z, "id_b": z})
+            lo, cnt, cid = lo[nz], cnt[nz], cid[nz]
+            total = int(cnt.sum())
+            # segmented arange: for corpus row r, new-side slots
+            # lo[r] .. lo[r]+cnt[r]-1
+            ends = np.cumsum(cnt)
+            starts = ends - cnt
+            pos = (np.arange(total, dtype=np.int64)
+                   - np.repeat(starts, cnt) + np.repeat(lo, cnt))
+            return pa.Table.from_pydict(
+                {"id_a": pa.array(nids[pos], pa.int64()),
+                 "id_b": pa.array(np.repeat(cid, cnt), pa.int64())})
 
-        from raydoc.util import cpu_cap
-
-        raw_pairs = idx_bands.map_batches(
-            _Probe, fn_constructor_args=(refs,),
-            batch_format="pyarrow", concurrency=(1, cpu_cap()))
+        raw_pairs = idx_bands.map_batches(_probe, batch_format="pyarrow")
     else:
         # co-partition plan: tag-union both band tables, coarse-bucket
         # on band_key, cross-side pairs per band run — vectorized over
@@ -455,6 +456,7 @@ def incremental_dedup(
     threshold: float = 0.7,
     max_bucket_docs: int | None = None,
     update_index: bool = False,
+    broadcast_cap: int = _BROADCAST_BAND_ROWS_CAP,
     num_partitions: int | None = None,
 ):
     """Drop new-batch docs that near-duplicate the indexed corpus
@@ -471,7 +473,7 @@ def incremental_dedup(
     pairs = incremental_near_dup_pairs(
         new_ds, index_dir, text_col=text_col, id_col=id_col,
         threshold=threshold, max_bucket_docs=max_bucket_docs,
-        num_partitions=num_partitions,
+        broadcast_cap=broadcast_cap, num_partitions=num_partitions,
     ).materialize()  # duplicate-rate-sized, reused for victims + return
     victims = pairs.select_columns(["id_new"])
     kept = semi_join(new_ds, victims, id_col, "id_new", anti=True)
