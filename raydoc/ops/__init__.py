@@ -6,6 +6,8 @@ Modules:
   relational  - joins / grouped aggregates / top-k / distinct / union
   text        - language-ID, quality scoring, token counts, fingerprints
   dedup       - exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  incremental - near-dup of NEW batches vs a persisted band index
+                (continuous-crawl; corpus never re-read)
   similarity  - cosine top-k (brute force + LSH-bucketed)
   window      - event-time tumbling windows, sessionization, as-of join,
                 LLM sequence packing

@@ -200,3 +200,59 @@ class TestSideEffectSink:
         assert out2.column("sink_status").to_pylist() == [
             "skipped:already-delivered", "error:RuntimeError:smtp down"]
         assert calls == ["ok@x", "bad@x", "bad@x"]
+
+
+class TestStageSplit:
+    def test_parse_stats_attribution(self):
+        """tools/stage_split.py parses operator walls + summed remote
+        wall/cpu/UDF seconds out of a Dataset.stats() string."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "stage_split", "/root/repo/tools/stage_split.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        stats = (
+            "Operator 1 ReadParquet->SplitBlocks(8): 2 tasks executed, "
+            "16 blocks produced in 0.15s\n"
+            "* Remote wall time: 204.4us min, 15.9ms max, 2.11ms mean, "
+            "33.82ms total\n"
+            "* Remote cpu time: 236.7us min, 17.04ms max, 2.26ms mean, "
+            "36.16ms total\n"
+            "* UDF time: 0us min, 0us max, 0.0us mean, 0us total\n"
+            "\n"
+            "Operator 2 Shuffle(key_columns=('shuffle_key',), "
+            "num_partitions=8): executed in 1.31s\n"
+            "\n"
+            "\tSuboperator 0 foo_shuffle: 1 tasks executed, 2 blocks "
+            "produced\n"
+            "\t* Remote wall time: 27.36ms min, 28.3ms max, 27.83ms "
+            "mean, 55.66ms total\n"
+            "\t* Remote cpu time: 43.22ms min, 48.2ms max, 45.71ms "
+            "mean, 91.42ms total\n"
+            "\t* UDF time: 0us min, 0us max, 0.0us mean, 0us total\n"
+            "\n"
+            "\tSuboperator 1 foo_finalize: 1 tasks executed, 8 blocks "
+            "produced\n"
+            "\t* Remote wall time: 245.91us min, 4.44ms max, 1.22ms "
+            "mean, 9.79ms total\n"
+            "\t* Remote cpu time: 245.69us min, 4.44ms max, 1.25ms "
+            "mean, 10.04ms total\n"
+            "\t* UDF time: 0us min, 0us max, 0.0us mean, 0us total\n"
+            "\n"
+            "Dataset iterator time breakdown:\n"
+            "* Total time overall: 1.52s\n"
+        )
+        ops = mod.parse_stats(stats)
+        assert len(ops) == 2
+        read, shuf = ops
+        assert read["wall_s"] == 0.15 and read["tasks"] == 2
+        assert abs(read["remote_wall_s"] - 0.034) < 1e-3
+        assert shuf["wall_s"] == 1.31 and shuf["tasks"] == 2
+        # suboperators fold into the parent
+        assert abs(shuf["remote_wall_s"] - (0.05566 + 0.00979)) < 1e-3
+        assert abs(shuf["remote_cpu_s"] - (0.09142 + 0.01004)) < 1e-3
+        assert mod.stage_label("Shuffle(key_columns=('shuffle_key',))") \
+            == "url-hash shuffle"
+        assert mod.stage_label("MapBatches(extract_batch)->x") \
+            == "extract (+part-id/keys)"
