@@ -70,9 +70,14 @@ __all__ = [
     "read_index_meta",
     "incremental_near_dup_pairs",
     "incremental_dedup",
+    "write_exact_index",
+    "append_exact_index",
+    "read_exact_meta",
+    "incremental_exact_dedup",
 ]
 
 INDEX_VERSION = "minhash_band_v1"
+EXACT_VERSION = "exact_md5_v1"
 _BROADCAST_BAND_ROWS_CAP = 4_000_000  # 16 B/row -> ~64 MB broadcast
 
 
@@ -445,6 +450,153 @@ def _seg_arange(counts: np.ndarray) -> np.ndarray:
     ends = np.cumsum(counts)
     return np.arange(total, dtype=np.int64) - np.repeat(ends - counts,
                                                         counts)
+
+
+# --------------------------------------------------------------------------
+# exact component: persisted md5 index (recrawl dedup without paying
+# for minhash when a pipeline only wants exact semantics). Shares the
+# same index_dir as the near-dup component (separate subdir + commit
+# marker), so one directory can carry both.
+
+
+def _exact_meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_meta_exact.json")
+
+
+def read_exact_meta(index_dir: str) -> dict:
+    with open(_exact_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    if meta.get("version") != EXACT_VERSION:
+        raise ValueError(
+            f"exact index at {index_dir} has version "
+            f"{meta.get('version')!r}, this build reads {EXACT_VERSION!r}")
+    return meta
+
+
+def _md5_rows(text_col: str, id_col: str):
+    """map_batches UDF: (id, text) -> (id, text_md5 fixed16). md5 of
+    the raw text bytes (null -> ""), the same key exact_dedup groups
+    on — 16 B/doc persisted, content-defined and library-version-
+    independent."""
+    import hashlib
+
+    def _rows(b: pa.Table) -> pa.Table:
+        digests = [hashlib.md5((t or "").encode()).digest()
+                   for t in b.column(text_col).to_pylist()]
+        return pa.Table.from_pydict(
+            {id_col: b.column(id_col),
+             "text_md5": pa.array(digests, pa.binary(16))})
+
+    return _rows
+
+
+def _write_exact_rows(ds, index_dir: str, *, text_col: str,
+                      id_col: str) -> None:
+    d = os.path.join(index_dir, "exact")
+    os.makedirs(d, exist_ok=True)
+    ds.map_batches(_md5_rows(text_col, id_col),
+                   batch_format="pyarrow").write_parquet(d)
+
+
+def write_exact_index(ds, index_dir: str, *, text_col: str = "text",
+                      id_col: str = "doc_id") -> dict:
+    """Persist (doc_id, md5(text)) for the corpus. Fails if an exact
+    component is already committed (use ``append_exact_index``)."""
+    if os.path.exists(_exact_meta_path(index_dir)):
+        raise FileExistsError(
+            f"exact index already committed at {index_dir}; use "
+            "append_exact_index to add a batch")
+    _write_exact_rows(ds, index_dir, text_col=text_col, id_col=id_col)
+    meta = {"version": EXACT_VERSION, "id_col": id_col,
+            "hash_rule": "md5(utf8 text bytes), null -> empty"}
+    tmp = _exact_meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _exact_meta_path(index_dir))
+    return meta
+
+
+def append_exact_index(ds, index_dir: str, *, text_col: str = "text",
+                       id_col: str = "doc_id") -> dict:
+    meta = read_exact_meta(index_dir)
+    _write_exact_rows(ds, index_dir, text_col=text_col, id_col=id_col)
+    return meta
+
+
+def incremental_exact_dedup(
+    new_ds,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    update_index: bool = False,
+):
+    """Drop new-batch docs whose text EXACTLY matches an indexed doc.
+
+    Returns ``(kept_new_ds, victims_ds)`` where victims has columns
+    ``(id_new, id_corpus)`` — ``id_corpus`` is the MINIMUM matching
+    corpus id (deterministic when the corpus itself carried dups).
+
+    Shape at scale: the new batch's md5 set is broadcast via
+    ``semi_join`` and the CORPUS INDEX is streamed against it (the
+    corpus is never shuffled); the matched corpus rows — at most
+    new-batch-sized — come back as object-store refs and one pass over
+    the new batch marks victims with a vectorized ``pc.index_in``.
+    """
+    import ray
+    import ray.data as rd
+
+    read_exact_meta(index_dir)
+    from raydoc.ops.relational import (
+        _bcast_cached,
+        distinct_on,
+        semi_join,
+    )
+
+    new_h = new_ds.map_batches(_md5_rows(text_col, id_col),
+                               batch_format="pyarrow").materialize()
+    idx = rd.read_parquet(os.path.join(index_dir, "exact"))
+    # corpus rows whose hash appears in the new batch (new side is the
+    # broadcast side — semi_join broadcasts its RIGHT argument)
+    matched = semi_join(idx, new_h.select_columns(["text_md5"]),
+                        "text_md5", "text_md5")
+    matched_min = distinct_on(matched, "text_md5", keep="min",
+                              order_col=id_col,
+                              bucketed=True).materialize()
+    refs = list(matched_min.to_arrow_refs())
+    cache_key = tuple(r.hex() for r in refs) + (id_col, "incr_exact")
+
+    def _load():
+        tbls = [t for t in ray.get(list(refs)) if t.num_rows]
+        if not tbls:
+            return None
+        t = pa.concat_tables(tbls)
+        return (t.column("text_md5").combine_chunks(),
+                t.column(id_col).combine_chunks())
+
+    def _victims(b: pa.Table) -> pa.Table:
+        z = pa.array([], pa.int64())
+        loaded = _bcast_cached(cache_key, _load)
+        if b.num_rows == 0 or loaded is None:
+            return pa.Table.from_pydict({"id_new": z, "id_corpus": z})
+        md5s, corpus_ids = loaded
+        pos = pc.index_in(b.column("text_md5").combine_chunks(),
+                          value_set=md5s)
+        hit = pc.is_valid(pos)
+        return pa.Table.from_pydict(
+            {"id_new": b.column(id_col).filter(hit).combine_chunks(),
+             "id_corpus": corpus_ids.take(pos.filter(hit))})
+
+    victims = new_h.map_batches(_victims,
+                                batch_format="pyarrow").materialize()
+    kept = semi_join(new_ds, victims.select_columns(["id_new"]),
+                     id_col, "id_new", anti=True)
+    if update_index:
+        append_exact_index(kept, index_dir, text_col=text_col,
+                           id_col=id_col)
+    return kept, victims
 
 
 def incremental_dedup(

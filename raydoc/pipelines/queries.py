@@ -2856,6 +2856,56 @@ SELECT id_new, id_corpus FROM p WHERE j >= 0.7
 """
 
 
+def docs_incremental_exact(sf_dir: str):
+    """Incremental EXACT dedup against the persisted md5 index
+    (ops/incremental.py exact component — recrawl dedup without paying
+    for minhash when only exact semantics are wanted). New batch
+    planted from the documents corpus: 8 exact copies (doc_id<8) and 4
+    one-word-appended non-copies (8<=doc_id<12), ids offset +300000.
+    ORACLE: victims = new docs whose text string-equals any corpus
+    doc, matched to the MINIMUM corpus doc_id (md5 equality == text
+    equality up to collisions, which the 500-doc corpus cannot
+    plausibly exhibit)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from raydoc.ops.incremental import (
+        incremental_exact_dedup,
+        write_exact_index,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    index_dir = tempfile.mkdtemp(prefix="raydoc_exact_index_")
+    write_exact_index(ds, index_dir)
+
+    base = _read_small(sf_dir, "documents", ["doc_id", "text"])
+    base = base.filter(pc.less(base.column("doc_id"), 12))
+    ids = base.column("doc_id").to_pylist()
+    texts = base.column("text").to_pylist()
+    new_rows = {
+        "doc_id": [i + 300000 for i in ids],
+        "text": [t if i < 8 else t + " zzmodified"
+                 for i, t in zip(ids, texts)],
+    }
+    _kept, victims = incremental_exact_dedup(
+        rd.from_arrow(pa.table(new_rows)), index_dir)
+    return victims.select_columns(["id_new", "id_corpus"])
+
+
+DOCS_INCREMENTAL_EXACT_SQL = """
+WITH newb AS (
+  SELECT doc_id + 300000 AS id_new,
+         CASE WHEN doc_id < 8 THEN text
+              ELSE text || ' zzmodified' END AS text
+  FROM documents WHERE doc_id < 12
+)
+SELECT n.id_new, min(c.doc_id) AS id_corpus
+FROM newb n JOIN documents c ON c.text = n.text
+GROUP BY n.id_new
+"""
+
+
 # --------------------------------------------------------------------------
 # flagship extraction (synthetic pages corpus; rows-only driver check)
 
@@ -3217,6 +3267,7 @@ QUERIES = {
     # new in r05: persisted-band-index incremental dedup — in-window so
     # the driver verifies it this round
     "docs_incremental_dedup": docs_incremental_dedup,
+    "docs_incremental_exact": docs_incremental_exact,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_url_dedup": docs_url_dedup,
     "docs_decontaminate": docs_decontaminate,
@@ -3224,10 +3275,10 @@ QUERIES = {
     "embeddings_ann_join": embeddings_ann_join,
     "canvas_customer_service": canvas_customer_service,
     "q1_pricing_summary": q1_pricing_summary,
-    "hybrid_retrieval": hybrid_retrieval,
     # ---- driver recording window (~50 entries) ends here ----
     # Everything below is hash-green in CORRECTNESS_r04.json (driver)
     # and stays green in the committed full-registry artifact.
+    "hybrid_retrieval": hybrid_retrieval,
     "keyword_topn_global": keyword_topn_global,
     "embeddings_cosine_pairs": embeddings_cosine_pairs,
     "embeddings_knn_ivf": embeddings_knn_ivf,
@@ -3351,6 +3402,7 @@ ORACLES = {
     "docs_langid": DOCS_LANGID_SQL,
     "docs_curation": DOCS_CURATION_SQL,
     "docs_incremental_dedup": DOCS_INCREMENTAL_DEDUP_SQL,
+    "docs_incremental_exact": DOCS_INCREMENTAL_EXACT_SQL,
     "docs_minhash_pairs": DOCS_NEARDUP_PAIRS_SQL,
     "docs_jaccard_pairs": DOCS_JACCARD_PAIRS_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_PAIRS_SQL,

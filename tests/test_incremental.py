@@ -215,3 +215,93 @@ class TestAgainstBatchLsh:
             if hi >= 900 and lo < 900:
                 cross.add((hi, lo))
         assert inc == cross
+
+
+class TestExactComponent:
+    def _index(self, tmp_path, ray_session):
+        import ray.data as rd
+
+        from raydoc.ops.incremental import write_exact_index
+
+        d = str(tmp_path / "xidx")
+        corpus = pa.table({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["alpha beta gamma", "delta epsilon zeta",
+                     "alpha beta gamma", ""],  # 0/2 exact twins; 3 empty
+        })
+        write_exact_index(rd.from_arrow(corpus), d)
+        return d
+
+    def test_victims_min_corpus_id_and_kept(self, tmp_path, ray_session):
+        import ray.data as rd
+
+        from raydoc.ops.incremental import incremental_exact_dedup
+
+        d = self._index(tmp_path, ray_session)
+        new = pa.table({
+            "doc_id": [100, 101, 102, 103],
+            "text": ["alpha beta gamma", "fresh totally new", "",
+                     "delta epsilon zeta"],
+        })
+        kept, victims = incremental_exact_dedup(rd.from_arrow(new), d)
+        assert sorted(kept.to_pandas()["doc_id"]) == [101]
+        got = sorted(map(tuple, victims.to_pandas()[
+            ["id_new", "id_corpus"]].values.tolist()))
+        # twin text resolves to the MIN corpus id (0, not 2)
+        assert got == [(100, 0), (102, 3), (103, 1)]
+
+    def test_update_index_catches_next_batch(self, tmp_path, ray_session):
+        import ray.data as rd
+
+        from raydoc.ops.incremental import incremental_exact_dedup
+
+        d = self._index(tmp_path, ray_session)
+        b1 = pa.table({"doc_id": [100], "text": ["brand new content"]})
+        incremental_exact_dedup(rd.from_arrow(b1), d, update_index=True)
+        b2 = pa.table({"doc_id": [200], "text": ["brand new content"]})
+        _, v2 = incremental_exact_dedup(rd.from_arrow(b2), d)
+        assert sorted(map(tuple, v2.to_pandas()[
+            ["id_new", "id_corpus"]].values.tolist())) == [(200, 100)]
+
+    def test_coexists_with_neardup_component(self, tmp_path, ray_session):
+        import ray.data as rd
+
+        from raydoc.ops.incremental import (
+            incremental_exact_dedup,
+            incremental_near_dup_pairs,
+            write_neardup_index,
+        )
+
+        d = self._index(tmp_path, ray_session)
+        long_doc = ("one two three four five six seven eight nine ten "
+                    "eleven twelve thirteen fourteen fifteen sixteen")
+        write_neardup_index(
+            rd.from_arrow(pa.table({"doc_id": [9], "text": [long_doc]})),
+            d)
+        new = pa.table({"doc_id": [500, 501],
+                        "text": ["alpha beta gamma",
+                                 long_doc + " seventeen"]})
+        _, vex = incremental_exact_dedup(rd.from_arrow(new), d)
+        assert vex.to_pandas()["id_new"].tolist() == [500]
+        pnear = incremental_near_dup_pairs(rd.from_arrow(new), d,
+                                           threshold=0.6)
+        assert _pairs_set(pnear) == {(501, 9)}
+
+    def test_commit_marker_and_version(self, tmp_path, ray_session):
+        import ray.data as rd
+
+        from raydoc.ops.incremental import (
+            read_exact_meta,
+            write_exact_index,
+        )
+
+        d = self._index(tmp_path, ray_session)
+        with pytest.raises(FileExistsError):
+            write_exact_index(
+                rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]})), d)
+        p = os.path.join(d, "_meta_exact.json")
+        meta = json.load(open(p))
+        meta["version"] = "exact_md5_v0"
+        json.dump(meta, open(p, "w"))
+        with pytest.raises(ValueError, match="version"):
+            read_exact_meta(d)
