@@ -30,6 +30,8 @@ reference has only exact content dedup, base.py:474,509).
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -219,6 +221,7 @@ def web_to_training_shards(
     checkpoint_dir: str | None = None,
     extract_batch_size: int = 64,
     extract_concurrency=None,
+    corpus_index_dir: str | None = None,
 ):
     """Raw fetch records -> packed, split training shards, end to end:
 
@@ -243,6 +246,13 @@ def web_to_training_shards(
     docs a ~3% chance that ONE doc pair shares an id and one of the
     two is dropped as a duplicate; acceptable for training-corpus
     curation (never use it as a storage key).
+
+    ``corpus_index_dir`` (r05): shared-storage path of a persisted
+    near-dup index (ops/incremental.py). First run seeds it from the
+    kept docs; later runs drop docs near-duplicating ANY earlier run's
+    corpus and append their survivors — rolling-crawl dedup against
+    the whole history at the cost of banding only the new batch.
+    Stats gain ``n_cross_corpus_dup``.
 
     Resume points, documented rather than automatic: the extracted
     corpus checkpoint (``checkpoint_dir``; object-store materialization
@@ -317,6 +327,34 @@ def web_to_training_shards(
         near_dup_threshold=near_dup_threshold,
         near_dup_bucket_cap=near_dup_bucket_cap)
 
+    # cross-RUN dedup (r05): with ``corpus_index_dir`` on shared
+    # storage, the first run seeds a persisted band index from its
+    # kept docs and every later run probes it — docs near-duplicating
+    # ANY earlier run's corpus are dropped and the survivors appended,
+    # so a rolling crawl dedups against its whole history at the cost
+    # of banding only the new batch (ops/incremental.py).
+    n_cross = 0
+    if corpus_index_dir:
+        from raydoc.ops.incremental import (
+            _meta_path,
+            incremental_dedup,
+            write_neardup_index,
+        )
+
+        if not os.path.exists(_meta_path(corpus_index_dir)):
+            write_neardup_index(kept, corpus_index_dir,
+                                text_col="text", id_col="doc_id")
+        else:
+            kept, cross_pairs = incremental_dedup(
+                kept, corpus_index_dir, text_col="text",
+                id_col="doc_id", threshold=near_dup_threshold,
+                max_bucket_docs=near_dup_bucket_cap, update_index=True)
+            from raydoc.ops.relational import distinct_on
+
+            n_cross = distinct_on(
+                cross_pairs.select_columns(["id_new"]), "id_new",
+                bucketed=True).count()
+
     split = hash_split(kept, key_col="doc_id",
                        val_pct=val_pct, test_pct=test_pct)
     packed = pack_sequences(split, token_col="n_tokens",
@@ -324,7 +362,6 @@ def web_to_training_shards(
                             key_col="split")
 
     import glob
-    import os
 
     # ONE pass over the packed stream: hive-partitioned write (same
     # out_dir/split=*/ layout as the old per-split writes) — r05,
@@ -348,6 +385,7 @@ def web_to_training_shards(
             packs[name] = int(row["max(pack_id)"]) + 1
 
     stats.update({
+        "n_cross_corpus_dup": n_cross,
         "n_extract_ok": n_extract_ok,
         "n_train": tallies["train"], "n_val": tallies["val"],
         "n_test": tallies["test"],

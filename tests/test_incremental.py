@@ -305,3 +305,38 @@ class TestExactComponent:
         json.dump(meta, open(p, "w"))
         with pytest.raises(ValueError, match="version"):
             read_exact_meta(d)
+
+
+class TestCrossRunComposition:
+    def test_web_shards_cross_run_dedup(self, tmp_path, ray_session):
+        """web_to_training_shards(corpus_index_dir=...): run 1 seeds
+        the persisted index from its kept docs; run 2 over the SAME
+        fetches drops everything as cross-corpus duplicates."""
+        import ray.data as rd
+
+        from raydoc.corpus import gen_row
+        from raydoc.pipelines.training_data import web_to_training_shards
+
+        rows = [gen_row(i) for i in range(25, 45)
+                if gen_row(i)["html"] and i % 97 != 0]
+        recs = [{"url": r["url"], "fetch_ts": k, "html": r["html"]}
+                for k, r in enumerate(rows)]
+        t = pa.Table.from_pylist(recs)
+        idx = str(tmp_path / "corpus_idx")
+
+        s1 = web_to_training_shards(
+            rd.from_arrow(t).repartition(2), str(tmp_path / "run1"),
+            near_dup_threshold=0.99, min_tokens=1, max_punct_ratio=1.0,
+            corpus_index_dir=idx)
+        assert s1["n_cross_corpus_dup"] == 0  # first run seeds
+        assert s1["n_kept"] > 0
+        assert os.path.exists(os.path.join(idx, "_meta.json"))
+
+        s2 = web_to_training_shards(
+            rd.from_arrow(t).repartition(2), str(tmp_path / "run2"),
+            near_dup_threshold=0.99, min_tokens=1, max_punct_ratio=1.0,
+            corpus_index_dir=idx)
+        # identical content -> every run-2 doc is an exact (jaccard 1)
+        # dup of a run-1 corpus doc: all dropped, nothing written
+        assert s2["n_cross_corpus_dup"] == s1["n_kept"]
+        assert s2["n_train"] + s2["n_val"] + s2["n_test"] == 0
