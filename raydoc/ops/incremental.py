@@ -74,6 +74,7 @@ __all__ = [
     "append_exact_index",
     "read_exact_meta",
     "incremental_exact_dedup",
+    "compact_index",
 ]
 
 INDEX_VERSION = "minhash_band_v1"
@@ -450,6 +451,45 @@ def _seg_arange(counts: np.ndarray) -> np.ndarray:
     ends = np.cumsum(counts)
     return np.arange(total, dtype=np.int64) - np.repeat(ends - counts,
                                                         counts)
+
+
+def compact_index(index_dir: str, target_rows_per_file: int = 2_000_000,
+                  ) -> dict:
+    """Rewrite each index component's accumulated small Parquet files
+    (one set per append) into ~``target_rows_per_file``-row files.
+
+    Crash-safe by idempotence, like the manifest-ledger compaction
+    (state/manifest.py): the compacted files are written into the SAME
+    directory under fresh task-unique names FIRST, then the old files
+    are deleted — a crash between the two steps leaves duplicate rows,
+    which every consumer tolerates (duplicate band rows produce
+    duplicate candidate pairs that ``_distinct_pairs`` collapses;
+    duplicate sig/md5 rows attach identical values / keep the same
+    min id). Single concurrent writer assumed, as everywhere in the
+    index lifecycle. Returns {component: (files_before, files_after)}.
+    """
+    import glob
+
+    import ray.data as rd
+
+    report = {}
+    for comp in ("sigs", "bands", "exact"):
+        d = os.path.join(index_dir, comp)
+        if not os.path.isdir(d):
+            continue
+        old = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if len(old) <= 1:
+            report[comp] = (len(old), len(old))
+            continue
+        ds = rd.read_parquet(d)
+        n = ds.count()
+        k = max(1, -(-n // target_rows_per_file))
+        ds.repartition(k).write_parquet(d)  # fresh unique names
+        for f in old:
+            os.remove(f)
+        report[comp] = (len(old),
+                        len(glob.glob(os.path.join(d, "*.parquet"))))
+    return report
 
 
 # --------------------------------------------------------------------------

@@ -340,3 +340,59 @@ class TestCrossRunComposition:
         # dup of a run-1 corpus doc: all dropped, nothing written
         assert s2["n_cross_corpus_dup"] == s1["n_kept"]
         assert s2["n_train"] + s2["n_val"] + s2["n_test"] == 0
+
+
+class TestCompaction:
+    def test_compact_preserves_results(self, tmp_path, ray_session):
+        import glob
+
+        import ray.data as rd
+
+        from raydoc.ops.incremental import (
+            append_neardup_index,
+            append_exact_index,
+            compact_index,
+            incremental_near_dup_pairs,
+            incremental_exact_dedup,
+            write_exact_index,
+        )
+
+        d = str(tmp_path / "cidx")
+        write_neardup_index(rd.from_arrow(_corpus_table()), d)
+        write_exact_index(rd.from_arrow(_corpus_table()), d)
+        for j in range(3):  # three appends -> many small files
+            extra = pa.table({
+                "doc_id": [700 + j],
+                "text": [f"appended batch number {j} with its own "
+                         f"distinct words w{j} x{j} y{j} z{j} plus "
+                         f"padding tokens a{j} b{j} c{j} d{j}"]})
+            append_neardup_index(rd.from_arrow(extra), d)
+            append_exact_index(rd.from_arrow(extra), d)
+
+        new = pa.table({
+            "doc_id": [900, 901],
+            "text": [BOILER,
+                     "appended batch number 1 with its own distinct "
+                     "words w1 x1 y1 z1 plus padding tokens a1 b1 c1 d1"],
+        })
+        before_near = _pairs_set(incremental_near_dup_pairs(
+            rd.from_arrow(new), d, threshold=0.6))
+        _, bv = incremental_exact_dedup(rd.from_arrow(new), d)
+        before_exact = sorted(map(tuple, bv.to_pandas()[
+            ["id_new", "id_corpus"]].values.tolist()))
+
+        report = compact_index(d)
+        for comp in ("sigs", "bands", "exact"):
+            nb, na = report[comp]
+            assert nb > na  # actually compacted
+            assert len(glob.glob(os.path.join(d, comp, "*.parquet"))) == na
+
+        after_near = _pairs_set(incremental_near_dup_pairs(
+            rd.from_arrow(new), d, threshold=0.6))
+        _, av = incremental_exact_dedup(rd.from_arrow(new), d)
+        after_exact = sorted(map(tuple, av.to_pandas()[
+            ["id_new", "id_corpus"]].values.tolist()))
+        assert after_near == before_near and before_near
+        # 900 is an exact copy of corpus 0-3 (min id 0); 901 of the
+        # appended batch-1 doc
+        assert after_exact == before_exact == [(900, 0), (901, 701)]
