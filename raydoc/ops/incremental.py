@@ -481,7 +481,10 @@ def compact_index(index_dir: str, target_rows_per_file: int = 2_000_000,
         if len(old) <= 1:
             report[comp] = (len(old), len(old))
             continue
-        ds = rd.read_parquet(d)
+        # read the EXPLICIT old-file list, not the directory: the
+        # write lands new files into the same dir, and a dir-scoped
+        # read must never risk picking them up mid-execution
+        ds = rd.read_parquet(old)
         n = ds.count()
         k = max(1, -(-n // target_rows_per_file))
         ds.repartition(k).write_parquet(d)  # fresh unique names
