@@ -93,5 +93,65 @@ for label, kwargs in (
           f"= {M / wall:,.0f} new-docs/s | kept {n_kept}, "
           f"recall {recall:.3%}, false victims {fp}")
 
+# --- compaction at scale: fragment the index with several appends of
+# fresh doc families, compact, and verify the SAME probe returns the
+# same victims against the compacted layout (plus file-count report).
+import glob  # noqa: E402
+import os  # noqa: E402
+
+from raydoc.ops.incremental import (  # noqa: E402
+    append_neardup_index,
+    compact_index,
+    incremental_near_dup_pairs,
+)
+
+
+def _gen_extra(off: int):
+    def _g(b: pa.Table) -> pa.Table:
+        ids = b.column("id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(ids + off, pa.int64()),
+             "text": pa.array([_base(int(i) + off) for i in ids],
+                              pa.string())})
+    return _g
+
+
+def _count_files() -> dict:
+    return {c: len(glob.glob(os.path.join(idx, c, "*.parquet")))
+            for c in ("sigs", "bands")
+            if os.path.isdir(os.path.join(idx, c))}
+
+
+for a in range(4):  # 4 appends of 50k disjoint docs each
+    off = 20_000_000 + a * 1_000_000
+    append_neardup_index(
+        rd.range(50_000).map_batches(_gen_extra(off),
+                                     batch_format="pyarrow"), idx)
+
+before = _count_files()
+
+
+def _victim_ids(pairs) -> set:
+    out = set()
+    for blk in ray.get(pairs.to_arrow_refs()):
+        if blk.num_rows:
+            out.update(blk.column("id_new").to_pylist())
+    return out
+
+
+pre = _victim_ids(incremental_near_dup_pairs(new, idx, threshold=0.6))
+t0 = time.perf_counter()
+report = compact_index(idx)
+t_comp = time.perf_counter() - t0
+after = _count_files()
+post = _victim_ids(incremental_near_dup_pairs(new, idx, threshold=0.6))
+n_rows = N + 4 * 50_000
+print(f"compaction: files {before} -> {after} "
+      f"({n_rows:,} indexed docs) in {t_comp:.1f} s "
+      f"= {n_rows / t_comp:,.0f} docs/s rewritten; "
+      f"probe victims identical pre/post: {pre == post} "
+      f"({len(pre)} victims)")
+assert pre == post, "compaction changed probe results"
+
 shutil.rmtree(idx, ignore_errors=True)
 ray.shutdown()
