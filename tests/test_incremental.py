@@ -396,3 +396,74 @@ class TestCompaction:
         # 900 is an exact copy of corpus 0-3 (min id 0); 901 of the
         # appended batch-1 doc
         assert after_exact == before_exact == [(900, 0), (901, 701)]
+
+    def test_crash_between_write_and_delete_tolerated(
+            self, tmp_path, ray_session):
+        """The documented crash state of compact_index — compacted
+        files landed, old files NOT yet deleted, so every index row
+        exists twice — must leave probe victims unchanged, and a
+        recovery compaction over the doubled dir must too."""
+        import glob
+        import shutil
+
+        import ray.data as rd
+
+        from raydoc.ops.incremental import (
+            append_exact_index,
+            compact_index,
+            incremental_exact_dedup,
+            write_exact_index,
+        )
+
+        d = str(tmp_path / "kidx")
+        write_neardup_index(rd.from_arrow(_corpus_table()), d)
+        write_exact_index(rd.from_arrow(_corpus_table()), d)
+        extra = pa.table({"doc_id": [700],
+                          "text": ["appended doc with distinct words "
+                                   "q7 r7 s7 t7 u7 v7 w7 x7"]})
+        append_neardup_index(rd.from_arrow(extra), d)
+        append_exact_index(rd.from_arrow(extra), d)
+
+        new = pa.table({
+            "doc_id": [900, 901],
+            "text": [BOILER, "appended doc with distinct words "
+                             "q7 r7 s7 t7 u7 v7 w7 x7"]})
+
+        def _near():
+            return _pairs_set(incremental_near_dup_pairs(
+                rd.from_arrow(new), d, threshold=0.6))
+
+        def _exact():
+            _, v = incremental_exact_dedup(rd.from_arrow(new), d)
+            return sorted(map(tuple, v.to_pandas()[
+                ["id_new", "id_corpus"]].values.tolist()))
+
+        base_near, base_exact = _near(), _exact()
+        assert base_near and base_exact == [(900, 0), (901, 700)]
+
+        # construct the crash state: stash the pre-compaction files,
+        # compact, then restore the stashed "old" files alongside the
+        # compacted ones — both generations now coexist in the dir
+        stash = {}
+        for comp in ("sigs", "bands", "exact"):
+            cd = os.path.join(d, comp)
+            stash[comp] = {os.path.basename(f): open(f, "rb").read()
+                           for f in glob.glob(os.path.join(cd, "*.parquet"))}
+        compact_index(d)
+        for comp, files in stash.items():
+            cd = os.path.join(d, comp)
+            live = {os.path.basename(f)
+                    for f in glob.glob(os.path.join(cd, "*.parquet"))}
+            for name, payload in files.items():
+                assert name not in live  # compaction used fresh names
+                with open(os.path.join(cd, name), "wb") as fh:
+                    fh.write(payload)
+
+        assert _near() == base_near and _exact() == base_exact
+
+        # recovery: a second compaction over the doubled dir converges
+        # and the (still duplicated) rows keep producing the same result
+        report = compact_index(d)
+        for comp in ("sigs", "bands", "exact"):
+            assert report[comp][1] <= report[comp][0]
+        assert _near() == base_near and _exact() == base_exact
