@@ -1567,6 +1567,60 @@ FROM documents
 """
 
 
+def docs_corpus_report(sf_dir: str):
+    """One-pass corpus health report: per (source, lang) doc counts,
+    token totals, mean tokens/doc, and short-doc counts — the summary
+    a curation run prints before choosing gates. Tokenization is the
+    whitespace kernel (ops/text.token_count_batch); the aggregate is
+    grouped_agg's partial pre-aggregation (each batch collapses to one
+    row per (source, lang) before the shuffle), so the all-to-all
+    moves O(groups x blocks) slim rows regardless of corpus size."""
+    from raydoc.ops.relational import grouped_agg
+    from raydoc.ops.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["source", "lang", "text"])
+
+    def _feat(b: pa.Table) -> pa.Table:
+        b = token_count_batch(b, "text")
+        short = pc.cast(pc.less(b.column("n_tokens"), pa.scalar(10)),
+                        pa.int64())
+        return pa.table({"source": b.column("source"),
+                         "lang": b.column("lang"),
+                         "n_tokens": b.column("n_tokens"),
+                         "is_short": short})
+
+    agg = grouped_agg(
+        ds.map_batches(_feat, batch_format="pyarrow"),
+        keys=["source", "lang"],
+        aggs={"n_docs": ("count", "n_tokens"),
+              "total_tokens": ("sum", "n_tokens"),
+              "mean_tokens": ("mean", "n_tokens"),
+              "n_short": ("sum", "is_short")},
+    )
+    return agg.map_batches(lambda b: round_col(b, "mean_tokens", 6),
+                           batch_format="pyarrow")
+
+
+DOCS_CORPUS_REPORT_SQL = r"""
+WITH tok AS (
+  SELECT source, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT)
+         END AS n_tokens
+  FROM documents
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(sum(n_tokens)::DOUBLE / count(*), 6) AS mean_tokens,
+       CAST(sum(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_short
+FROM tok
+GROUP BY source, lang
+"""
+
+
 def docs_quality(sf_dir: str):
     from raydoc.ops.text import quality_batch
 
@@ -3314,6 +3368,7 @@ QUERIES = {
     "layout_reading_order": layout_reading_order,
     "events_multi_agg": events_multi_agg,
     "keyword_topn_sketch": keyword_topn_sketch,
+    "docs_corpus_report": docs_corpus_report,
 }
 
 ORACLES = {
@@ -3433,6 +3488,7 @@ ORACLES = {
     # interpolation) in DuckDB, integer-/IEEE-exact on both sides
     "events_ndv_sketch": EVENTS_NDV_SKETCH_SQL,
     "events_quantile_sketch": EVENTS_QUANTILE_SKETCH_SQL,
+    "docs_corpus_report": DOCS_CORPUS_REPORT_SQL,
     # intentionally no oracle (driver does rows-only checks):
     # flagship_extract/flagship_chunks (the extracted text itself is
     # hash-checked via flagship_text_hash)
