@@ -867,6 +867,36 @@ def minhash_lsh_pairs(
     return withB.map_batches(_estimate, batch_format="pyarrow")
 
 
+def near_dup_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                   threshold: float = 0.7,
+                   max_bucket_docs: int | None = 512):
+    """Remove within-dataset near-duplicates: MinHash-LSH pairs, keep
+    the smaller id of each pair, drop the rest with an anti semi-join.
+    The standalone form of curate_documents' near-dup stage
+    (pipelines/training_data.py) for pipelines that want dedup without
+    the quality gates — victims stay an id DATASET end to end (never a
+    driver-side set), and oversized boilerplate band buckets are
+    star-paired over ``max_bucket_docs`` (victim detection preserved,
+    quadratic pair enumeration avoided)."""
+    from raydoc.ops.relational import distinct_on, semi_join
+
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold=threshold,
+                              max_bucket_docs=max_bucket_docs)
+
+    def _victims(b: pa.Table) -> pa.Table:
+        v = pc.max_element_wise(b.column("id_a").combine_chunks(),
+                                b.column("id_b").combine_chunks())
+        return pa.Table.from_pydict({id_col: pc.unique(v)})
+
+    victims_raw = pairs.map_batches(
+        _victims, batch_format="pyarrow"
+    ).materialize()  # O(victims) ids, not O(corpus) text
+    if victims_raw.count() == 0:
+        return ds  # schemaless-empty guard, same as curate_documents
+    victims = distinct_on(victims_raw, id_col, bucketed=True)
+    return semi_join(ds, victims, id_col, id_col, anti=True)
+
+
 # bit-matrix unpack cap: the unpack buffer is 65536 tokens x 64 bits x
 # int32 = 16.8 MB, preallocated ONCE per call and reused across chunks
 # (the shift writes straight into it, so there is no transient uint64

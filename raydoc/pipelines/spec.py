@@ -27,7 +27,11 @@ semi_join_parquet, running_agg, lag_delta, group_rank, rolling_agg,
 code (sandboxed subprocess script, the reference's Code component),
 udf (registered in-process batch callable with declared output schema),
 approx_ndv / heavy_hitters (sketches), count_distinct, pack_sequences,
-hash_sample / stratified_sample (deterministic training-mix sampling).
+hash_sample / stratified_sample (deterministic training-mix sampling),
+and the dedup/split family (r05): exact_dedup, url_dedup,
+near_dup_dedup (MinHash-LSH victim removal), incremental_dedup
+(vs a persisted corpus index), hash_split — the whole curation flow is
+spec-expressible.
 Sinks: collect, count, write_parquet, side_effect (idempotent per-key
 ledger, stages/sink_stage.py).
 """
@@ -360,6 +364,46 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
             "raydoc.ops.relational", fromlist=["group_top_k"]
         ).group_top_k(ds, p["group_key"], p.get("sort_key", "doc_id"),
                       p["k"], descending=p.get("descending", False))),
+    # r05: the dedup/split family, so the declarative spec can express
+    # the whole curation flow (url_dedup -> exact -> near-dup ->
+    # incremental-vs-corpus -> hash_split) without Python glue
+    "exact_dedup": (
+        lambda p: None,
+        lambda ds, p: __import__(
+            "raydoc.ops.dedup", fromlist=["exact_dedup"]
+        ).exact_dedup(ds, p.get("text_col", "text"),
+                      p.get("id_col", "doc_id"))),
+    "url_dedup": (
+        lambda p: None,
+        lambda ds, p: __import__(
+            "raydoc.ops.url", fromlist=["url_dedup"]
+        ).url_dedup(ds, p.get("url_col", "url"),
+                    p.get("ts_col", "warc_ts"))),
+    "near_dup_dedup": (
+        lambda p: None,
+        lambda ds, p: __import__(
+            "raydoc.ops.dedup", fromlist=["near_dup_dedup"]
+        ).near_dup_dedup(ds, p.get("text_col", "text"),
+                         p.get("id_col", "doc_id"),
+                         p.get("threshold", 0.7),
+                         p.get("max_bucket_docs", 512))),
+    "hash_split": (
+        lambda p: _require(p, "key_col"),
+        lambda ds, p: __import__(
+            "raydoc.ops.sampling", fromlist=["hash_split"]
+        ).hash_split(ds, p["key_col"], p.get("val_pct", 5),
+                     p.get("test_pct", 5), p.get("salt", "split"),
+                     p.get("out_col", "split"))),
+    "incremental_dedup": (
+        lambda p: _require(p, "index_dir"),
+        lambda ds, p: __import__(
+            "raydoc.ops.incremental", fromlist=["incremental_dedup"]
+        ).incremental_dedup(
+            ds, p["index_dir"], text_col=p.get("text_col", "text"),
+            id_col=p.get("id_col", "doc_id"),
+            threshold=p.get("threshold", 0.7),
+            max_bucket_docs=p.get("max_bucket_docs"),
+            update_index=p.get("update_index", False))[0]),
 }
 
 _VALID_PREDICATE_OPS = None

@@ -448,3 +448,107 @@ class TestSpecSegmentDedupAndHostCap:
         assert len(out) > 0
         assert set(out.columns) == {"doc_id", "text_clean", "n_segs",
                                     "n_removed"}
+
+
+class TestSpecDedupFamily:
+    def test_validation(self):
+        import pytest as _pt
+
+        from raydoc.pipelines.spec import SpecError, validate_spec
+
+        base = {"source": {"op": "read_parquet", "path": "/tmp/x.parquet"}}
+        for op, missing in (
+            ("hash_split", {}),             # no key_col
+            ("incremental_dedup", {}),      # no index_dir
+        ):
+            with _pt.raises(SpecError):
+                validate_spec({**base, "stages": [{"op": op, **missing}]})
+
+    def test_curation_chain_matches_library(self, sf_dir, ray_session):
+        """exact_dedup -> near_dup_dedup -> hash_split through the spec
+        runner must equal the same ops called directly."""
+        import ray.data as rd
+
+        from raydoc.ops.dedup import exact_dedup, near_dup_dedup
+        from raydoc.ops.sampling import hash_split
+        from raydoc.pipelines.spec import run_spec
+
+        path = f"{sf_dir}/documents.parquet"
+        spec = {
+            "source": {"op": "read_parquet", "path": path,
+                       "columns": ["doc_id", "text"]},
+            "stages": [
+                {"op": "exact_dedup"},
+                {"op": "near_dup_dedup", "threshold": 0.7},
+                {"op": "hash_split", "key_col": "doc_id"},
+            ],
+            "sink": {"op": "collect"},
+        }
+        out = run_spec(spec).to_pandas().sort_values("doc_id")
+
+        direct = hash_split(
+            near_dup_dedup(
+                exact_dedup(rd.read_parquet(path,
+                                            columns=["doc_id", "text"])),
+                threshold=0.7),
+            key_col="doc_id").to_pandas().sort_values("doc_id")
+
+        assert len(out) > 0
+        assert out["doc_id"].tolist() == direct["doc_id"].tolist()
+        assert out["split"].tolist() == direct["split"].tolist()
+        assert set(out["split"]) <= {"train", "val", "test"}
+        assert not out["text"].duplicated().any()
+
+    def test_url_dedup_spec(self, tmp_path, ray_session):
+        import pyarrow.parquet as pq
+
+        from raydoc.ops.url import synthetic_fetch_rows
+        from raydoc.pipelines.spec import run_spec
+
+        import pyarrow as _pa
+
+        t = synthetic_fetch_rows(_pa.array(range(20), _pa.int64()))
+        p = str(tmp_path / "fetches.parquet")
+        pq.write_table(t, p)
+        out = run_spec({
+            "source": {"op": "read_parquet", "path": p},
+            "stages": [{"op": "url_dedup", "ts_col": "fetch_ts"}],
+            "sink": {"op": "collect"},
+        }).to_pandas()
+        assert len(out) == 20                       # one per canonical url
+        assert out["canon_url"].is_unique
+        # the later recrawl won every key: its ts is odd (id*2 + 1)
+        assert (out["fetch_ts"] % 2 == 1).all()
+
+    def test_incremental_dedup_spec(self, tmp_path, ray_session):
+        import pyarrow as _pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from raydoc.ops.incremental import write_neardup_index
+        from raydoc.pipelines.spec import run_spec
+
+        corpus = _pa.table({
+            "doc_id": [1, 2],
+            "text": ["the committed corpus document about rivers and "
+                     "mountains with many stable words",
+                     "another committed document about oceans tides "
+                     "and maritime navigation entirely"]})
+        idx = str(tmp_path / "idx")
+        write_neardup_index(rd.from_arrow(corpus), idx)
+
+        new = _pa.table({
+            "doc_id": [10, 11],
+            "text": ["the committed corpus document about rivers and "
+                     "mountains with many stable words",   # dup of 1
+                     "a genuinely fresh document on celestial mechanics "
+                     "and orbital resonance phenomena"]})
+        p = str(tmp_path / "new.parquet")
+        pq.write_table(new, p)
+        out = run_spec({
+            "source": {"op": "read_parquet", "path": p},
+            "stages": [{"op": "incremental_dedup", "index_dir": idx,
+                        "threshold": 0.6}],
+            "sink": {"op": "collect"},
+        }).to_pandas()
+        assert out["doc_id"].tolist() == [11]
