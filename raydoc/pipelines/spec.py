@@ -461,7 +461,11 @@ def run_spec(spec: dict) -> Any:
         ds = STAGE_REGISTRY[st["op"]][1](ds, params)
     sink = spec.get("sink", {"op": "collect"})
     if sink["op"] == "write_parquet":
-        ds.write_parquet(sink["path"])
+        # partition_cols: hive-partitioned single-pass write — with a
+        # hash_split stage upstream this is the one-pass per-split
+        # shard layout (training_data.web_to_training_shards r05)
+        ds.write_parquet(sink["path"],
+                         partition_cols=sink.get("partition_cols"))
         return sink["path"]
     if sink["op"] == "count":
         return ds.count()

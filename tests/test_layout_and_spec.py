@@ -552,3 +552,23 @@ class TestSpecDedupFamily:
             "sink": {"op": "collect"},
         }).to_pandas()
         assert out["doc_id"].tolist() == [11]
+
+    def test_partitioned_sink(self, sf_dir, tmp_path, ray_session):
+        """hash_split -> write_parquet(partition_cols=['split']): the
+        declarative form of the one-pass per-split shard layout."""
+        import glob
+
+        from raydoc.pipelines.spec import run_spec
+
+        out_dir = str(tmp_path / "shards")
+        run_spec({
+            "source": {"op": "read_parquet",
+                       "path": f"{sf_dir}/documents.parquet",
+                       "columns": ["doc_id", "text"]},
+            "stages": [{"op": "hash_split", "key_col": "doc_id"}],
+            "sink": {"op": "write_parquet", "path": out_dir,
+                     "partition_cols": ["split"]},
+        })
+        parts = {p.split("=")[-1].rstrip("/")
+                 for p in glob.glob(f"{out_dir}/split=*")}
+        assert parts == {"train", "val", "test"}
