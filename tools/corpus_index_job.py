@@ -1,0 +1,176 @@
+"""Persisted corpus-index lifecycle as a `ray job submit` driver — the
+rolling-crawl dedup entry point (ops/incremental.py).
+
+On a real cluster the index lives on shared storage and each crawl
+batch runs one job:
+
+    ray job submit --working-dir . -- \
+        python tools/corpus_index_job.py seed \
+        --docs s3://bucket/batch0/ --index s3://bucket/corpus_idx/
+
+    ray job submit --working-dir . -- \
+        python tools/corpus_index_job.py dedup \
+        --docs s3://bucket/batch1/ --index s3://bucket/corpus_idx/ \
+        --out s3://bucket/batch1_kept/ --update-index
+
+Subcommands:
+
+  seed    build the near-dup (and optionally exact) index from a doc table
+  append  add a doc table's signatures to an existing index
+  dedup   drop new docs near-duplicating the indexed corpus; write the
+          kept rows as Parquet; --update-index appends the survivors so
+          the next batch probes corpus + this batch
+  compact rewrite accumulated per-append files into ~2M-row files
+          (crash-safe by idempotence; consumers tolerate the
+          duplicate-row window)
+  status  print the index meta + per-component file/row counts
+
+Each invocation prints ONE JSON line. This script OWNS its Ray session
+(library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _read_docs(path: str, text_col: str, id_col: str):
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=[id_col, text_col])
+
+
+def _component_stats(index_dir: str) -> dict:
+    import pyarrow.parquet as pq
+
+    out = {}
+    for comp in ("sigs", "bands", "exact"):
+        d = os.path.join(index_dir, comp)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        rows = sum(pq.read_metadata(f).num_rows for f in files)
+        out[comp] = {"files": len(files), "rows": rows}
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def _common(p, docs=True):
+        p.add_argument("--index", required=True, help="index directory")
+        if docs:
+            p.add_argument("--docs", required=True,
+                           help="doc table parquet file/dir")
+            p.add_argument("--text-col", default="text")
+            p.add_argument("--id-col", default="doc_id")
+
+    p_seed = sub.add_parser("seed")
+    _common(p_seed)
+    p_seed.add_argument("--num-perm", type=int, default=128)
+    p_seed.add_argument("--bands", type=int, default=32)
+    p_seed.add_argument("--shingle-k", type=int, default=5)
+    p_seed.add_argument("--with-exact", action="store_true",
+                        help="also seed the md5 exact-dup component")
+
+    p_app = sub.add_parser("append")
+    _common(p_app)
+
+    p_dedup = sub.add_parser("dedup")
+    _common(p_dedup)
+    p_dedup.add_argument("--out", required=True,
+                         help="kept-rows output parquet dir")
+    p_dedup.add_argument("--threshold", type=float, default=0.7)
+    p_dedup.add_argument("--max-bucket-docs", type=int, default=None)
+    p_dedup.add_argument("--update-index", action="store_true")
+
+    p_comp = sub.add_parser("compact")
+    _common(p_comp, docs=False)
+    p_comp.add_argument("--target-rows-per-file", type=int,
+                        default=2_000_000)
+
+    p_stat = sub.add_parser("status")
+    _common(p_stat, docs=False)
+
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():  # `ray job submit` may have connected us
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from raydoc.ops import incremental as inc
+
+    t0 = time.perf_counter()
+    result: dict = {"cmd": args.cmd, "index": args.index}
+
+    if args.cmd == "seed":
+        docs = _read_docs(args.docs, args.text_col, args.id_col)
+        inc.write_neardup_index(
+            docs, args.index, text_col=args.text_col, id_col=args.id_col,
+            num_perm=args.num_perm, bands=args.bands,
+            shingle_k=args.shingle_k)
+        if args.with_exact:
+            inc.write_exact_index(
+                _read_docs(args.docs, args.text_col, args.id_col),
+                args.index, text_col=args.text_col, id_col=args.id_col)
+        result["meta"] = inc.read_index_meta(args.index)
+    elif args.cmd == "append":
+        docs = _read_docs(args.docs, args.text_col, args.id_col)
+        inc.append_neardup_index(docs, args.index,
+                                 text_col=args.text_col,
+                                 id_col=args.id_col)
+        if os.path.exists(os.path.join(args.index, "exact")):
+            inc.append_exact_index(
+                _read_docs(args.docs, args.text_col, args.id_col),
+                args.index, text_col=args.text_col, id_col=args.id_col)
+    elif args.cmd == "dedup":
+        import ray.data as rd
+
+        new = rd.read_parquet(args.docs)  # keep ALL columns for the output
+        kept, pairs = inc.incremental_dedup(
+            new, args.index, text_col=args.text_col, id_col=args.id_col,
+            threshold=args.threshold, max_bucket_docs=args.max_bucket_docs,
+            update_index=args.update_index)
+        from raydoc.ops.relational import distinct_on
+
+        n_victims = distinct_on(pairs.select_columns(["id_new"]), "id_new",
+                                bucketed=True).count()
+        kept.write_parquet(args.out)
+        # column-pruned read-back of the WRITTEN output, not a
+        # re-execution of the dedup lineage
+        n_kept = rd.read_parquet(args.out, columns=[args.id_col]).count()
+        result.update({"out": args.out, "n_victims": n_victims,
+                       "n_kept": n_kept,
+                       "index_updated": bool(args.update_index)})
+    elif args.cmd == "compact":
+        result["report"] = {
+            k: list(v) for k, v in inc.compact_index(
+                args.index,
+                target_rows_per_file=args.target_rows_per_file).items()}
+    else:  # status
+        result["meta"] = inc.read_index_meta(args.index)
+        if os.path.exists(os.path.join(args.index, "_meta_exact.json")):
+            result["meta_exact"] = inc.read_exact_meta(args.index)
+        result["components"] = _component_stats(args.index)
+
+    result["wall_sec"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(result))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
