@@ -139,6 +139,12 @@ def main() -> int:
     elif args.cmd == "dedup":
         import ray.data as rd
 
+        if glob.glob(os.path.join(args.out, "*.parquet")):
+            print(json.dumps({"error": f"--out {args.out} already holds "
+                              "parquet files; each batch needs a fresh "
+                              "output dir (the read-back tally would "
+                              "over-count otherwise)"}))
+            return 1
         new = rd.read_parquet(args.docs)  # keep ALL columns for the output
         kept, pairs = inc.incremental_dedup(
             new, args.index, text_col=args.text_col, id_col=args.id_col,
