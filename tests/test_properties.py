@@ -279,3 +279,56 @@ class TestSegmentDedupProperties:
             assert mine == expect
             assert out.column("n_removed")[d].as_py() == int(
                 (~keep[doc_idx == d]).sum())
+
+
+class TestUrlCanonProperties:
+    # URL-ish soup: schemes, mixed-case hosts, ports, paths, params
+    # (incl. tracking), fragments — plus arbitrary junk
+    _urlish = st.one_of(
+        st.builds(
+            lambda sch, host, port, path, qs, frag:
+                f"{sch}://{host}{port}{path}{qs}{frag}",
+            st.sampled_from(["http", "https", "HTTP", "HTTPS", "ftp"]),
+            st.text(alphabet="aBcD.-", min_size=1, max_size=12),
+            st.sampled_from(["", ":80", ":443", ":8080"]),
+            st.text(alphabet="/AbC9._~%", max_size=12),
+            st.sampled_from(["", "?a=1", "?b=2&a=1", "?utm_source=x&a=1",
+                             "?gclid=z", "?a=1&a=0", "?&", "?=v"]),
+            st.sampled_from(["", "#frag", "#"]),
+        ),
+        st.text(max_size=40),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(_urlish)
+    def test_idempotent_and_total(self, url):
+        import pyarrow as pa
+
+        from raydoc.ops.url import canonicalize_url_batch
+
+        t = pa.table({"url": pa.array([url], pa.string())})
+        once = canonicalize_url_batch(t).column("canon_url")[0].as_py()
+        t2 = pa.table({"url": pa.array([once], pa.string())})
+        twice = canonicalize_url_batch(t2).column("canon_url")[0].as_py()
+        assert twice == once  # canonical form is a fixed point
+        # canonical http(s) urls never keep fragments or tracking params
+        if once.startswith(("http://", "https://")):
+            assert "#" not in once
+            assert "utm_" not in once and "gclid" not in once
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(_urlish, min_size=2, max_size=8))
+    def test_batching_invariant(self, urls):
+        """Canonicalization is per-row pure: the batch split must never
+        change any row's output."""
+        import pyarrow as pa
+
+        from raydoc.ops.url import canonicalize_url_batch
+
+        whole = canonicalize_url_batch(
+            pa.table({"url": pa.array(urls, pa.string())})
+        ).column("canon_url").to_pylist()
+        solo = [canonicalize_url_batch(
+                    pa.table({"url": pa.array([u], pa.string())})
+                ).column("canon_url")[0].as_py() for u in urls]
+        assert whole == solo
