@@ -332,3 +332,28 @@ class TestUrlCanonProperties:
                     pa.table({"url": pa.array([u], pa.string())})
                 ).column("canon_url")[0].as_py() for u in urls]
         assert whole == solo
+
+
+class TestMinhashProperties:
+    _words = st.lists(st.text(alphabet="abcdef", min_size=1, max_size=5),
+                      min_size=1, max_size=40).map(" ".join)
+
+    @settings(max_examples=150, deadline=None)
+    @given(_words, _words)
+    def test_estimate_bounds_identity_symmetry(self, ta, tb):
+        import numpy as np
+
+        from raydoc.ops.dedup import _doc_minhash, _perm_params
+
+        a, b = _perm_params(64)
+        sa = _doc_minhash(ta, a, b, k=5)
+        sb = _doc_minhash(tb, a, b, k=5)
+        # identical text -> identical signature -> estimate exactly 1
+        assert (_doc_minhash(ta, a, b, k=5) == sa).all()
+        est = float((sa == sb).mean())
+        assert 0.0 <= est <= 1.0
+        assert est == float((sb == sa).mean())  # symmetric
+        if ta == tb:
+            assert est == 1.0
+        # signatures are deterministic uint64 vectors of fixed width
+        assert sa.dtype == np.uint64 and len(sa) == 64
