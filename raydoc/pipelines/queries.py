@@ -1621,6 +1621,41 @@ GROUP BY source, lang
 """
 
 
+def multimodal_image_decode(sf_dir: str):
+    """Multimodal plumbing, oracle-anchored: deterministic fake image
+    payloads (binary header + pixel seed, stages/multimodal.py) built
+    per documents.doc_id stream through the ImageDecodeStage ACTOR POOL
+    (codec resolved once per actor, small batches for binary rows); the
+    decoded dims are pure header arithmetic of the id, so DuckDB can
+    recompute them — the oracle proves the stage really parses the
+    binary column it is given."""
+    from raydoc.stages.multimodal import ImageDecodeStage, make_fake_media
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _payloads(b: pa.Table) -> pa.Table:
+        rows = [make_fake_media(int(i), "image")
+                for i in b.column("doc_id").to_pylist()]
+        return pa.table({
+            "media_id": pa.array([r["media_id"] for r in rows], pa.int64()),
+            "payload": pa.array([r["payload"] for r in rows], pa.binary()),
+        })
+
+    decoded = ds.map_batches(_payloads, batch_format="pyarrow").map_batches(
+        ImageDecodeStage, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4))
+    return decoded.select_columns(["media_id", "width", "height", "status"])
+
+
+MULTIMODAL_IMAGE_DECODE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS width,
+       CAST(64 + (doc_id % 5) * 32 AS INTEGER) AS height,
+       'ok' AS status
+FROM documents
+"""
+
+
 def docs_quality(sf_dir: str):
     from raydoc.ops.text import quality_batch
 
@@ -3369,6 +3404,7 @@ QUERIES = {
     "events_multi_agg": events_multi_agg,
     "keyword_topn_sketch": keyword_topn_sketch,
     "docs_corpus_report": docs_corpus_report,
+    "multimodal_image_decode": multimodal_image_decode,
 }
 
 ORACLES = {
@@ -3489,6 +3525,7 @@ ORACLES = {
     "events_ndv_sketch": EVENTS_NDV_SKETCH_SQL,
     "events_quantile_sketch": EVENTS_QUANTILE_SKETCH_SQL,
     "docs_corpus_report": DOCS_CORPUS_REPORT_SQL,
+    "multimodal_image_decode": MULTIMODAL_IMAGE_DECODE_SQL,
     # intentionally no oracle (driver does rows-only checks):
     # flagship_extract/flagship_chunks (the extracted text itself is
     # hash-checked via flagship_text_hash)
