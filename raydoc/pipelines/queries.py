@@ -1656,6 +1656,40 @@ FROM documents
 """
 
 
+def multimodal_video_frames(sf_dir: str):
+    """Frame-sampling fan-out, oracle-anchored: fake video payloads per
+    documents.doc_id explode to one row per sampled frame
+    (VideoFrameSampleStage, every 12th of nf = 24*(1+id%4) frames) —
+    the flat_map shape of the multimodal layer, recomputable in SQL as
+    an unnest over a generated range."""
+    from raydoc.stages.multimodal import (
+        VideoFrameSampleStage,
+        make_fake_media,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _payloads(b: pa.Table) -> pa.Table:
+        rows = [make_fake_media(int(i), "video")
+                for i in b.column("doc_id").to_pylist()]
+        return pa.table({
+            "media_id": pa.array([r["media_id"] for r in rows], pa.int64()),
+            "payload": pa.array([r["payload"] for r in rows], pa.binary()),
+        })
+
+    return ds.map_batches(_payloads, batch_format="pyarrow").map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4))
+
+
+MULTIMODAL_VIDEO_FRAMES_SQL = """
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, 24 * (1 + doc_id % 4), 12)) AS BIGINT)
+         AS frame_idx
+FROM documents
+"""
+
+
 def docs_quality(sf_dir: str):
     from raydoc.ops.text import quality_batch
 
@@ -3405,6 +3439,7 @@ QUERIES = {
     "keyword_topn_sketch": keyword_topn_sketch,
     "docs_corpus_report": docs_corpus_report,
     "multimodal_image_decode": multimodal_image_decode,
+    "multimodal_video_frames": multimodal_video_frames,
 }
 
 ORACLES = {
@@ -3526,6 +3561,7 @@ ORACLES = {
     "events_quantile_sketch": EVENTS_QUANTILE_SKETCH_SQL,
     "docs_corpus_report": DOCS_CORPUS_REPORT_SQL,
     "multimodal_image_decode": MULTIMODAL_IMAGE_DECODE_SQL,
+    "multimodal_video_frames": MULTIMODAL_VIDEO_FRAMES_SQL,
     # intentionally no oracle (driver does rows-only checks):
     # flagship_extract/flagship_chunks (the extracted text itself is
     # hash-checked via flagship_text_hash)
