@@ -80,6 +80,11 @@ __all__ = [
 INDEX_VERSION = "minhash_band_v1"
 EXACT_VERSION = "exact_md5_v1"
 _BROADCAST_BAND_ROWS_CAP = 4_000_000  # 16 B/row -> ~64 MB broadcast
+# candidate-pruned sig sets under this total broadcast for the verify
+# fast path (one streaming pass over pairs instead of two shuffles);
+# 256 MB ~ 250k pruned docs at num_perm=128 — past it, the
+# shuffle-attach scale path keeps worker heaps bounded
+_VERIFY_BROADCAST_BYTES_CAP = 256 << 20
 
 
 def _meta_path(index_dir: str) -> str:
@@ -413,6 +418,81 @@ def incremental_near_dup_pairs(
         id_col, bucketed=True)
     new_cand_sigs = semi_join(new_sigs, cand_new_ids, id_col,
                               id_col).materialize()
+
+    # fast path (late r05): both sig sets are candidate-PRUNED, so
+    # under a byte cap they broadcast — the verify becomes one
+    # streaming pass over the candidate pairs with searchsorted id
+    # resolution + the chunked pair-compare kernel, skipping BOTH
+    # pair shuffles (the two Sorts were ~70% of the probe wall in the
+    # 20k-vs-200k profile: 15.0 s -> see BASELINE). The double
+    # shuffle-attach below stays as the scale path for candidate sets
+    # whose pruned sigs exceed a worker-heap-safe broadcast.
+    if ((new_cand_sigs.size_bytes() or 0)
+            + (corpus_sigs.size_bytes() or 0)
+            <= _VERIFY_BROADCAST_BYTES_CAP):
+        from raydoc.util import cpu_cap
+
+        num_perm = meta["num_perm"]
+        refs_a = list(new_cand_sigs.to_arrow_refs())
+        refs_b = list(corpus_sigs.to_arrow_refs())
+
+        class _EstimateBcast:
+            # actor pool, like dedup.py's broadcast _Estimate: both
+            # sides load ONCE per actor (bounded processes), batches
+            # resolve ids by searchsorted and run the chunked
+            # pair-compare kernel over one stacked matrix
+            def __init__(self, ra, rb) -> None:
+                from raydoc.util import embedding_matrix
+
+                def _side(refs):
+                    tbls = [t for t in ray.get(list(refs)) if t.num_rows]
+                    if not tbls:
+                        return (np.empty(0, np.int64),
+                                np.empty((0, num_perm), np.uint64))
+                    t = pa.concat_tables(tbls)
+                    ids = t.column(id_col).combine_chunks().to_numpy(
+                        zero_copy_only=False)
+                    mat = embedding_matrix(t.column("sig"),
+                                           dtype=np.uint64)
+                    order = np.argsort(ids, kind="stable")
+                    return ids[order], mat[order]
+
+                self.ia, ma = _side(ra)
+                self.ib, mb = _side(rb)
+                # one stacked matrix so the chunked pair kernel
+                # gathers both sides from a single array (corpus rows
+                # offset by len(ia))
+                self.mat = np.vstack([ma, mb])
+
+            def __call__(self, bt: pa.Table) -> pa.Table:
+                from raydoc.ops.bucketing import pair_match_fraction
+
+                z = pa.array([], pa.int64())
+                empty = pa.Table.from_pydict(
+                    {"id_new": z, "id_corpus": z,
+                     "est_jaccard": pa.array([], pa.float64())})
+                if (bt.num_rows == 0 or len(self.ia) == 0
+                        or len(self.ib) == 0):
+                    return empty
+                va = bt.column("id_a").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                vb = bt.column("id_b").combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                ia, ib = self.ia, self.ib
+                pa_pos = np.minimum(np.searchsorted(ia, va), len(ia) - 1)
+                pb_pos = np.minimum(np.searchsorted(ib, vb), len(ib) - 1)
+                ok = (ia[pa_pos] == va) & (ib[pb_pos] == vb)
+                est = pair_match_fraction(self.mat, pa_pos,
+                                          pb_pos + len(ia))
+                keep = ok & (est >= threshold)
+                return pa.Table.from_pydict(
+                    {"id_new": pa.array(va[keep], pa.int64()),
+                     "id_corpus": pa.array(vb[keep], pa.int64()),
+                     "est_jaccard": pa.array(est[keep], pa.float64())})
+
+        return candidates.map_batches(
+            _EstimateBcast, fn_constructor_args=(refs_a, refs_b),
+            batch_format="pyarrow", concurrency=(1, cpu_cap()))
 
     withA = _attach_pair_values(candidates, new_cand_sigs, id_col,
                                 "sig", "a", {}, sig_t,
