@@ -2717,6 +2717,88 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def embeddings_kmeans(sf_dir: str):
+    """Distributed spherical k-means (ops/cluster.py): seed centroids
+    from vec_id 0..7, ONE Lloyd update (streaming partial-sum pass,
+    only k slim rows reach the driver), then one assignment pass.
+    The oracle replays the identical deterministic contract in SQL —
+    argmax cosine with ties to the lowest cluster label, centroid =
+    element-wise AVG — so the (vec_id, cluster) table is bit-exact."""
+    from raydoc.ops.cluster import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_assign(ds, range(8), id_col="vec_id", n_updates=1)
+
+
+EMBEDDINGS_KMEANS_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cluster, emb AS cent FROM e
+  WHERE vec_id IN (0,1,2,3,4,5,6,7)
+),
+a0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.emb, c.cent) DESC,
+                      c.cluster ASC) AS rn
+    FROM e CROSS JOIN c0 c) WHERE rn = 1
+),
+c1 AS (
+  SELECT cluster, list(m ORDER BY dim) AS cent FROM (
+    SELECT a.cluster, u.dim, AVG(u.v) AS m
+    FROM a0 a JOIN e USING (vec_id),
+         LATERAL (SELECT unnest(e.emb) AS v,
+                         unnest(range(1, len(e.emb)+1)) AS dim) u
+    GROUP BY a.cluster, u.dim)
+  GROUP BY cluster
+)
+SELECT vec_id, cluster FROM (
+  SELECT e.vec_id, c.cluster,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.emb, c.cent) DESC,
+                    c.cluster ASC) AS rn
+  FROM e CROSS JOIN c1 c) WHERE rn = 1
+"""
+
+
+def embeddings_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (ops/cluster.py): k-means cells
+    replace random LSH buckets as the candidate blocks, exact cosine
+    verifies within each cell only, victims = greater id of each
+    over-threshold pair, removed by anti semi-join. Same planted-clone
+    design as embeddings_near_dup (ten exact clones at vec_id+100000;
+    natural max off-diagonal cosine ~0.51 < 0.95): an identical vector
+    lands in its source's cell by determinism of the argmax, so the
+    survivors are exactly the original corpus ids."""
+    from raydoc.ops.cluster import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _plant(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.less(b.column("vec_id"), pa.scalar(10)))
+        if not sel.num_rows:
+            return b
+        clone = sel.set_column(
+            sel.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(sel.column("vec_id"), pa.scalar(100000)),
+        )
+        return pa.concat_tables([b, clone])
+
+    out = semantic_dedup(
+        ds.map_batches(_plant, batch_format="pyarrow"),
+        range(8), threshold=0.95, id_col="vec_id",
+    )
+    return out.select_columns(["vec_id"])
+
+
+EMBEDDINGS_SEMANTIC_DEDUP_SQL = """
+SELECT vec_id FROM embeddings
+"""
+
+
 def _knn_planted_setup(sf_dir: str):
     """Planted-separation corpus for the approximate-kNN oracles (r04,
     VERDICT r03 #3): queries are corpus vectors vec_id 0..2; for each
@@ -3398,6 +3480,10 @@ QUERIES = {
     "multimodal_video_frames": multimodal_video_frames,
     "embeddings_knn": embeddings_knn,
     "embeddings_ann_join": embeddings_ann_join,
+    # new in r05: distributed k-means + SemDeDup semantic dedup —
+    # in-window so the driver verifies them this round
+    "embeddings_kmeans": embeddings_kmeans,
+    "embeddings_semantic_dedup": embeddings_semantic_dedup,
     "canvas_customer_service": canvas_customer_service,
     "q1_pricing_summary": q1_pricing_summary,
     # ---- driver recording window (~50 entries) ends here ----
@@ -3546,6 +3632,10 @@ ORACLES = {
     "embeddings_knn": EMBEDDINGS_KNN_SQL,
     "embeddings_cosine_pairs": EMBEDDINGS_COSINE_PAIRS_SQL,
     "embeddings_near_dup": EMBEDDINGS_NEAR_DUP_SQL,
+    # r05: algorithmic Lloyd replay (seed -> assign -> AVG -> assign)
+    # and the planted-clone SemDeDup survivors
+    "embeddings_kmeans": EMBEDDINGS_KMEANS_SQL,
+    "embeddings_semantic_dedup": EMBEDDINGS_SEMANTIC_DEDUP_SQL,
     "code_sandbox_lengths": CODE_SANDBOX_LENGTHS_SQL,
     "udf_doc_head_upper": UDF_DOC_HEAD_UPPER_SQL,
     # r04 promotions (VERDICT r03 #3): planted-separation corpora make

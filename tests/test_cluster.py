@@ -1,0 +1,117 @@
+"""Unit tests for ops/cluster.py — distributed k-means and the
+SemDeDup-style semantic near-dup pass built on it.
+
+The reference has no clustering operator (nearest: flat vector search
+in /root/reference/agent/component/retrieval.py:100-112); these pin
+the engine-first contract: deterministic seeded Lloyd (ties to lowest
+label, AVG centroid update, empty clusters dropped), k-means cells as
+candidate blocks, star-capped pair expansion, Dataset-native victims.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _toy_ds(vecs, ids=None):
+    import ray.data as rd
+
+    ids = list(range(len(vecs))) if ids is None else list(ids)
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+
+
+class TestKmeans:
+    def test_two_obvious_clusters(self, ray_session):
+        from raydoc.ops.cluster import kmeans_assign
+
+        # 2-d: four vectors near +x, four near +y; seeds one of each
+        vecs = [(1, 0.01), (1, 0.02), (1, -0.01), (1, 0.03),
+                (0.01, 1), (0.02, 1), (-0.01, 1), (0.03, 1)]
+        out = kmeans_assign(_toy_ds(vecs), [0, 4], n_updates=2)
+        got = {r["vec_id"]: r["cluster"] for r in out.take_all()}
+        assert all(got[i] == 0 for i in range(4))
+        assert all(got[i] == 4 for i in range(4, 8))
+
+    def test_fit_deterministic_across_runs(self, ray_session):
+        from raydoc.ops.cluster import kmeans_fit
+
+        rng = np.random.RandomState(7)
+        vecs = rng.standard_normal((60, 8))
+        ds = _toy_ds(vecs)
+        l1, c1 = kmeans_fit(ds, [0, 1, 2], n_updates=2)
+        l2, c2 = kmeans_fit(ds, [0, 1, 2], n_updates=2)
+        assert np.array_equal(l1, l2)
+        # partial sums combine in nondeterministic block order; means
+        # must still agree to float64 accumulation noise
+        assert np.allclose(c1, c2, rtol=0, atol=1e-12)
+
+    def test_empty_cluster_dropped(self, ray_session):
+        from raydoc.ops.cluster import kmeans_fit
+
+        # seed 2 (a +y vector) loses everything to seed 1's updated
+        # centroid only if isolated; instead pin the drop behavior
+        # with a seed whose vector ties another seed exactly: the
+        # duplicate seed's members all prefer the LOWER label, so the
+        # higher label empties after one update.
+        vecs = [(1, 0), (1, 0), (0.9, 0.1), (0.95, 0.05)]
+        labels, cent = kmeans_fit(_toy_ds(vecs), [0, 1], n_updates=1)
+        assert labels.tolist() == [0]
+        assert cent.shape[0] == 1
+
+    def test_bad_seed_ids_raise(self, ray_session):
+        from raydoc.ops.cluster import kmeans_fit
+
+        ds = _toy_ds([(1, 0), (0, 1)])
+        with pytest.raises(ValueError, match="matched"):
+            kmeans_fit(ds, [0, 99])
+        with pytest.raises(ValueError, match="empty"):
+            kmeans_fit(ds, [])
+
+
+class TestSemanticDedup:
+    def test_exact_clones_pruned(self, ray_session):
+        from raydoc.ops.cluster import (semantic_dedup,
+                                        semantic_dedup_pairs)
+
+        rng = np.random.RandomState(11)
+        base = rng.standard_normal((40, 16))
+        vecs = np.vstack([base, base[:5]])  # ids 40..44 clone 0..4
+        ids = list(range(40)) + [100 + i for i in range(5)]
+        ds = _toy_ds(vecs, ids)
+        pairs = semantic_dedup_pairs(ds, [0, 7, 19], threshold=0.99,
+                                     n_updates=1)
+        got = sorted((r["id_a"], r["id_b"]) for r in pairs.take_all())
+        assert got == [(i, 100 + i) for i in range(5)]
+        kept = semantic_dedup(ds, [0, 7, 19], threshold=0.99,
+                              n_updates=1)
+        assert sorted(r["vec_id"] for r in
+                      kept.select_columns(["vec_id"]).take_all()) \
+            == list(range(40))
+
+    def test_mass_dup_cluster_star_capped(self, ray_session):
+        from raydoc.ops.cluster import semantic_dedup_pairs
+
+        # 50 identical vectors + 3 distinct: uncapped would emit
+        # C(50,2)=1225 pairs; cap 10 emits the 49 star pairs
+        vecs = [(1.0, 0.0)] * 50 + [(0.0, 1.0), (-1.0, 0.2),
+                                    (0.1, -1.0)]
+        ds = _toy_ds(vecs)
+        pairs = semantic_dedup_pairs(ds, [0, 50], threshold=0.99,
+                                     max_cluster_docs=10)
+        got = sorted((r["id_a"], r["id_b"]) for r in pairs.take_all())
+        assert got == [(0, j) for j in range(1, 50)]
+
+    def test_max_key_rows_fail_loud(self, ray_session):
+        from raydoc.ops.cluster import semantic_dedup_pairs
+
+        vecs = [(1.0, 0.0)] * 20 + [(0.0, 1.0)]
+        ds = _toy_ds(vecs)
+        with pytest.raises(Exception, match="max_key_rows|exceeds"):
+            semantic_dedup_pairs(ds, [0, 20], threshold=0.99,
+                                 max_key_rows=5).take_all()

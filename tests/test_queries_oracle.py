@@ -34,6 +34,9 @@ NEW_QUERIES = [
     # r04: the end-to-end composition's golden summary (fetch records
     # -> url_dedup -> extract -> curate -> split -> pack -> shards)
     "web_shards_summary",
+    # r05: algorithmic Lloyd replay + planted-clone SemDeDup survivors
+    "embeddings_kmeans",
+    "embeddings_semantic_dedup",
 ]
 
 
