@@ -3478,10 +3478,10 @@ QUERIES = {
     "docs_corpus_report": docs_corpus_report,
     "multimodal_image_decode": multimodal_image_decode,
     "multimodal_video_frames": multimodal_video_frames,
-    "embeddings_knn": embeddings_knn,
-    "embeddings_ann_join": embeddings_ann_join,
     # new in r05: distributed k-means + SemDeDup semantic dedup —
-    # in-window so the driver verifies them this round
+    # in-window so the driver verifies them this round (they displace
+    # embeddings_knn / embeddings_ann_join, both r04 driver-green, so
+    # the embeddings family keeps two in-window anchors)
     "embeddings_kmeans": embeddings_kmeans,
     "embeddings_semantic_dedup": embeddings_semantic_dedup,
     "canvas_customer_service": canvas_customer_service,
@@ -3496,6 +3496,8 @@ QUERIES = {
     "docs_decontaminate": docs_decontaminate,
     "hybrid_retrieval": hybrid_retrieval,
     "keyword_topn_global": keyword_topn_global,
+    "embeddings_knn": embeddings_knn,
+    "embeddings_ann_join": embeddings_ann_join,
     "embeddings_cosine_pairs": embeddings_cosine_pairs,
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "embeddings_knn_lsh": embeddings_knn_lsh,
