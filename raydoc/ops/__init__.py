@@ -9,6 +9,8 @@ Modules:
   incremental - near-dup of NEW batches vs a persisted band index
                 (continuous-crawl; corpus never re-read)
   similarity  - cosine top-k (brute force + LSH-bucketed)
+  cluster     - distributed k-means (streaming partial-sum Lloyd) and
+                SemDeDup-style semantic dedup over the k-means cells
   window      - event-time tumbling windows, sessionization, as-of join,
                 LLM sequence packing
   template    - per-row template rendering (template.py:70-139)
