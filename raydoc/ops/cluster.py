@@ -46,7 +46,7 @@ import pyarrow.compute as pc
 from raydoc.util import embedding_matrix
 
 __all__ = ["kmeans_fit", "kmeans_assign", "semantic_dedup_pairs",
-           "semantic_dedup"]
+           "semantic_dedup", "cluster_balanced_sample"]
 
 
 def _unit_safe_norms(m: np.ndarray) -> np.ndarray:
@@ -188,6 +188,45 @@ def kmeans_assign(ds, init_ids, id_col: str = "vec_id",
                          "cluster": pa.array(lab[a], pa.int64())})
 
     return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def cluster_balanced_sample(ds, init_ids, k_per_cluster: int,
+                            id_col: str = "vec_id",
+                            emb_col: str = "embedding",
+                            n_updates: int = 1,
+                            num_partitions: int | None = None):
+    """Diversity sampling by k-means cell: keep the ``k_per_cluster``
+    lowest-id rows of every cluster — the embedding-space analogue of
+    the per-host cap (group_top_k over data-adaptive cells instead of
+    url hosts), the standard cluster-balanced data-mixing move (one
+    cap per semantic region, so no region dominates the mixture).
+    Returns (id_col, cluster) slim rows; ONE hash shuffle of slim
+    tagged keys after the streaming Lloyd passes."""
+    from raydoc.ops.relational import group_top_k
+
+    labels, cent = kmeans_fit(ds, init_ids, id_col=id_col,
+                              emb_col=emb_col, n_updates=n_updates)
+    import ray
+
+    cref = ray.put((labels, cent, _unit_safe_norms(cent)))
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        lab, c, cn = _r.get(cref)
+        if batch.num_rows == 0:
+            cl = pa.array([], pa.int64())
+        else:
+            embs = embedding_matrix(batch.column(emb_col)).astype(
+                np.float64, copy=False)
+            cl = pa.array(lab[_cosine_argmax(embs, c, cn)], pa.int64())
+        return pa.Table.from_arrays([batch.column(id_col), cl],
+                                    names=[id_col, "cluster"])
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+    return group_top_k(tagged, "cluster", id_col, k=k_per_cluster,
+                       descending=False,
+                       num_partitions=num_partitions)
 
 
 def semantic_dedup_pairs(ds, init_ids, threshold: float = 0.9,

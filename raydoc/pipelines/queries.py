@@ -2799,6 +2799,31 @@ SELECT vec_id FROM embeddings
 """
 
 
+def embeddings_cluster_sample(sf_dir: str):
+    """Cluster-balanced diversity sample (ops/cluster.py): cap every
+    k-means cell at its 25 lowest-id members — the embedding-space
+    analogue of docs_host_cap (group_top_k over data-adaptive cells
+    instead of url hosts). Slim (vec_id, cluster) rows, one hash
+    shuffle after the streaming Lloyd passes."""
+    from raydoc.ops.cluster import cluster_balanced_sample
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cluster_balanced_sample(ds, range(8), k_per_cluster=25,
+                                   id_col="vec_id", n_updates=1)
+
+
+# same Lloyd replay as EMBEDDINGS_KMEANS_SQL, capped per cell
+EMBEDDINGS_CLUSTER_SAMPLE_SQL = f"""
+WITH assigned AS ({EMBEDDINGS_KMEANS_SQL})
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY vec_id) AS cap_rn
+  FROM assigned)
+WHERE cap_rn <= 25
+"""
+
+
 def _knn_planted_setup(sf_dir: str):
     """Planted-separation corpus for the approximate-kNN oracles (r04,
     VERDICT r03 #3): queries are corpus vectors vec_id 0..2; for each
@@ -3498,6 +3523,7 @@ QUERIES = {
     "keyword_topn_global": keyword_topn_global,
     "embeddings_knn": embeddings_knn,
     "embeddings_ann_join": embeddings_ann_join,
+    "embeddings_cluster_sample": embeddings_cluster_sample,
     "embeddings_cosine_pairs": embeddings_cosine_pairs,
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "embeddings_knn_lsh": embeddings_knn_lsh,
@@ -3638,6 +3664,7 @@ ORACLES = {
     # and the planted-clone SemDeDup survivors
     "embeddings_kmeans": EMBEDDINGS_KMEANS_SQL,
     "embeddings_semantic_dedup": EMBEDDINGS_SEMANTIC_DEDUP_SQL,
+    "embeddings_cluster_sample": EMBEDDINGS_CLUSTER_SAMPLE_SQL,
     "code_sandbox_lengths": CODE_SANDBOX_LENGTHS_SQL,
     "udf_doc_head_upper": UDF_DOC_HEAD_UPPER_SQL,
     # r04 promotions (VERDICT r03 #3): planted-separation corpora make

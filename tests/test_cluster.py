@@ -74,6 +74,20 @@ class TestKmeans:
             kmeans_fit(ds, [])
 
 
+class TestClusterBalancedSample:
+    def test_per_cell_cap(self, ray_session):
+        from raydoc.ops.cluster import cluster_balanced_sample
+
+        # 6 vectors near +x, 2 near +y; cap 3 per cell
+        vecs = [(1, 0.01), (1, 0.02), (1, -0.01), (1, 0.03),
+                (1, -0.02), (1, 0.015), (0.01, 1), (0.02, 1)]
+        out = cluster_balanced_sample(_toy_ds(vecs), [0, 6],
+                                      k_per_cluster=3)
+        got = sorted((r["vec_id"], r["cluster"])
+                     for r in out.take_all())
+        assert got == [(0, 0), (1, 0), (2, 0), (6, 6), (7, 6)]
+
+
 class TestSemanticDedup:
     def test_exact_clones_pruned(self, ray_session):
         from raydoc.ops.cluster import (semantic_dedup,

@@ -35,8 +35,10 @@ NEW_QUERIES = [
     # -> url_dedup -> extract -> curate -> split -> pack -> shards)
     "web_shards_summary",
     # r05: algorithmic Lloyd replay + planted-clone SemDeDup survivors
+    # + the per-cell diversity cap
     "embeddings_kmeans",
     "embeddings_semantic_dedup",
+    "embeddings_cluster_sample",
 ]
 
 
