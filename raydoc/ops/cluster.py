@@ -23,9 +23,17 @@ Scale shape (the part that must survive 100 TB):
 * ``semantic_dedup_pairs`` needs each CLUSTER's rows on one worker
   (the in-cluster pair verify) — the documented one-key-fits-a-worker
   assumption shared by every bucketed kernel here, fail-loud via
-  ``max_key_rows``. Size k to ~corpus_bytes / 256 MB at scale; pair
-  cost inside a cluster is bounded by ``max_cluster_docs`` star
-  pairing exactly like minhash_lsh_pairs' ``max_bucket_docs``.
+  ``max_key_rows``. Pair verify is quadratic PER CELL, so size k for
+  cells of ~100-1000 docs (SemDeDup's own regime: k ~ N/100), not for
+  worker memory alone. ``max_cluster_docs`` star-caps runaway cells
+  like minhash's ``max_bucket_docs``, but the semantics differ by
+  cell content: a genuinely-duplicate cell keeps full connectivity
+  under star pairing (every member is a near-dup of the hub), while
+  an oversized MIXED cell loses every pair not adjacent to its hub —
+  measured: k=256 over 1M random vectors (≈3.9k docs/cell) with cap
+  4096 dropped 10% of planted clone pairs; k=10000 (≈100 docs/cell)
+  recovers all of them. Treat the cap as a mass-dup safety valve and
+  fix cell size with k.
 
 Determinism contract (what the DuckDB oracle replays bit-for-bit):
 centroids seed from the rows whose ids are in ``init_ids`` (cluster
@@ -140,21 +148,40 @@ def kmeans_fit(ds, init_ids, id_col: str = "vec_id",
             lab, c, cn = _r.get(_ref)
             return partial(c, cn, batch, id_col, emb_col)
 
-        def _combine(g: pa.Table) -> pa.Table:
-            vs = embedding_matrix(g.column("vsum"))
-            cnt = int(pc.sum(g.column("cnt")).as_py())
+        def _combine_runs(t: pa.Table, starts: np.ndarray,
+                          counts: np.ndarray) -> pa.Table:
+            # segmented reduceat over all cluster runs in the bucket at
+            # once — k is model-sized, but the house rule still holds:
+            # no per-key Python (k=10^4+ cells is a realistic SemDeDup
+            # config and 10^4 map_groups calls per update is the per-
+            # key dispatch ops/bucketing.py exists to avoid)
+            if t.num_rows == 0:
+                return pa.table({
+                    "cluster": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64())),
+                    "cnt": pa.array([], pa.int64())})
+            vs = embedding_matrix(t.column("vsum"))
+            cnt = t.column("cnt").to_numpy(zero_copy_only=False)
             dim = vs.shape[1]
-            flat = pa.array(vs.sum(axis=0), pa.float64())
+            sums = np.add.reduceat(vs, starts, axis=0)
+            flat = pa.array(sums.ravel(), pa.float64())
+            offs = pa.array(np.arange(
+                0, (len(starts) + 1) * dim, dim,
+                dtype=np.int64).astype(np.int32))
+            clusters = t.column("cluster").to_numpy(
+                zero_copy_only=False)[starts]
             return pa.table({
-                "cluster": g.column("cluster").slice(0, 1),
-                "vsum": pa.ListArray.from_arrays(
-                    pa.array([0, dim], pa.int32()), flat),
-                "cnt": pa.array([cnt], pa.int64())})
+                "cluster": pa.array(clusters, pa.int64()),
+                "vsum": pa.ListArray.from_arrays(offs, flat),
+                "cnt": pa.array(
+                    np.add.reduceat(cnt, starts).astype(np.int64))})
 
-        rows = (ds.map_batches(_emit, batch_format="pyarrow")
-                .groupby("cluster")
-                .map_groups(_combine, batch_format="pyarrow")
-                .take_all())
+        from raydoc.ops.bucketing import bucketed_sorted_apply
+
+        rows = bucketed_sorted_apply(
+            ds.map_batches(_emit, batch_format="pyarrow"),
+            ["cluster"], [("cluster", "ascending")],
+            _combine_runs).take_all()
         rows.sort(key=lambda r: r["cluster"])
         labels = np.array([r["cluster"] for r in rows], dtype=np.int64)
         cent = np.stack([
