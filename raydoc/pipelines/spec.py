@@ -30,8 +30,10 @@ approx_ndv / heavy_hitters (sketches), count_distinct, pack_sequences,
 hash_sample / stratified_sample (deterministic training-mix sampling),
 and the dedup/split family (r05): exact_dedup, url_dedup,
 near_dup_dedup (MinHash-LSH victim removal), incremental_dedup
-(vs a persisted corpus index), hash_split — the whole curation flow is
-spec-expressible.
+(vs a persisted corpus index), hash_split, plus the embedding-side
+pair semantic_dedup / cluster_sample (SemDeDup victim removal and the
+per-k-means-cell diversity cap, ops/cluster.py) — the whole curation
+flow is spec-expressible.
 Sinks: collect, count, write_parquet, side_effect (idempotent per-key
 ledger, stages/sink_stage.py).
 """
@@ -404,6 +406,27 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
             threshold=p.get("threshold", 0.7),
             max_bucket_docs=p.get("max_bucket_docs"),
             update_index=p.get("update_index", False))[0]),
+    # late r05: the embedding-side curation pair (ops/cluster.py) —
+    # SemDeDup victim removal and the per-cell diversity cap
+    "semantic_dedup": (
+        lambda p: _require(p, "init_ids"),
+        lambda ds, p: __import__(
+            "raydoc.ops.cluster", fromlist=["semantic_dedup"]
+        ).semantic_dedup(
+            ds, p["init_ids"], threshold=p.get("threshold", 0.9),
+            id_col=p.get("id_col", "vec_id"),
+            emb_col=p.get("emb_col", "embedding"),
+            n_updates=p.get("n_updates", 1),
+            max_cluster_docs=p.get("max_cluster_docs"))),
+    "cluster_sample": (
+        lambda p: _require(p, "init_ids", "k_per_cluster"),
+        lambda ds, p: __import__(
+            "raydoc.ops.cluster", fromlist=["cluster_balanced_sample"]
+        ).cluster_balanced_sample(
+            ds, p["init_ids"], p["k_per_cluster"],
+            id_col=p.get("id_col", "vec_id"),
+            emb_col=p.get("emb_col", "embedding"),
+            n_updates=p.get("n_updates", 1))),
 }
 
 _VALID_PREDICATE_OPS = None

@@ -499,6 +499,42 @@ class TestSpecDedupFamily:
         assert set(out["split"]) <= {"train", "val", "test"}
         assert not out["text"].duplicated().any()
 
+    def test_semantic_dedup_and_cluster_sample_spec(self, sf_dir,
+                                                    ray_session):
+        """The embedding-side spec ops must equal the library calls."""
+        import ray.data as rd
+
+        from raydoc.ops.cluster import cluster_balanced_sample
+        from raydoc.pipelines.spec import run_spec
+
+        path = f"{sf_dir}/embeddings.parquet"
+        out = run_spec({
+            "source": {"op": "read_parquet", "path": path,
+                       "columns": ["vec_id", "embedding"]},
+            "stages": [{"op": "cluster_sample",
+                        "init_ids": [0, 1, 2, 3],
+                        "k_per_cluster": 10}],
+            "sink": {"op": "collect"},
+        }).to_pandas().sort_values("vec_id")
+        direct = cluster_balanced_sample(
+            rd.read_parquet(path, columns=["vec_id", "embedding"]),
+            [0, 1, 2, 3], k_per_cluster=10,
+        ).to_pandas().sort_values("vec_id")
+        assert len(out) == 40
+        assert out["vec_id"].tolist() == direct["vec_id"].tolist()
+        assert out["cluster"].tolist() == direct["cluster"].tolist()
+
+        kept = run_spec({
+            "source": {"op": "read_parquet", "path": path,
+                       "columns": ["vec_id", "embedding"]},
+            "stages": [{"op": "semantic_dedup",
+                        "init_ids": [0, 1, 2, 3],
+                        "threshold": 0.95}],
+            "sink": {"op": "count"},
+        })
+        # the natural corpus has no cosine-0.95 near-dups: all rows kept
+        assert kept == 500
+
     def test_url_dedup_spec(self, tmp_path, ray_session):
         import pyarrow.parquet as pq
 
