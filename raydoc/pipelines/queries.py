@@ -2799,6 +2799,59 @@ SELECT vec_id FROM embeddings
 """
 
 
+def docs_cluster_terms(sf_dir: str):
+    """Per-cluster topic profile: k-means the embeddings, shuffle-join
+    the cluster labels onto the documents (big x big — the form that
+    scales; doc_id == vec_id in the synthetic corpus), explode tokens
+    with an in-batch Arrow value-counts combiner, partial-agg per
+    (cluster, token), top-3 terms per cluster. Exercises clustering x
+    join x grouped text top-k as ONE composed lineage."""
+    from raydoc.ops.cluster import kmeans_assign
+    from raydoc.ops.relational import group_top_k, grouped_agg, shuffle_join
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assign = kmeans_assign(emb, range(8), id_col="vec_id", n_updates=1)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    joined = shuffle_join(docs, assign, on="doc_id", right_on="vec_id")
+
+    def _explode(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column("text").combine_chunks(), "")
+        lists = pc.utf8_split_whitespace(texts)
+        toks = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        cl = b.column("cluster").combine_chunks().take(parent)
+        mask = pc.not_equal(toks, "")
+        tb = pa.table({"cluster": cl.filter(mask),
+                       "token": toks.filter(mask)})
+        agg = tb.group_by(["cluster", "token"]).aggregate(
+            [("cluster", "count")])
+        return pa.table({
+            "cluster": agg.column("cluster"),
+            "token": agg.column("token"),
+            "n": agg.column("cluster_count").cast(pa.int64())})
+
+    partial = joined.map_batches(_explode, batch_format="pyarrow")
+    total = grouped_agg(partial, keys=["cluster", "token"],
+                        aggs={"n": ("sum", "n")})
+    return group_top_k(total, "cluster", "n", k=3, descending=True,
+                       tiebreak="token")
+
+
+DOCS_CLUSTER_TERMS_SQL = f"""
+WITH assigned AS ({EMBEDDINGS_KMEANS_SQL})
+SELECT cluster, token, n FROM (
+  SELECT cluster, token, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY count(*) DESC, token ASC) AS rn
+  FROM (SELECT a.cluster,
+               unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS token
+        FROM assigned a JOIN documents d ON d.doc_id = a.vec_id
+        WHERE trim(d.text) <> '')
+  GROUP BY cluster, token)
+WHERE rn <= 3
+"""
+
+
 def embeddings_cluster_sample(sf_dir: str):
     """Cluster-balanced diversity sample (ops/cluster.py): cap every
     k-means cell at its 25 lowest-id members — the embedding-space
@@ -3524,6 +3577,7 @@ QUERIES = {
     "embeddings_knn": embeddings_knn,
     "embeddings_ann_join": embeddings_ann_join,
     "embeddings_cluster_sample": embeddings_cluster_sample,
+    "docs_cluster_terms": docs_cluster_terms,
     "embeddings_cosine_pairs": embeddings_cosine_pairs,
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "embeddings_knn_lsh": embeddings_knn_lsh,
@@ -3665,6 +3719,7 @@ ORACLES = {
     "embeddings_kmeans": EMBEDDINGS_KMEANS_SQL,
     "embeddings_semantic_dedup": EMBEDDINGS_SEMANTIC_DEDUP_SQL,
     "embeddings_cluster_sample": EMBEDDINGS_CLUSTER_SAMPLE_SQL,
+    "docs_cluster_terms": DOCS_CLUSTER_TERMS_SQL,
     "code_sandbox_lengths": CODE_SANDBOX_LENGTHS_SQL,
     "udf_doc_head_upper": UDF_DOC_HEAD_UPPER_SQL,
     # r04 promotions (VERDICT r03 #3): planted-separation corpora make

@@ -39,6 +39,7 @@ NEW_QUERIES = [
     "embeddings_kmeans",
     "embeddings_semantic_dedup",
     "embeddings_cluster_sample",
+    "docs_cluster_terms",
 ]
 
 
