@@ -74,6 +74,52 @@ class TestKmeans:
             kmeans_fit(ds, [])
 
 
+def _numpy_lloyd(vecs, init_ids, n_updates):
+    """Driver-side reference Lloyd with the module's exact contract:
+    argmax cosine (float64, first-max tie -> lowest label), AVG
+    update, empty clusters dropped. Round through float32 first —
+    that is what the Arrow list<float> column stores."""
+    vecs = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    labels = np.array(sorted(init_ids), dtype=np.int64)
+    cent = vecs[labels]
+    for _ in range(n_updates):
+        cn = np.linalg.norm(cent, axis=1)
+        cn[cn == 0] = 1.0
+        en = np.linalg.norm(vecs, axis=1)
+        en[en == 0] = 1.0
+        sims = (vecs @ cent.T) / (en[:, None] * cn[None, :])
+        a = sims.argmax(axis=1)
+        used = np.unique(a)
+        labels = labels[used]
+        cent = np.stack([vecs[a == u].mean(axis=0) for u in used])
+    return labels, cent
+
+
+class TestLloydParity:
+    @pytest.mark.parametrize("n_updates", [1, 2, 3])
+    def test_fit_matches_numpy_reference(self, ray_session, n_updates):
+        """Multi-update parity: the streaming partial-sum fit must
+        equal a driver-side reference Lloyd bit-for-bit in labels and
+        to accumulation noise in centroids — pins the update-loop
+        semantics the SQL oracle only covers at n_updates=1."""
+        from raydoc.ops.cluster import kmeans_fit
+
+        rng = np.random.RandomState(23)
+        vecs = rng.standard_normal((120, 12))
+        ds = _toy_ds(vecs)
+        got_l, got_c = kmeans_fit(ds, [0, 3, 7, 11], n_updates=n_updates)
+        exp_l, exp_c = _numpy_lloyd(vecs, [0, 3, 7, 11], n_updates)
+        assert got_l.tolist() == exp_l.tolist()
+        assert np.allclose(got_c, exp_c, rtol=0, atol=1e-10)
+
+    def test_assign_preserves_only_id_and_cluster(self, ray_session):
+        from raydoc.ops.cluster import kmeans_assign
+
+        out = kmeans_assign(_toy_ds([(1, 0), (0, 1), (1, 0.1)]), [0, 1])
+        t = out.schema()
+        assert t.names == ["vec_id", "cluster"]
+
+
 class TestClusterBalancedSample:
     def test_per_cell_cap(self, ray_session):
         from raydoc.ops.cluster import cluster_balanced_sample
