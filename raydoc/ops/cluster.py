@@ -126,35 +126,61 @@ def _batch_partials(labels: np.ndarray):
     return _fn
 
 
-def kmeans_fit(ds, init_ids, id_col: str = "vec_id",
+def kmeans_fit(ds, init_ids=None, id_col: str = "vec_id",
                emb_col: str = "embedding", n_updates: int = 1,
-               ) -> tuple[np.ndarray, np.ndarray]:
+               init_centroids: tuple[np.ndarray, np.ndarray]
+               | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Fit spherical-k-means centroids over ``ds`` (see module note for
     the streaming-partial plan). Returns ``(labels, centroids)`` —
     int64 labels (the seed ids, minus any cluster that emptied) and
-    the matching (k, d) float64 centroid matrix."""
+    the matching (k, d) float64 centroid matrix.
+
+    Seeding: either ``init_ids`` (one pruned gather pass picks those
+    rows' embeddings; labels = the ids) or ``init_centroids`` as an
+    explicit ``(labels, matrix)`` pair — the no-scan path for seeding
+    from a driver-side sample or a previous fit's output at 10^12-doc
+    scale, where even a pruned gather pass is a full-corpus read."""
     import ray
 
-    init = sorted(int(i) for i in init_ids)
-    if not init:
-        raise ValueError("kmeans_fit: init_ids is empty")
-    seed_set = pa.array(init, pa.int64())
+    if init_centroids is not None:
+        if init_ids is not None:
+            raise ValueError(
+                "kmeans_fit: pass init_ids or init_centroids, not both")
+        labels, cent = init_centroids
+        labels = np.asarray(labels, dtype=np.int64)
+        cent = np.asarray(cent, dtype=np.float64)
+        if cent.ndim != 2 or len(labels) != cent.shape[0]:
+            raise ValueError(
+                f"kmeans_fit: init_centroids shapes disagree "
+                f"({len(labels)} labels vs {cent.shape} matrix)")
+        if len(labels) == 0:
+            raise ValueError("kmeans_fit: init_centroids is empty")
+        if len(np.unique(labels)) != len(labels):
+            raise ValueError("kmeans_fit: duplicate centroid labels")
+        order = np.argsort(labels)
+        labels, cent = labels[order], cent[order]
+    else:
+        init = sorted(int(i) for i in init_ids or [])
+        if not init:
+            raise ValueError("kmeans_fit: init_ids is empty")
+        seed_set = pa.array(init, pa.int64())
 
-    def _seed_rows(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b.column(id_col), value_set=seed_set))
+        def _seed_rows(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.is_in(b.column(id_col), value_set=seed_set))
 
-    seed = pa.concat_tables(
-        [t for t in ray.get(
-            ds.map_batches(_seed_rows, batch_format="pyarrow")
-            .to_arrow_refs()) if t.num_rows],
-        promote_options="permissive")
-    if seed.num_rows != len(init):
-        raise ValueError(
-            f"kmeans_fit: init_ids matched {seed.num_rows} rows, "
-            f"expected {len(init)} (duplicate or missing ids)")
-    seed = seed.take(pc.sort_indices(seed.column(id_col)))
-    labels = np.asarray(init, dtype=np.int64)
-    cent = embedding_matrix(seed.column(emb_col)).astype(np.float64)
+        seed = pa.concat_tables(
+            [t for t in ray.get(
+                ds.map_batches(_seed_rows, batch_format="pyarrow")
+                .to_arrow_refs()) if t.num_rows],
+            promote_options="permissive")
+        if seed.num_rows != len(init):
+            raise ValueError(
+                f"kmeans_fit: init_ids matched {seed.num_rows} rows, "
+                f"expected {len(init)} (duplicate or missing ids)")
+        seed = seed.take(pc.sort_indices(seed.column(id_col)))
+        labels = np.asarray(init, dtype=np.int64)
+        cent = embedding_matrix(seed.column(emb_col)).astype(np.float64)
 
     for _ in range(n_updates):
         cref = ray.put((labels, cent, _unit_safe_norms(cent)))
@@ -208,13 +234,15 @@ def kmeans_fit(ds, init_ids, id_col: str = "vec_id",
     return labels, cent
 
 
-def kmeans_assign(ds, init_ids, id_col: str = "vec_id",
-                  emb_col: str = "embedding", n_updates: int = 1):
+def kmeans_assign(ds, init_ids=None, id_col: str = "vec_id",
+                  emb_col: str = "embedding", n_updates: int = 1,
+                  init_centroids=None):
     """Distributed k-means: fit (``kmeans_fit``) then ONE streaming
     assignment pass. Returns a Dataset of (id_col, cluster:int64) —
     cluster is the seed id of the winning centroid."""
     labels, cent = kmeans_fit(ds, init_ids, id_col=id_col,
-                              emb_col=emb_col, n_updates=n_updates)
+                              emb_col=emb_col, n_updates=n_updates,
+                              init_centroids=init_centroids)
     import ray
 
     cref = ray.put((labels, cent, _unit_safe_norms(cent)))
@@ -239,7 +267,8 @@ def cluster_balanced_sample(ds, init_ids, k_per_cluster: int,
                             id_col: str = "vec_id",
                             emb_col: str = "embedding",
                             n_updates: int = 1,
-                            num_partitions: int | None = None):
+                            num_partitions: int | None = None,
+                            init_centroids=None):
     """Diversity sampling by k-means cell: keep the ``k_per_cluster``
     lowest-id rows of every cluster — the embedding-space analogue of
     the per-host cap (group_top_k over data-adaptive cells instead of
@@ -250,7 +279,8 @@ def cluster_balanced_sample(ds, init_ids, k_per_cluster: int,
     from raydoc.ops.relational import group_top_k
 
     labels, cent = kmeans_fit(ds, init_ids, id_col=id_col,
-                              emb_col=emb_col, n_updates=n_updates)
+                              emb_col=emb_col, n_updates=n_updates,
+                              init_centroids=init_centroids)
     import ray
 
     cref = ray.put((labels, cent, _unit_safe_norms(cent)))
@@ -274,13 +304,14 @@ def cluster_balanced_sample(ds, init_ids, k_per_cluster: int,
                        num_partitions=num_partitions)
 
 
-def semantic_dedup_pairs(ds, init_ids, threshold: float = 0.9,
+def semantic_dedup_pairs(ds, init_ids=None, threshold: float = 0.9,
                          id_col: str = "vec_id",
                          emb_col: str = "embedding",
                          n_updates: int = 1,
                          max_cluster_docs: int | None = None,
                          num_partitions: int | None = None,
-                         max_key_rows: int | None = None):
+                         max_key_rows: int | None = None,
+                         init_centroids=None):
     """SemDeDup candidate pairs: k-means-cluster the embeddings, then
     verify exact cosine WITHIN each cluster only — the k-means cells
     play the role the random sign buckets play in
@@ -298,7 +329,8 @@ def semantic_dedup_pairs(ds, init_ids, threshold: float = 0.9,
                                       clique_pair_indices, pair_cosine)
 
     labels, cent = kmeans_fit(ds, init_ids, id_col=id_col,
-                              emb_col=emb_col, n_updates=n_updates)
+                              emb_col=emb_col, n_updates=n_updates,
+                              init_centroids=init_centroids)
     import ray
 
     cref = ray.put((labels, cent, _unit_safe_norms(cent)))
@@ -350,12 +382,13 @@ def semantic_dedup_pairs(ds, init_ids, threshold: float = 0.9,
         max_key_rows=max_key_rows)
 
 
-def semantic_dedup(ds, init_ids, threshold: float = 0.9,
+def semantic_dedup(ds, init_ids=None, threshold: float = 0.9,
                    id_col: str = "vec_id", emb_col: str = "embedding",
                    n_updates: int = 1,
                    max_cluster_docs: int | None = None,
                    num_partitions: int | None = None,
-                   max_key_rows: int | None = None):
+                   max_key_rows: int | None = None,
+                   init_centroids=None):
     """Drop semantic near-duplicates: victims are every id appearing
     as the GREATER id of any over-threshold same-cluster pair (the
     deterministic keep-the-lowest rule the exact/segment dedups use).
@@ -366,7 +399,8 @@ def semantic_dedup(ds, init_ids, threshold: float = 0.9,
         ds, init_ids, threshold=threshold, id_col=id_col,
         emb_col=emb_col, n_updates=n_updates,
         max_cluster_docs=max_cluster_docs,
-        num_partitions=num_partitions, max_key_rows=max_key_rows)
+        num_partitions=num_partitions, max_key_rows=max_key_rows,
+        init_centroids=init_centroids)
     victims = distinct_on(
         pairs.select_columns(["id_b"])
         .map_batches(lambda b: b.rename_columns([id_col]),

@@ -73,6 +73,28 @@ class TestKmeans:
         with pytest.raises(ValueError, match="empty"):
             kmeans_fit(ds, [])
 
+    def test_init_centroids_no_scan_path(self, ray_session):
+        """Explicit (labels, matrix) seeding must equal id seeding —
+        the no-scan path for 10^12-doc corpora — and validate shapes."""
+        from raydoc.ops.cluster import kmeans_fit
+
+        rng = np.random.RandomState(5)
+        vecs = rng.standard_normal((50, 6))
+        ds = _toy_ds(vecs)
+        by_ids = kmeans_fit(ds, [0, 1, 2], n_updates=2)
+        seed = vecs[:3].astype(np.float32).astype(np.float64)
+        by_cent = kmeans_fit(
+            ds, init_centroids=(np.array([0, 1, 2]), seed),
+            n_updates=2)
+        assert by_ids[0].tolist() == by_cent[0].tolist()
+        assert np.allclose(by_ids[1], by_cent[1], rtol=0, atol=1e-12)
+        with pytest.raises(ValueError, match="not both"):
+            kmeans_fit(ds, [0], init_centroids=(np.array([0]), seed[:1]))
+        with pytest.raises(ValueError, match="disagree"):
+            kmeans_fit(ds, init_centroids=(np.array([0, 1]), seed[:1]))
+        with pytest.raises(ValueError, match="duplicate"):
+            kmeans_fit(ds, init_centroids=(np.array([0, 0]), seed[:2]))
+
 
 def _numpy_lloyd(vecs, init_ids, n_updates):
     """Driver-side reference Lloyd with the module's exact contract:
