@@ -69,6 +69,11 @@ __all__ = [
     "append_neardup_index",
     "read_index_meta",
     "incremental_near_dup_pairs",
+    "write_semantic_index",
+    "append_semantic_index",
+    "read_semantic_meta",
+    "incremental_semantic_pairs",
+    "incremental_semantic_dedup",
     "incremental_dedup",
     "write_exact_index",
     "append_exact_index",
@@ -755,4 +760,292 @@ def incremental_dedup(
     if update_index:
         append_neardup_index(kept, index_dir, text_col=text_col,
                              id_col=id_col)
+    return kept, pairs
+
+
+# --------------------------------------------------------------------------
+# SEMANTIC component: incremental SemDeDup vs a persisted centroid+member
+# index (ops/cluster.py is the batch form; this is the continuous-crawl
+# form — the corpus is clustered ONCE, its centroids and cell-tagged
+# embeddings live as Parquet, and each new batch is assigned alone and
+# verified against only its touched cells). Shares index_dir with the
+# minhash/exact components (subdirs sem_centroids/ + sem_members/,
+# commit marker _meta_semantic.json), so one directory can carry all
+# three probes of a rolling crawl.
+
+SEMANTIC_VERSION = "semantic_cell_v1"
+# hive partition key for member rows: bucket = cluster % _SEM_BUCKETS.
+# A probe reads ONLY the buckets its new batch touches (<= 256 dirs) —
+# the cell-pruned read that keeps probe cost proportional to the new
+# batch's cell footprint, not the corpus.
+_SEM_BUCKETS = 256
+
+
+def _semantic_meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_meta_semantic.json")
+
+
+def read_semantic_meta(index_dir: str) -> dict:
+    with open(_semantic_meta_path(index_dir)) as f:
+        meta = json.load(f)
+    if meta.get("version") != SEMANTIC_VERSION:
+        raise ValueError(
+            f"semantic index at {index_dir} has version "
+            f"{meta.get('version')!r}, this build reads "
+            f"{SEMANTIC_VERSION!r}")
+    return meta
+
+
+def _load_sem_centroids(index_dir: str):
+    import pyarrow.parquet as pq
+
+    from raydoc.util import embedding_matrix
+
+    t = pq.read_table(os.path.join(index_dir, "sem_centroids",
+                                   "centroids.parquet"))
+    t = t.take(pc.sort_indices(t.column("cluster")))
+    labels = t.column("cluster").to_numpy(zero_copy_only=False)
+    cent = embedding_matrix(t.column("centroid"))
+    return labels.astype(np.int64), cent.astype(np.float64)
+
+
+def _sem_tag_rows(cent_ref, id_col: str, emb_col: str):
+    """map_batches UDF: assign each row to its nearest persisted
+    centroid (broadcast once via ray.put) and emit slim member rows
+    (bucket, cluster, id, embedding) — the index row format AND the
+    probe's new-side format."""
+
+    def _rows(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        from raydoc.ops.cluster import _cosine_argmax, _unit_safe_norms
+        from raydoc.util import embedding_matrix
+
+        lab, c, cn = _r.get(cent_ref)
+        if b.num_rows == 0:
+            cl = np.empty(0, np.int64)
+        else:
+            embs = embedding_matrix(b.column(emb_col)).astype(
+                np.float64, copy=False)
+            cl = lab[_cosine_argmax(embs, c, cn)]
+        return pa.Table.from_arrays(
+            [pa.array(cl % _SEM_BUCKETS, pa.int64()),
+             pa.array(cl, pa.int64()),
+             b.column(id_col), b.column(emb_col)],
+            names=["bucket", "cluster", id_col, emb_col])
+
+    return _rows
+
+
+def _write_sem_members(ds, index_dir: str, cent_ref, *, id_col: str,
+                       emb_col: str) -> None:
+    d = os.path.join(index_dir, "sem_members")
+    os.makedirs(d, exist_ok=True)
+    ds.map_batches(_sem_tag_rows(cent_ref, id_col, emb_col),
+                   batch_format="pyarrow").write_parquet(
+        d, partition_cols=["bucket"])
+
+
+def write_semantic_index(ds, index_dir: str, *, init_ids=None,
+                         init_centroids=None, id_col: str = "vec_id",
+                         emb_col: str = "embedding",
+                         n_updates: int = 1) -> dict:
+    """Cluster the corpus (ops/cluster.py kmeans_fit) and persist the
+    centroids plus cell-tagged member embeddings. Fails if a semantic
+    component is already committed (use ``append_semantic_index``).
+    ``_meta_semantic.json`` is written LAST via tmp+rename — a killed
+    build leaves no committed marker and is simply rebuilt."""
+    import ray
+    import pyarrow.parquet as pq
+
+    from raydoc.ops.cluster import _unit_safe_norms, kmeans_fit
+
+    if os.path.exists(_semantic_meta_path(index_dir)):
+        raise FileExistsError(
+            f"semantic index already committed at {index_dir}; use "
+            "append_semantic_index to add a batch")
+    labels, cent = kmeans_fit(ds, init_ids, id_col=id_col,
+                              emb_col=emb_col, n_updates=n_updates,
+                              init_centroids=init_centroids)
+    cdir = os.path.join(index_dir, "sem_centroids")
+    os.makedirs(cdir, exist_ok=True)
+    dim = cent.shape[1]
+    flat = pa.array(cent.ravel(), pa.float64())
+    offs = pa.array(np.arange(0, (len(labels) + 1) * dim, dim,
+                              dtype=np.int64).astype(np.int32))
+    pq.write_table(
+        pa.table({"cluster": pa.array(labels, pa.int64()),
+                  "centroid": pa.ListArray.from_arrays(offs, flat)}),
+        os.path.join(cdir, "centroids.parquet"))
+    cent_ref = ray.put((labels, cent, _unit_safe_norms(cent)))
+    _write_sem_members(ds, index_dir, cent_ref, id_col=id_col,
+                       emb_col=emb_col)
+    meta = {
+        "version": SEMANTIC_VERSION,
+        "id_col": id_col,
+        "emb_col": emb_col,
+        "k": int(len(labels)),
+        "dim": int(dim),
+        "buckets": _SEM_BUCKETS,
+        # determinism rule shared with ops/cluster.py: float64 argmax
+        # cosine, first-max tie -> lowest label; centroids are frozen
+        # at index build — appends and probes assign against THESE
+        "assign_rule": "float64 argmax cosine vs persisted centroids",
+    }
+    tmp = _semantic_meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _semantic_meta_path(index_dir))
+    return meta
+
+
+def append_semantic_index(ds, index_dir: str) -> dict:
+    """Add a batch's member rows, assigned against the PERSISTED
+    centroids (no refit — a batch assigned under different centroids
+    would land in different cells and silently never match, so the
+    parameters are not even accepted here)."""
+    import ray
+
+    from raydoc.ops.cluster import _unit_safe_norms
+
+    meta = read_semantic_meta(index_dir)
+    labels, cent = _load_sem_centroids(index_dir)
+    cent_ref = ray.put((labels, cent, _unit_safe_norms(cent)))
+    _write_sem_members(ds, index_dir, cent_ref,
+                       id_col=meta["id_col"], emb_col=meta["emb_col"])
+    return meta
+
+
+def incremental_semantic_pairs(new_ds, index_dir: str, *,
+                               threshold: float = 0.9,
+                               num_partitions: int | None = None,
+                               max_key_rows: int | None = None):
+    """Semantic near-dup pairs between a NEW batch and the indexed
+    corpus: assign the new batch to the persisted cells, read ONLY the
+    member buckets it touches (hive-pruned Parquet read), co-partition
+    both sides on cluster, and verify exact cosine CROSS-SIDE per cell.
+
+    Output Dataset: ``(id_new, id_corpus, cosine)`` — one row per
+    cross pair with cosine >= ``threshold``. No star capping here:
+    a semantic cell holds mostly NON-duplicates, where star pairing
+    loses recall (the measured ops/cluster.py lesson) — an oversized
+    cell fails loudly via ``max_key_rows`` instead; fix cell size
+    with k at index build."""
+    import ray
+    import ray.data as rd
+
+    from raydoc.ops.bucketing import bucketed_sorted_apply, pair_cosine
+    from raydoc.ops.cluster import _unit_safe_norms
+    from raydoc.util import embedding_matrix
+
+    meta = read_semantic_meta(index_dir)
+    id_col, emb_col = meta["id_col"], meta["emb_col"]
+    labels, cent = _load_sem_centroids(index_dir)
+    cent_ref = ray.put((labels, cent, _unit_safe_norms(cent)))
+
+    new_tagged = new_ds.map_batches(
+        _sem_tag_rows(cent_ref, id_col, emb_col),
+        batch_format="pyarrow").materialize()  # slim: reused twice
+
+    touched = sorted(new_tagged.unique("bucket"))
+    mdir = os.path.join(index_dir, "sem_members")
+    # hive-pruned read: only the touched buckets' files (a bucket with
+    # no corpus members simply has no directory). The partition column
+    # itself is stripped by the hive layout; cluster rides in-file.
+    paths = []
+    for b in touched:
+        d = os.path.join(mdir, f"bucket={b}")
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    if not paths:
+        z = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table({
+            "id_new": z, "id_corpus": z,
+            "cosine": pa.array([], pa.float64())}))
+    corpus = rd.read_parquet(paths)
+
+    def _tag(side_val: int):
+        def _t(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("cluster"), b.column(id_col),
+                 b.column(emb_col),
+                 pa.array(np.full(b.num_rows, side_val, np.int8))],
+                names=["cluster", "_id", "_emb", "_side"])
+
+        return _t
+
+    tagged = corpus.map_batches(
+        _tag(0), batch_format="pyarrow").union(
+        new_tagged.map_batches(_tag(1), batch_format="pyarrow"))
+
+    def _cross_cell(t: pa.Table, starts: np.ndarray,
+                    counts: np.ndarray) -> pa.Table:
+        z = pa.array([], pa.int64())
+        empty = pa.table({"id_new": z, "id_corpus": z,
+                          "cosine": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        side = t.column("_side").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        c_cnt = np.add.reduceat((side == 0).astype(np.int64), starts)
+        n_cnt = counts - c_cnt
+        act = (c_cnt > 0) & (n_cnt > 0)
+        if not act.any():
+            return empty
+        s, c, nn = starts[act], c_cnt[act], n_cnt[act]
+        pair_cnt = c * nn
+        total = int(pair_cnt.sum())
+        ends = np.cumsum(pair_cnt)
+        p = (np.arange(total, dtype=np.int64)
+             - np.repeat(ends - pair_cnt, pair_cnt))
+        run = np.repeat(np.arange(len(s), dtype=np.int64), pair_cnt)
+        i = p % c[run]                      # corpus index in run
+        j = p // c[run]                     # new index in run
+        bi = s[run] + i                     # corpus rows sort first
+        ai = s[run] + c[run] + j            # then new rows
+        embs = embedding_matrix(t.column("_emb")).astype(
+            np.float64, copy=False)
+        unit = embs / _unit_safe_norms(embs)[:, None]
+        cs = pair_cosine(unit, ai, bi)
+        ids = t.column("_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep = cs >= threshold
+        return pa.table({
+            "id_new": pa.array(ids[ai[keep]], pa.int64()),
+            "id_corpus": pa.array(ids[bi[keep]], pa.int64()),
+            "cosine": pa.array(cs[keep], pa.float64())})
+
+    return bucketed_sorted_apply(
+        tagged, ["cluster"],
+        [("cluster", "ascending"), ("_side", "ascending"),
+         ("_id", "ascending")],
+        _cross_cell, num_partitions=num_partitions,
+        max_key_rows=max_key_rows)
+
+
+def incremental_semantic_dedup(new_ds, index_dir: str, *,
+                               threshold: float = 0.9,
+                               update_index: bool = False,
+                               num_partitions: int | None = None,
+                               max_key_rows: int | None = None):
+    """Drop new-batch rows that semantically duplicate the indexed
+    corpus (the corpus always wins — it is already committed).
+    Returns ``(kept_new_ds, pairs_ds)``. ``update_index=True``
+    appends the KEPT rows' member records, so the next batch dedups
+    against corpus + this batch in one probe."""
+    from raydoc.ops.relational import semi_join
+
+    meta = read_semantic_meta(index_dir)
+    pairs = incremental_semantic_pairs(
+        new_ds, index_dir, threshold=threshold,
+        num_partitions=num_partitions,
+        max_key_rows=max_key_rows).materialize()
+    victims = pairs.select_columns(["id_new"])
+    kept = semi_join(new_ds, victims, meta["id_col"], "id_new",
+                     anti=True)
+    if update_index:
+        append_semantic_index(kept, index_dir)
     return kept, pairs

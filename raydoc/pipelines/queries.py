@@ -2799,6 +2799,56 @@ SELECT vec_id FROM embeddings
 """
 
 
+def docs_incremental_semantic(sf_dir: str):
+    """Incremental SemDeDup of a NEW batch against a PERSISTED
+    semantic index (ops/incremental.py semantic component — the
+    continuous-crawl form of ops/cluster.py: corpus clustered once,
+    centroids + cell-tagged members live as Parquet, each new batch
+    is assigned alone and verified against only its touched cells).
+    The embeddings table is the corpus (k=8 cells seeded from vec_id
+    0..7); the new batch plants 10 exact clones (vec_id+100000 of
+    vec_id<10 — same cell as their source by argmax determinism,
+    cosine 1.0) and 10 novel seeded-random unit vectors (ids
+    200000+j; natural max cosine ~0.51 < 0.95). The corpus wins:
+    survivors are exactly the novels."""
+    import tempfile
+
+    import ray.data as rd
+
+    from raydoc.ops.incremental import (
+        incremental_semantic_dedup,
+        write_semantic_index,
+    )
+    from raydoc.util import embedding_matrix
+
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    index_dir = tempfile.mkdtemp(prefix="raydoc_sem_index_")
+    write_semantic_index(corpus, index_dir, init_ids=range(8))
+
+    t = _read_small(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = t.take(pc.sort_indices(t.column("vec_id")))
+    mat = embedding_matrix(t.column("embedding"))
+    rng = np.random.RandomState(123)
+    nov = rng.standard_normal((10, mat.shape[1]))
+    nov /= np.linalg.norm(nov, axis=1)[:, None]
+    emb_type = t.schema.field("embedding").type
+    new = pa.table({
+        "vec_id": pa.array(
+            [100000 + i for i in range(10)]
+            + [200000 + i for i in range(10)], pa.int64()),
+        "embedding": pa.array(
+            [mat[i].tolist() for i in range(10)]
+            + [v.tolist() for v in nov], emb_type)})
+    kept, _ = incremental_semantic_dedup(
+        rd.from_arrow(new), index_dir, threshold=0.95)
+    return kept.select_columns(["vec_id"])
+
+
+DOCS_INCREMENTAL_SEMANTIC_SQL = """
+SELECT vec_id + 200000 AS vec_id FROM embeddings WHERE vec_id < 10
+"""
+
+
 def docs_cluster_terms(sf_dir: str):
     """Per-cluster topic profile: k-means the embeddings, shuffle-join
     the cluster labels onto the documents (big x big — the form that
@@ -3578,6 +3628,7 @@ QUERIES = {
     "embeddings_ann_join": embeddings_ann_join,
     "embeddings_cluster_sample": embeddings_cluster_sample,
     "docs_cluster_terms": docs_cluster_terms,
+    "docs_incremental_semantic": docs_incremental_semantic,
     "embeddings_cosine_pairs": embeddings_cosine_pairs,
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "embeddings_knn_lsh": embeddings_knn_lsh,
@@ -3720,6 +3771,7 @@ ORACLES = {
     "embeddings_semantic_dedup": EMBEDDINGS_SEMANTIC_DEDUP_SQL,
     "embeddings_cluster_sample": EMBEDDINGS_CLUSTER_SAMPLE_SQL,
     "docs_cluster_terms": DOCS_CLUSTER_TERMS_SQL,
+    "docs_incremental_semantic": DOCS_INCREMENTAL_SEMANTIC_SQL,
     "code_sandbox_lengths": CODE_SANDBOX_LENGTHS_SQL,
     "udf_doc_head_upper": UDF_DOC_HEAD_UPPER_SQL,
     # r04 promotions (VERDICT r03 #3): planted-separation corpora make

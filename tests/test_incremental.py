@@ -7,6 +7,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -467,3 +468,117 @@ class TestCompaction:
         for comp in ("sigs", "bands", "exact"):
             assert report[comp][1] <= report[comp][0]
         assert _near() == base_near and _exact() == base_exact
+
+
+class TestSemanticComponent:
+    """The k-means-cell component (incremental SemDeDup vs a persisted
+    centroid + member index) — lifecycle, pruned probe, rolling
+    append, coexistence with the other components."""
+
+    def _vecs(self, n=60, dim=8, seed=3):
+        rng = np.random.RandomState(seed)
+        v = rng.standard_normal((n, dim))
+        return v / np.linalg.norm(v, axis=1)[:, None]
+
+    def _ds(self, vecs, ids=None):
+        import ray.data as rd
+
+        ids = list(range(len(vecs))) if ids is None else list(ids)
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32()))}))
+
+    def test_lifecycle_and_rolling_append(self, tmp_path, ray_session):
+        from raydoc.ops.incremental import (
+            append_semantic_index,
+            incremental_semantic_dedup,
+            incremental_semantic_pairs,
+            read_semantic_meta,
+            write_semantic_index,
+        )
+
+        d = str(tmp_path / "semidx")
+        vecs = self._vecs()
+        meta = write_semantic_index(self._ds(vecs), d,
+                                    init_ids=[0, 1, 2, 3])
+        assert meta["k"] == 4 and read_semantic_meta(d)["dim"] == 8
+        with pytest.raises(FileExistsError):
+            write_semantic_index(self._ds(vecs), d, init_ids=[0, 1])
+
+        # batch 1: clones of corpus 5/6 (victims) + one novel (kept)
+        nov = self._vecs(1, seed=99)
+        b1 = self._ds(np.vstack([vecs[5:7], nov]), [105, 106, 500])
+        kept, pairs = incremental_semantic_dedup(b1, d, threshold=0.99,
+                                                 update_index=True)
+        got = sorted((r["id_new"], r["id_corpus"])
+                     for r in pairs.take_all())
+        assert got == [(105, 5), (106, 6)]
+        assert sorted(r["vec_id"] for r in
+                      kept.select_columns(["vec_id"]).take_all()) == [500]
+
+        # batch 2 vs the UPDATED index: a clone of the appended novel
+        # is now caught; corpus-clone still caught; fresh vector kept
+        nov2 = self._vecs(1, seed=123)
+        b2 = self._ds(np.vstack([nov, vecs[9:10], nov2]),
+                      [600, 609, 777])
+        kept2, pairs2 = incremental_semantic_dedup(b2, d,
+                                                   threshold=0.99)
+        assert sorted((r["id_new"], r["id_corpus"])
+                      for r in pairs2.take_all()) == [(600, 500),
+                                                      (609, 9)]
+        assert sorted(r["vec_id"] for r in
+                      kept2.select_columns(["vec_id"]).take_all()) \
+            == [777]
+        # probing never mutated the index without update_index
+        assert sorted((r["id_new"], r["id_corpus"]) for r in
+                      incremental_semantic_pairs(b2, d, threshold=0.99)
+                      .take_all()) == [(600, 500), (609, 9)]
+
+    def test_append_refuses_uncommitted(self, tmp_path, ray_session):
+        from raydoc.ops.incremental import append_semantic_index
+
+        with pytest.raises(FileNotFoundError):
+            append_semantic_index(self._ds(self._vecs(4)),
+                                  str(tmp_path / "nope"))
+
+    def test_component_coexistence(self, tmp_path, ray_session):
+        """One index_dir carries minhash + exact + semantic markers."""
+        import ray.data as rd
+
+        from raydoc.ops.incremental import (
+            read_exact_meta,
+            read_index_meta,
+            read_semantic_meta,
+            write_exact_index,
+            write_neardup_index,
+            write_semantic_index,
+        )
+
+        d = str(tmp_path / "combined")
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array(
+                [f"alpha beta gamma delta epsilon zeta eta theta "
+                 f"iota kappa doc{i}" for i in range(20)])}))
+        write_neardup_index(docs, d)
+        write_exact_index(docs, d)
+        write_semantic_index(self._ds(self._vecs(20)), d,
+                             init_ids=[0, 1])
+        assert read_index_meta(d)["version"].startswith("minhash")
+        assert read_exact_meta(d)["version"].startswith("exact")
+        assert read_semantic_meta(d)["version"].startswith("semantic")
+
+    def test_max_key_rows_fail_loud(self, tmp_path, ray_session):
+        from raydoc.ops.incremental import (
+            incremental_semantic_pairs,
+            write_semantic_index,
+        )
+
+        d = str(tmp_path / "hotcell")
+        vecs = self._vecs(30)
+        write_semantic_index(self._ds(vecs), d, init_ids=[0])  # 1 cell
+        with pytest.raises(Exception, match="max_key_rows|exceeds"):
+            incremental_semantic_pairs(
+                self._ds(self._vecs(3, seed=7), [900, 901, 902]), d,
+                threshold=0.99, max_key_rows=10).take_all()

@@ -40,6 +40,7 @@ NEW_QUERIES = [
     "embeddings_semantic_dedup",
     "embeddings_cluster_sample",
     "docs_cluster_terms",
+    "docs_incremental_semantic",
 ]
 
 
