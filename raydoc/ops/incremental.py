@@ -558,8 +558,20 @@ def compact_index(index_dir: str, target_rows_per_file: int = 2_000_000,
     import ray.data as rd
 
     report = {}
-    for comp in ("sigs", "bands", "exact"):
-        d = os.path.join(index_dir, comp)
+    comps = [("sigs", os.path.join(index_dir, "sigs")),
+             ("bands", os.path.join(index_dir, "bands")),
+             ("exact", os.path.join(index_dir, "exact"))]
+    # semantic members are hive-partitioned (sem_members/bucket=N/);
+    # compact each bucket dir independently — duplicate member rows
+    # from a crash mid-compaction yield duplicate (identical) pair
+    # rows, which the victim semi-join collapses like everywhere else
+    mdir = os.path.join(index_dir, "sem_members")
+    if os.path.isdir(mdir):
+        comps.extend(
+            (f"sem_members/{b}", os.path.join(mdir, b))
+            for b in sorted(os.listdir(mdir))
+            if os.path.isdir(os.path.join(mdir, b)))
+    for comp, d in comps:
         if not os.path.isdir(d):
             continue
         old = sorted(glob.glob(os.path.join(d, "*.parquet")))

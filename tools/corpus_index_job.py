@@ -22,8 +22,13 @@ Subcommands:
           the next batch probes corpus + this batch
   compact rewrite accumulated per-append files into ~2M-row files
           (crash-safe by idempotence; consumers tolerate the
-          duplicate-row window)
+          duplicate-row window; covers sem_members bucket dirs)
   status  print the index meta + per-component file/row counts
+
+  seed-semantic / append-semantic / dedup-semantic: the same lifecycle
+  for the SEMANTIC component (k-means centroids + cell-tagged member
+  embeddings; incremental SemDeDup of each new embedding batch against
+  the frozen persisted centroids, cell-pruned probe)
 
 Each invocation prints ONE JSON line. This script OWNS its Ray session
 (library code never calls ray.init).
@@ -51,13 +56,20 @@ def _component_stats(index_dir: str) -> dict:
     import pyarrow.parquet as pq
 
     out = {}
-    for comp in ("sigs", "bands", "exact"):
+    for comp in ("sigs", "bands", "exact", "sem_centroids"):
         d = os.path.join(index_dir, comp)
         if not os.path.isdir(d):
             continue
         files = glob.glob(os.path.join(d, "*.parquet"))
         rows = sum(pq.read_metadata(f).num_rows for f in files)
         out[comp] = {"files": len(files), "rows": rows}
+    mdir = os.path.join(index_dir, "sem_members")
+    if os.path.isdir(mdir):
+        files = glob.glob(os.path.join(mdir, "bucket=*", "*.parquet"))
+        rows = sum(pq.read_metadata(f).num_rows for f in files)
+        out["sem_members"] = {"files": len(files), "rows": rows,
+                              "buckets": len(glob.glob(
+                                  os.path.join(mdir, "bucket=*")))}
     return out
 
 
@@ -99,6 +111,28 @@ def main() -> int:
 
     p_stat = sub.add_parser("status")
     _common(p_stat, docs=False)
+
+    def _vec_common(p):
+        p.add_argument("--index", required=True)
+        p.add_argument("--vecs", required=True,
+                       help="embedding table parquet file/dir")
+        p.add_argument("--id-col", default="vec_id")
+        p.add_argument("--emb-col", default="embedding")
+
+    p_ssem = sub.add_parser("seed-semantic")
+    _vec_common(p_ssem)
+    p_ssem.add_argument("--init-ids", required=True,
+                        help="comma-separated seed row ids (k = count)")
+    p_ssem.add_argument("--n-updates", type=int, default=1)
+
+    p_asem = sub.add_parser("append-semantic")
+    _vec_common(p_asem)
+
+    p_dsem = sub.add_parser("dedup-semantic")
+    _vec_common(p_dsem)
+    p_dsem.add_argument("--out", required=True)
+    p_dsem.add_argument("--threshold", type=float, default=0.9)
+    p_dsem.add_argument("--update-index", action="store_true")
 
     args = ap.parse_args()
 
@@ -156,8 +190,52 @@ def main() -> int:
                                 bucketed=True).count()
         kept.write_parquet(args.out)
         # column-pruned read-back of the WRITTEN output, not a
-        # re-execution of the dedup lineage
-        n_kept = rd.read_parquet(args.out, columns=[args.id_col]).count()
+        # re-execution of the dedup lineage; an all-victims batch
+        # writes no files at all -> 0 kept, not a crash
+        n_kept = (rd.read_parquet(args.out, columns=[args.id_col]).count()
+                  if glob.glob(os.path.join(args.out, "*.parquet"))
+                  else 0)
+        result.update({"out": args.out, "n_victims": n_victims,
+                       "n_kept": n_kept,
+                       "index_updated": bool(args.update_index)})
+    elif args.cmd == "seed-semantic":
+        import ray.data as rd
+
+        vecs = rd.read_parquet(args.vecs,
+                               columns=[args.id_col, args.emb_col])
+        result["meta_semantic"] = inc.write_semantic_index(
+            vecs, args.index,
+            init_ids=[int(x) for x in args.init_ids.split(",")],
+            id_col=args.id_col, emb_col=args.emb_col,
+            n_updates=args.n_updates)
+    elif args.cmd == "append-semantic":
+        import ray.data as rd
+
+        inc.append_semantic_index(
+            rd.read_parquet(args.vecs,
+                            columns=[args.id_col, args.emb_col]),
+            args.index)
+    elif args.cmd == "dedup-semantic":
+        import ray.data as rd
+
+        if glob.glob(os.path.join(args.out, "*.parquet")):
+            print(json.dumps({"error": f"--out {args.out} already holds "
+                              "parquet files; each batch needs a fresh "
+                              "output dir"}))
+            return 1
+        new = rd.read_parquet(args.vecs)  # keep ALL columns
+        kept, pairs = inc.incremental_semantic_dedup(
+            new, args.index, threshold=args.threshold,
+            update_index=args.update_index)
+        from raydoc.ops.relational import distinct_on
+
+        n_victims = distinct_on(pairs.select_columns(["id_new"]),
+                                "id_new", bucketed=True).count()
+        kept.write_parquet(args.out)
+        n_kept = (rd.read_parquet(args.out,
+                                  columns=[args.id_col]).count()
+                  if glob.glob(os.path.join(args.out, "*.parquet"))
+                  else 0)
         result.update({"out": args.out, "n_victims": n_victims,
                        "n_kept": n_kept,
                        "index_updated": bool(args.update_index)})
@@ -167,9 +245,13 @@ def main() -> int:
                 args.index,
                 target_rows_per_file=args.target_rows_per_file).items()}
     else:  # status
-        result["meta"] = inc.read_index_meta(args.index)
+        if os.path.exists(os.path.join(args.index, "_meta.json")):
+            result["meta"] = inc.read_index_meta(args.index)
         if os.path.exists(os.path.join(args.index, "_meta_exact.json")):
             result["meta_exact"] = inc.read_exact_meta(args.index)
+        if os.path.exists(os.path.join(args.index,
+                                       "_meta_semantic.json")):
+            result["meta_semantic"] = inc.read_semantic_meta(args.index)
         result["components"] = _component_stats(args.index)
 
     result["wall_sec"] = round(time.perf_counter() - t0, 3)
