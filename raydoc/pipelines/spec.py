@@ -31,9 +31,10 @@ hash_sample / stratified_sample (deterministic training-mix sampling),
 and the dedup/split family (r05): exact_dedup, url_dedup,
 near_dup_dedup (MinHash-LSH victim removal), incremental_dedup
 (vs a persisted corpus index), hash_split, plus the embedding-side
-pair semantic_dedup / cluster_sample (SemDeDup victim removal and the
-per-k-means-cell diversity cap, ops/cluster.py) — the whole curation
-flow is spec-expressible.
+trio semantic_dedup / cluster_sample / incremental_semantic_dedup
+(SemDeDup victim removal, the per-k-means-cell diversity cap, and the
+persisted-semantic-index probe; ops/cluster.py + ops/incremental.py)
+— the whole curation flow is spec-expressible.
 Sinks: collect, count, write_parquet, side_effect (idempotent per-key
 ledger, stages/sink_stage.py).
 """
@@ -427,6 +428,14 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
             id_col=p.get("id_col", "vec_id"),
             emb_col=p.get("emb_col", "embedding"),
             n_updates=p.get("n_updates", 1))),
+    "incremental_semantic_dedup": (
+        lambda p: _require(p, "index_dir"),
+        lambda ds, p: __import__(
+            "raydoc.ops.incremental",
+            fromlist=["incremental_semantic_dedup"]
+        ).incremental_semantic_dedup(
+            ds, p["index_dir"], threshold=p.get("threshold", 0.9),
+            update_index=p.get("update_index", False))[0]),
 }
 
 _VALID_PREDICATE_OPS = None

@@ -535,6 +535,39 @@ class TestSpecDedupFamily:
         # the natural corpus has no cosine-0.95 near-dups: all rows kept
         assert kept == 500
 
+    def test_incremental_semantic_spec(self, sf_dir, tmp_path,
+                                       ray_session):
+        """The persisted-index probe is declarable: a spec stage drops
+        new rows duplicating the indexed corpus."""
+        import ray.data as rd
+
+        from raydoc.ops.incremental import write_semantic_index
+        from raydoc.pipelines.spec import run_spec
+
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/embeddings.parquet"
+        idx = str(tmp_path / "semidx")
+        write_semantic_index(
+            rd.read_parquet(path, columns=["vec_id", "embedding"]),
+            idx, init_ids=[0, 1, 2, 3])
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        import pyarrow.compute as _pc
+
+        sel = t.filter(_pc.less(t.column("vec_id"), 5))
+        clone = sel.set_column(
+            sel.schema.get_field_index("vec_id"), "vec_id",
+            _pc.add(sel.column("vec_id"), pa.scalar(900000)))
+        newp = str(tmp_path / "new.parquet")
+        pq.write_table(clone, newp)
+        kept = run_spec({
+            "source": {"op": "read_parquet", "path": newp},
+            "stages": [{"op": "incremental_semantic_dedup",
+                        "index_dir": idx, "threshold": 0.95}],
+            "sink": {"op": "count"},
+        })
+        assert kept == 0  # all five are exact corpus clones
+
     def test_url_dedup_spec(self, tmp_path, ray_session):
         import pyarrow.parquet as pq
 
