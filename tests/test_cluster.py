@@ -96,6 +96,51 @@ class TestKmeans:
             kmeans_fit(ds, init_centroids=(np.array([0, 0]), seed[:2]))
 
 
+class TestArgmaxKernelProperties:
+    """Pure-kernel properties (no Ray): the chunked argmax is
+    numerically identical to the unchunked form for ANY chunk size,
+    and ties always resolve to the lowest centroid index — the two
+    claims the oracle's bit-exactness rests on."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 12), st.integers(2, 16),
+           st.integers(0, 2**31 - 1))
+    def test_chunking_is_neutral(self, n, k, dim, seed):
+        import raydoc.ops.cluster as cl
+
+        rng = np.random.RandomState(seed)
+        embs = rng.standard_normal((n, dim))
+        cent = rng.standard_normal((k, dim))
+        cnorm = cl._unit_safe_norms(cent)
+        old = cl._ARGMAX_CHUNK_CELLS
+        try:
+            cl._ARGMAX_CHUNK_CELLS = 10 ** 9  # one chunk
+            whole = cl._cosine_argmax(embs, cent, cnorm)
+            cl._ARGMAX_CHUNK_CELLS = 1        # 1-row chunks
+            rowwise = cl._cosine_argmax(embs, cent, cnorm)
+        finally:
+            cl._ARGMAX_CHUNK_CELLS = old
+        assert whole.tolist() == rowwise.tolist()
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(1, 20), st.integers(1, 8), st.integers(2, 10),
+           st.integers(0, 2**31 - 1))
+    def test_duplicate_centroid_ties_go_low(self, n, k, dim, seed):
+        import raydoc.ops.cluster as cl
+
+        rng = np.random.RandomState(seed)
+        embs = rng.standard_normal((n, dim))
+        cent = rng.standard_normal((k, dim))
+        # duplicate every centroid after it: ties everywhere
+        cent2 = np.vstack([cent, cent])
+        a = cl._cosine_argmax(embs, cent2,
+                              cl._unit_safe_norms(cent2))
+        assert (a < k).all()  # never the duplicate half
+
+
 def _numpy_lloyd(vecs, init_ids, n_updates):
     """Driver-side reference Lloyd with the module's exact contract:
     argmax cosine (float64, first-max tie -> lowest label), AVG
