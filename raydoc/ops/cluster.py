@@ -42,7 +42,13 @@ dot/(|a||b|) with ties to the LOWEST cluster label; each update
 recomputes a centroid as the plain element-wise MEAN of its members'
 raw embeddings (cosine is scale-invariant, so not renormalizing
 matches the SQL `AVG` replay exactly); clusters that lose all members
-are dropped, mirroring SQL's GROUP BY.
+are dropped, mirroring SQL's GROUP BY. DUPLICATE centroid rows are
+collapsed onto the lowest label before every assignment
+(``_dedup_centroids``): BLAS matmuls are not column-position
+invariant, so an argmax tie between identical columns cannot be
+trusted bit-wise — the collapse computes what the SQL tie rule
+yields (lowest label takes all members, the emptied duplicate is
+dropped) without relying on float equality.
 """
 
 from __future__ import annotations
@@ -91,6 +97,28 @@ def _cosine_argmax(embs: np.ndarray, cent: np.ndarray,
                                           * cnorm[None, :])
         out[off:hi] = sims.argmax(axis=1)
     return out
+
+
+def _dedup_centroids(labels: np.ndarray, cent: np.ndarray):
+    """Collapse duplicate centroid ROWS onto the lowest label. Needed
+    for bit-exact tie semantics: BLAS matmuls are not column-position
+    invariant (identical centroid columns can produce sims differing
+    in the last ulp — measured on 1-row batches), so an argmax tie
+    between identical centroids cannot be trusted to go low. SQL's
+    replay gives every member of duplicate centroids to the lowest
+    label (ORDER BY sim DESC, cluster ASC) and drops the emptied
+    higher one — collapsing before assignment computes exactly that.
+    ``labels`` must be sorted ascending (both callers sort), so
+    np.unique's first-occurrence index IS the lowest label."""
+    if len(labels) < 2:
+        return labels, cent
+    c = np.ascontiguousarray(cent)
+    v = c.view([("", c.dtype)] * c.shape[1]).ravel()
+    _, idx = np.unique(v, return_index=True)
+    if len(idx) == len(labels):
+        return labels, cent
+    idx = np.sort(idx)
+    return labels[idx], cent[idx]
 
 
 def _batch_partials(labels: np.ndarray):
@@ -182,6 +210,7 @@ def kmeans_fit(ds, init_ids=None, id_col: str = "vec_id",
         labels = np.asarray(init, dtype=np.int64)
         cent = embedding_matrix(seed.column(emb_col)).astype(np.float64)
 
+    labels, cent = _dedup_centroids(labels, cent)
     for _ in range(n_updates):
         cref = ray.put((labels, cent, _unit_safe_norms(cent)))
         partial = _batch_partials(labels)
@@ -231,6 +260,7 @@ def kmeans_fit(ds, init_ids=None, id_col: str = "vec_id",
         cent = np.stack([
             np.asarray(r["vsum"], dtype=np.float64) / r["cnt"]
             for r in rows])
+        labels, cent = _dedup_centroids(labels, cent)
     return labels, cent
 
 
