@@ -13,10 +13,15 @@ Scale shape (the part that must survive 100 TB):
 * Each Lloyd update is ONE streaming pass: every batch computes its
   assignment against the broadcast centroid matrix (``ray.put`` once
   per update, workers fetch the ref) and emits a FIXED-SIZE mergeable
-  partial — k rows of (cluster, vector-sum, count) — never its rows.
-  The combine is a groupby over ≤ k x num_blocks slim partial rows;
-  only the k combined (cluster, mean) rows ever reach the driver.
-  This is the same partial/combiner discipline as ops.sketch.
+  partial — ≤ min(batch_rows, k) rows of (cluster, vector-sum,
+  count) — never its rows. The combine is a bucketed segmented
+  reduceat over ≤ k x num_blocks slim partial rows; only the k
+  combined (cluster, mean) rows ever reach the driver. This is the
+  same partial/combiner discipline as ops.sketch. Honest caveat: the
+  partial compresses by ~batch_rows/k, so when k approaches the
+  per-block row count the update shuffles roughly input-sized
+  sum-rows — still slim (no text/html payload), but size blocks a
+  few x k rows when fitting at large k.
 * ``n_updates`` passes re-execute the input lineage once each — pass
   a parquet-read Dataset (re-read, not recompute) or materialize the
   input yourself first if its lineage is expensive.
