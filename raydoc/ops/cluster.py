@@ -104,6 +104,26 @@ def _cosine_argmax(embs: np.ndarray, cent: np.ndarray,
     return out
 
 
+def _cosine_topk(embs: np.ndarray, cent: np.ndarray,
+                 cnorm: np.ndarray, p: int) -> np.ndarray:
+    """Top-``p`` centroid INDICES per row by cosine, descending, exact
+    ties by lowest index (stable argsort of -sims). Same chunk budget
+    as ``_cosine_argmax``; returns an (n, p) int64 matrix. Used by
+    multi-probe candidate generation (n_probe > 1), where a row is
+    allowed to candidate in its p nearest cells."""
+    k = cent.shape[0]
+    p = min(p, k)
+    step = max(1, _ARGMAX_CHUNK_CELLS // max(1, k))
+    enorm = _unit_safe_norms(embs)
+    out = np.empty((len(embs), p), dtype=np.int64)
+    for off in range(0, len(embs), step):
+        hi = min(off + step, len(embs))
+        sims = (embs[off:hi] @ cent.T) / (enorm[off:hi, None]
+                                          * cnorm[None, :])
+        out[off:hi] = np.argsort(-sims, axis=1, kind="stable")[:, :p]
+    return out
+
+
 def _dedup_centroids(labels: np.ndarray, cent: np.ndarray):
     """Collapse duplicate centroid ROWS onto the lowest label. Needed
     for bit-exact tie semantics: BLAS matmuls are not column-position

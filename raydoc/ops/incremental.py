@@ -821,29 +821,48 @@ def _load_sem_centroids(index_dir: str):
     return labels.astype(np.int64), cent.astype(np.float64)
 
 
-def _sem_tag_rows(cent_ref, id_col: str, emb_col: str):
+def _sem_tag_rows(cent_ref, id_col: str, emb_col: str,
+                  n_probe: int = 1):
     """map_batches UDF: assign each row to its nearest persisted
     centroid (broadcast once via ray.put) and emit slim member rows
     (bucket, cluster, id, embedding) — the index row format AND the
-    probe's new-side format."""
+    probe's new-side format. ``n_probe > 1`` (probe side only) emits
+    each row once per its n_probe nearest cells — a (new, corpus)
+    pair still appears at most once, because the corpus member lives
+    in exactly one cell."""
 
     def _rows(b: pa.Table) -> pa.Table:
         import ray as _r
 
-        from raydoc.ops.cluster import _cosine_argmax, _unit_safe_norms
+        from raydoc.ops.cluster import (_cosine_argmax, _cosine_topk,
+                                        _unit_safe_norms)
         from raydoc.util import embedding_matrix
 
         lab, c, cn = _r.get(cent_ref)
         if b.num_rows == 0:
             cl = np.empty(0, np.int64)
-        else:
+            take = None
+        elif n_probe <= 1:
             embs = embedding_matrix(b.column(emb_col)).astype(
                 np.float64, copy=False)
             cl = lab[_cosine_argmax(embs, c, cn)]
+            take = None
+        else:
+            embs = embedding_matrix(b.column(emb_col)).astype(
+                np.float64, copy=False)
+            tk = _cosine_topk(embs, c, cn, n_probe)   # (n, p)
+            cl = lab[tk.ravel()]
+            take = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                             tk.shape[1])
+        ids = b.column(id_col)
+        emb = b.column(emb_col)
+        if take is not None:
+            idx = pa.array(take, pa.int64())
+            ids = ids.combine_chunks().take(idx)
+            emb = emb.combine_chunks().take(idx)
         return pa.Table.from_arrays(
             [pa.array(cl % _SEM_BUCKETS, pa.int64()),
-             pa.array(cl, pa.int64()),
-             b.column(id_col), b.column(emb_col)],
+             pa.array(cl, pa.int64()), ids, emb],
             names=["bucket", "cluster", id_col, emb_col])
 
     return _rows
@@ -932,6 +951,7 @@ def append_semantic_index(ds, index_dir: str) -> dict:
 
 def incremental_semantic_pairs(new_ds, index_dir: str, *,
                                threshold: float = 0.9,
+                               n_probe: int = 1,
                                num_partitions: int | None = None,
                                max_key_rows: int | None = None):
     """Semantic near-dup pairs between a NEW batch and the indexed
@@ -940,7 +960,13 @@ def incremental_semantic_pairs(new_ds, index_dir: str, *,
     both sides on cluster, and verify exact cosine CROSS-SIDE per cell.
 
     Output Dataset: ``(id_new, id_corpus, cosine)`` — one row per
-    cross pair with cosine >= ``threshold``. No star capping here:
+    cross pair with cosine >= ``threshold`` (at most once — a corpus
+    member lives in exactly one cell, whatever ``n_probe``).
+    ``n_probe``: probe each NEW row's n nearest cells instead of only
+    the argmax cell — single-cell assignment misses cross-boundary
+    neighbors below ~0.99 cosine, and multi-probing only the new side
+    costs n_probe x the (small) batch, never the corpus. No star
+    capping here:
     a semantic cell holds mostly NON-duplicates, where star pairing
     loses recall (the measured ops/cluster.py lesson) — an oversized
     cell fails loudly via ``max_key_rows`` instead; fix cell size
@@ -958,7 +984,7 @@ def incremental_semantic_pairs(new_ds, index_dir: str, *,
     cent_ref = ray.put((labels, cent, _unit_safe_norms(cent)))
 
     new_tagged = new_ds.map_batches(
-        _sem_tag_rows(cent_ref, id_col, emb_col),
+        _sem_tag_rows(cent_ref, id_col, emb_col, n_probe=n_probe),
         batch_format="pyarrow").materialize()  # slim: reused twice
 
     touched = sorted(new_tagged.unique("bucket"))
@@ -1040,6 +1066,7 @@ def incremental_semantic_pairs(new_ds, index_dir: str, *,
 
 def incremental_semantic_dedup(new_ds, index_dir: str, *,
                                threshold: float = 0.9,
+                               n_probe: int = 1,
                                update_index: bool = False,
                                num_partitions: int | None = None,
                                max_key_rows: int | None = None):
@@ -1052,7 +1079,7 @@ def incremental_semantic_dedup(new_ds, index_dir: str, *,
 
     meta = read_semantic_meta(index_dir)
     pairs = incremental_semantic_pairs(
-        new_ds, index_dir, threshold=threshold,
+        new_ds, index_dir, threshold=threshold, n_probe=n_probe,
         num_partitions=num_partitions,
         max_key_rows=max_key_rows).materialize()
     victims = pairs.select_columns(["id_new"])

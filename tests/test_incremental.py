@@ -535,6 +535,45 @@ class TestSemanticComponent:
                       incremental_semantic_pairs(b2, d, threshold=0.99)
                       .take_all()) == [(600, 500), (609, 9)]
 
+    def test_n_probe_full_equals_brute_force(self, tmp_path,
+                                             ray_session):
+        """n_probe = k (every cell probed) must equal exact
+        brute-force cross pairs — pins the multi-probe machinery; and
+        n_probe=1's pair set is a subset of it (single-cell assignment
+        may miss cross-boundary neighbors, never invent pairs)."""
+        from raydoc.ops.incremental import (
+            incremental_semantic_pairs,
+            write_semantic_index,
+        )
+
+        d = str(tmp_path / "probeidx")
+        vecs = self._vecs(40, dim=6, seed=21)
+        write_semantic_index(self._ds(vecs), d,
+                             init_ids=[0, 1, 2, 3, 4, 5])
+        newv = self._vecs(8, dim=6, seed=77)
+        new = self._ds(newv, [1000 + i for i in range(8)])
+        thr = 0.5  # low: catches genuinely cross-boundary neighbors
+
+        def _pairs(n_probe):
+            got = incremental_semantic_pairs(
+                new, d, threshold=thr, n_probe=n_probe)
+            return sorted((r["id_new"], r["id_corpus"])
+                          for r in got.take_all())
+
+        full = _pairs(6)
+        # float32 storage: recompute like the engine (through float32)
+        v32 = vecs.astype(np.float32).astype(np.float64)
+        n32 = newv.astype(np.float32).astype(np.float64)
+        u = v32 / np.linalg.norm(v32, axis=1)[:, None]
+        un = n32 / np.linalg.norm(n32, axis=1)[:, None]
+        brute = sorted(
+            (1000 + i, j)
+            for i in range(8) for j in range(40)
+            if (un[i] @ u[j]) >= thr)
+        assert full == brute and len(full) > 0
+        one = _pairs(1)
+        assert set(one) <= set(full)
+
     def test_append_refuses_uncommitted(self, tmp_path, ray_session):
         from raydoc.ops.incremental import append_semantic_index
 

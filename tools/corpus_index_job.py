@@ -132,6 +132,7 @@ def main() -> int:
     _vec_common(p_dsem)
     p_dsem.add_argument("--out", required=True)
     p_dsem.add_argument("--threshold", type=float, default=0.9)
+    p_dsem.add_argument("--n-probe", type=int, default=1)
     p_dsem.add_argument("--update-index", action="store_true")
 
     args = ap.parse_args()
@@ -226,7 +227,7 @@ def main() -> int:
         new = rd.read_parquet(args.vecs)  # keep ALL columns
         kept, pairs = inc.incremental_semantic_dedup(
             new, args.index, threshold=args.threshold,
-            update_index=args.update_index)
+            n_probe=args.n_probe, update_index=args.update_index)
         from raydoc.ops.relational import distinct_on
 
         n_victims = distinct_on(pairs.select_columns(["id_new"]),
