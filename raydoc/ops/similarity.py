@@ -177,13 +177,18 @@ def knn_ivf(
     n_probe: int = 4,
     train_sample: np.ndarray | None = None,
     seed: int = 31,
+    centroids: np.ndarray | None = None,
 ):
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
     Centroids come from a few Lloyd iterations over ``train_sample``
     (or the queries themselves as a fallback) on the DRIVER — at scale
     pass a ``ds.random_sample`` collected once; training cost is
-    O(sample x cells), independent of corpus size. Each corpus batch
+    O(sample x cells), independent of corpus size. Or pass
+    ``centroids`` directly — e.g. the output of the DISTRIBUTED
+    ``ops.cluster.kmeans_fit`` when even a bounded sample
+    under-represents the corpus (``n_cells``/``seed`` are then
+    ignored). Each corpus batch
     assigns its vectors to their nearest centroid and scores them only
     against queries probing that cell (each query probes its
     ``n_probe`` nearest cells). Same output schema as
@@ -192,9 +197,12 @@ def knn_ivf(
     import ray
 
     qmat = _unit(np.asarray(queries, dtype=np.float64))
-    train = _unit(np.asarray(train_sample, dtype=np.float64)) \
-        if train_sample is not None else qmat
-    centroids = _train_centroids(train, n_cells, seed)
+    if centroids is not None:
+        centroids = _unit(np.asarray(centroids, dtype=np.float64))
+    else:
+        train = _unit(np.asarray(train_sample, dtype=np.float64)) \
+            if train_sample is not None else qmat
+        centroids = _train_centroids(train, n_cells, seed)
     n_cells = len(centroids)
 
     # query -> probed cells; cell -> probing query index ARRAY (the
@@ -398,6 +406,7 @@ def ann_join(
     n_probe: int = 4,
     train_sample: np.ndarray | None = None,
     seed: int = 31,
+    centroids: np.ndarray | None = None,
     exclude_self: bool = False,
     num_partitions: int | None = None,
 ):
@@ -410,7 +419,9 @@ def ann_join(
     batch's scores against ALL probing queries.
 
     Plan: centroids train on ``train_sample`` (collect a bounded
-    ``corpus_ds.random_sample`` yourself at scale). Both sides assign
+    ``corpus_ds.random_sample`` yourself at scale) or arrive
+    pre-trained via ``centroids`` (the distributed
+    ``ops.cluster.kmeans_fit`` path). Both sides assign
     to cells VECTORIZED — corpus rows to their argmax cell, query rows
     exploded to their ``n_probe`` nearest cells — then ONE
     co-partitioning shuffle on the cell id feeds the coarse-bucket
@@ -431,12 +442,17 @@ def ann_join(
     """
     from raydoc.ops.bucketing import bucketed_sorted_apply
 
-    if train_sample is None:
+    if centroids is not None:
+        centroids = _unit(np.asarray(centroids, dtype=np.float64))
+    elif train_sample is None:
         raise ValueError(
             "ann_join needs a driver-side train_sample (bounded sample "
-            "of the corpus embeddings) to build the IVF centroids")
-    centroids = _train_centroids(
-        _unit(np.asarray(train_sample, dtype=np.float64)), n_cells, seed)
+            "of the corpus embeddings) or explicit centroids (e.g. "
+            "ops.cluster.kmeans_fit output) to build the IVF cells")
+    else:
+        centroids = _train_centroids(
+            _unit(np.asarray(train_sample, dtype=np.float64)),
+            n_cells, seed)
     dim = centroids.shape[1]
 
     def _emb_list(mat: np.ndarray) -> pa.Array:

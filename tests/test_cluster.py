@@ -250,3 +250,36 @@ class TestSemanticDedup:
         with pytest.raises(Exception, match="max_key_rows|exceeds"):
             semantic_dedup_pairs(ds, [0, 20], threshold=0.99,
                                  max_key_rows=5).take_all()
+
+
+class TestKmeansFeedsIVF:
+    def test_ivf_with_distributed_centroids(self, ray_session):
+        """The scale-path link: knn_ivf / ann_join accept
+        kmeans_fit's distributed centroids in place of a driver-side
+        training sample, and planted near-clones stay recoverable."""
+        import ray.data as rd
+
+        from raydoc.ops.cluster import kmeans_fit
+        from raydoc.ops.similarity import ann_join, knn_ivf
+
+        rng = np.random.RandomState(41)
+        base = rng.standard_normal((80, 16))
+        base /= np.linalg.norm(base, axis=1)[:, None]
+        # plant a tight clone of row 0 at id 200
+        clone = base[0] + 0.001 * np.roll(base[0], 1)
+        vecs = np.vstack([base, clone / np.linalg.norm(clone)])
+        ids = list(range(80)) + [200]
+        ds = _toy_ds(vecs, ids)
+
+        _, cent = kmeans_fit(ds, [0, 17, 33, 55], n_updates=2)
+        out = knn_ivf(ds, vecs[:1], k=2, n_probe=2, centroids=cent)
+        got = sorted((r["rank"], r["vec_id"]) for r in out.take_all())
+        assert got[0] == (1, 0) and got[1] == (2, 200)
+
+        q = rd.from_arrow(pa.table({
+            "query_id": pa.array([500], pa.int64()),
+            "embedding": pa.array([vecs[0].tolist()],
+                                  pa.list_(pa.float32()))}))
+        j = ann_join(q, ds, k=2, n_probe=2, centroids=cent)
+        jp = sorted((r["rank"], r["vec_id"]) for r in j.take_all())
+        assert jp[0] == (1, 0) and jp[1] == (2, 200)
