@@ -9,6 +9,7 @@ exactly expressible in SQL for the oracle.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -107,3 +108,32 @@ def hash_split(ds, key_col: str, val_pct: int = 5, test_pct: int = 5,
         return b.append_column(out_col, pa.array(names, pa.string()))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def bottom_k_sample(ds, key_col: str, n: int, salt: int = 0):
+    """Fixed-SIZE uniform sample without knowing the corpus size: keep
+    the ``n`` rows whose splitmix64(key + salt) is smallest — the
+    bottom-k sketch. Unlike ``hash_sample`` (fixed RATE), the output
+    size is exact whatever the input size, the result is deterministic
+    and mergeable (the union of two corpora's bottom-k is the bottom-k
+    of the union), and no shuffle happens: each batch keeps its local
+    bottom-k, then ONE small final sort over <= k x num_batches rows
+    (ops.relational.top_k ascending). ``salt`` decorrelates repeated
+    samples. Integer keys only (the splitmix64 SQL replay is the
+    oracle contract; string keys go through hash_sample)."""
+    from raydoc.ops.relational import top_k
+    from raydoc.ops.sketch import _mix64
+
+    s = np.uint64(np.int64(salt).view(np.uint64) if salt < 0 else salt)
+
+    def _h(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # int64 -> uint64 wraps mod 2^64, matching the SQL replay's
+        # ((x % M + M) % M) normalization
+        h = _mix64(keys.astype(np.int64).astype(np.uint64) + s)
+        return b.append_column("_h", pa.array(h, pa.uint64()))
+
+    out = top_k(ds.map_batches(_h, batch_format="pyarrow"), "_h", n,
+                descending=False, tiebreak=key_col)
+    return out.drop_columns(["_h"])

@@ -2799,6 +2799,57 @@ SELECT vec_id FROM embeddings
 """
 
 
+def _splitmix64_hugeint_sql(col: str) -> str:
+    """DuckDB HUGEINT replay of the vectorized splitmix64 finalizer
+    (ops/sketch.py _mix64) over an int64 column — the same
+    32-bit-limb mulmod + UBIGINT xorshift construction as the HLL
+    oracle (events_ndv_sketch), reused for the bottom-k sample."""
+    from raydoc.ops.sketch import _C1, _C2, _GOLDEN
+
+    M = 1 << 64
+
+    def mulmod(a: str, c: int) -> str:
+        cl, ch = c % (1 << 32), c >> 32
+        return (f"(((({a}) % 4294967296) * {cl} + "
+                f"(((({a}) // 4294967296) * {cl} + "
+                f"(({a}) % 4294967296) * {ch}) % 4294967296) * 4294967296"
+                f") % {M})")
+
+    def xorshift(x: str, s: int) -> str:
+        return (f"CAST(xor(CAST(({x}) AS UBIGINT), "
+                f"CAST(({x}) AS UBIGINT) >> {s}) AS HUGEINT)")
+
+    x = (f"((CAST({col} AS HUGEINT) % {M} + {M}) % {M} "
+         f"+ {int(_GOLDEN)}) % {M}")
+    x = xorshift(x, 30)
+    x = mulmod(x, int(_C1))
+    x = xorshift(x, 27)
+    x = mulmod(x, int(_C2))
+    x = xorshift(x, 31)
+    return x
+
+
+def docs_sample_bottomk(sf_dir: str):
+    """Fixed-size uniform sample (bottom-k sketch): the 100 documents
+    with the smallest splitmix64(doc_id) — exact output size whatever
+    the corpus size, deterministic, mergeable, shuffle-free (local
+    bottom-k per batch + one <= k x num_batches final sort). The
+    oracle replays splitmix64 in HUGEINT limbs like the HLL sketch."""
+    from raydoc.ops.sampling import bottom_k_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return bottom_k_sample(ds, "doc_id", 100)
+
+
+DOCS_SAMPLE_BOTTOMK_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         {_splitmix64_hugeint_sql("doc_id")} AS h
+  FROM documents
+  ORDER BY h, doc_id LIMIT 100)
+"""
+
+
 def docs_incremental_semantic(sf_dir: str):
     """Incremental SemDeDup of a NEW batch against a PERSISTED
     semantic index (ops/incremental.py semantic component — the
@@ -3629,6 +3680,7 @@ QUERIES = {
     "embeddings_cluster_sample": embeddings_cluster_sample,
     "docs_cluster_terms": docs_cluster_terms,
     "docs_incremental_semantic": docs_incremental_semantic,
+    "docs_sample_bottomk": docs_sample_bottomk,
     "embeddings_cosine_pairs": embeddings_cosine_pairs,
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "embeddings_knn_lsh": embeddings_knn_lsh,
@@ -3772,6 +3824,7 @@ ORACLES = {
     "embeddings_cluster_sample": EMBEDDINGS_CLUSTER_SAMPLE_SQL,
     "docs_cluster_terms": DOCS_CLUSTER_TERMS_SQL,
     "docs_incremental_semantic": DOCS_INCREMENTAL_SEMANTIC_SQL,
+    "docs_sample_bottomk": DOCS_SAMPLE_BOTTOMK_SQL,
     "code_sandbox_lengths": CODE_SANDBOX_LENGTHS_SQL,
     "udf_doc_head_upper": UDF_DOC_HEAD_UPPER_SQL,
     # r04 promotions (VERDICT r03 #3): planted-separation corpora make

@@ -41,6 +41,7 @@ NEW_QUERIES = [
     "embeddings_cluster_sample",
     "docs_cluster_terms",
     "docs_incremental_semantic",
+    "docs_sample_bottomk",
 ]
 
 
