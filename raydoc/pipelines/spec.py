@@ -354,6 +354,12 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
             "raydoc.ops.sampling", fromlist=["stratified_hash_sample"]
         ).stratified_hash_sample(ds, p["key_col"], p["strata_col"],
                                  p["rates"], p.get("default_percent", 0))),
+    "bottom_k_sample": (
+        lambda p: _require(p, "key_col", "n"),
+        lambda ds, p: __import__(
+            "raydoc.ops.sampling", fromlist=["bottom_k_sample"]
+        ).bottom_k_sample(ds, p["key_col"], p["n"],
+                          p.get("salt", 0))),
     "segment_dedup": (
         lambda p: None,
         lambda ds, p: __import__(

@@ -283,3 +283,50 @@ class TestKmeansFeedsIVF:
         j = ann_join(q, ds, k=2, n_probe=2, centroids=cent)
         jp = sorted((r["rank"], r["vec_id"]) for r in j.take_all())
         assert jp[0] == (1, 0) and jp[1] == (2, 200)
+
+
+class TestBottomKSample:
+    def test_mergeable_and_exact_size(self, ray_session):
+        """The bottom-k invariant: bottom-k(A ∪ B) equals
+        bottom-k(bottom-k(A) ∪ bottom-k(B)) — what makes the sample
+        shuffle-free and resumable across shards; output size is
+        exactly n; salt decorrelates."""
+        import ray.data as rd
+
+        from raydoc.ops.sampling import bottom_k_sample
+
+        def _ds(lo, hi):
+            return rd.from_arrow(pa.table({
+                "doc_id": pa.array(range(lo, hi), pa.int64()),
+                "v": pa.array([i * 2 for i in range(lo, hi)],
+                              pa.int64())}))
+
+        def _ids(ds, n, salt=0):
+            return sorted(r["doc_id"] for r in bottom_k_sample(
+                ds, "doc_id", n, salt).take_all())
+
+        whole = _ids(_ds(0, 400), 25)
+        a = bottom_k_sample(_ds(0, 200), "doc_id", 25)
+        b = bottom_k_sample(_ds(200, 400), "doc_id", 25)
+        merged = sorted(r["doc_id"] for r in bottom_k_sample(
+            a.union(b), "doc_id", 25).take_all())
+        assert whole == merged and len(whole) == 25
+        assert _ids(_ds(0, 400), 25, salt=1) != whole
+        # n larger than the input: everything, no crash
+        assert len(_ids(_ds(0, 10), 25)) == 10
+
+    def test_spec_op(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from raydoc.pipelines.spec import run_spec
+
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(100), pa.int64())}), p)
+        out = run_spec({
+            "source": {"op": "read_parquet", "path": p},
+            "stages": [{"op": "bottom_k_sample", "key_col": "doc_id",
+                        "n": 7}],
+            "sink": {"op": "count"},
+        })
+        assert out == 7
