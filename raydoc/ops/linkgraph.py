@@ -1,0 +1,307 @@
+"""Link-graph operators: href extraction, host-graph edges, PageRank.
+
+A Common-Crawl-style corpus is not just rows of text — it is a graph:
+pages link to hosts, and host-level link centrality (PageRank over the
+host graph) is a standard web-corpus quality signal (used e.g. for
+crawl prioritization and as a quality-weighting feature in pretraining
+curation). The reference engine has no graph operator at all (its web
+components fetch and store per-URL rows — see the crawler/invoke
+semantics cited in raydoc/sources/crawl_stage.py); this module is one
+of the scale extensions SURVEY.md §2.5 calls out, alongside
+ops/graph.py's connected components.
+
+Three stages, each Ray-Data-native:
+
+1. ``extract_links_batch`` — vectorized per-batch href extraction
+   straight off the BINARY html column (no utf-8 decode of the page:
+   RE2 kernels run on bytes, so a page with invalid UTF-8 — the corpus
+   plants them — still yields its valid links). Split on
+   ``href=["']``, take the prefix up to the closing quote, classify
+   each target (absolute / protocol-relative / other-scheme /
+   page-relative), and resolve it to a destination HOST: absolute and
+   protocol-relative links carry their own host (validated against a
+   strict ASCII host grammar — junk hosts drop, which also guarantees
+   the binary->string cast is safe); relative links resolve to the
+   page's own host; ``mailto:``/``javascript:``/other schemes drop.
+   One Arrow pass per batch — splits, regexes, masks — plus O(links)
+   numpy index juggling; no Python touches a row.
+
+2. ``host_edges`` — pages Dataset -> weighted host-graph edge list
+   ``(src_host, dst_host, n_links)`` via the partial-aggregating
+   ``grouped_agg`` (ONE hash shuffle of slim host-pair rows; the
+   multi-MB html never moves).
+
+3. ``pagerank`` — damped PageRank over an edge Dataset in INTEGER
+   fixed-point arithmetic. Every quantity is an int64 multiple of
+   1/``scale``: r0 = scale//N for all N nodes, each iteration sends
+   ``rank//outdeg`` along every out-edge and sets
+
+       rank' = teleport + (d_num * incoming) // d_den,
+       teleport = ((d_den - d_num) * (scale // N)) // d_den
+
+   with dangling-node mass dropped (the simple dangling variant;
+   documented contract, mirrored by the oracle). Integer adds are
+   exactly order-independent, so the result is bit-identical under ANY
+   partitioning — and exactly replayable in DuckDB with K unrolled
+   CTE iterations (``queries._pagerank_sql`` generates that SQL from
+   the same constants), which is what makes ``docs_pagerank`` a
+   hash-green oracle instead of a float-tolerance check.
+
+   Scale shape: the iteration state is the rank vector — ~16 B/node,
+   broadcast once per iteration via ``ray.put`` (the kmeans_fit
+   pattern, ops/cluster.py): per-edge contributions are gathered from
+   the broadcast vector inside ``map_batches``, pre-summed per batch
+   with argsort+``np.add.reduceat`` (exact int64, no dense buffer),
+   and combined by ``grouped_agg``'s partial plan — only O(nodes)
+   rows ever reach the driver. Edges are stamped with node indices
+   ONCE and materialized (slim 16 B rows), so K iterations re-read
+   the stamped edges, not the html. The documented assumption is the
+   node VECTOR fits the driver/workers (~100 M hosts x 8 B = 800 MB
+   at full CC scale — tight but real; beyond that the rank join must
+   co-partition, the same escalation path ops/incremental.py takes),
+   enforced fail-loud by ``max_nodes``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["extract_links_batch", "host_edges", "pagerank"]
+
+# href="..." / href='...' (whitespace-tolerant); binary-safe RE2
+_HREF_SPLIT = r"""[hH][rR][eE][fF]\s*=\s*["']"""
+# target = prefix up to closing quote (or tag/space junk)
+_TARGET_RE = r"""^(?P<t>[^"'<>\s]*)"""
+_ABS_RE = r"^[hH][tT][tT][pP][sS]?://"
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
+_ABS_HOST_RE = r"^[hH][tT][tT][pP][sS]?://(?P<h>[^/?#]+)"
+_PROTREL_HOST_RE = r"^//(?P<h>[^/?#]+)"
+# strict ASCII host[:port]; anything else is junk and drops
+_HOSTPORT_RE = r"^(?P<h>[A-Za-z0-9._-]+)(?::[0-9]+)?$"
+_PAGE_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<h>[^/?#]+)"
+
+
+def _page_hosts(url_col) -> pa.Array:
+    """Lowercased host per page url (null when the url has none)."""
+    u = url_col.combine_chunks() if isinstance(
+        url_col, pa.ChunkedArray) else url_col
+    hp = pc.struct_field(pc.extract_regex(u, _PAGE_HOST_RE), "h")
+    h = pc.struct_field(pc.extract_regex(hp, _HOSTPORT_RE), "h")
+    return pc.utf8_lower(h)
+
+
+def extract_links_batch(batch: pa.Table, html_col: str = "html",
+                        url_col: str = "url",
+                        out_src: str = "src_host",
+                        out_dst: str = "dst_host") -> pa.Table:
+    """(url, html) batch -> one (src_host, dst_host) row per resolved
+    link. See module docstring for the resolution contract. Rows whose
+    page url has no parseable host contribute nothing (their relative
+    links have no referent and their absolute links no source)."""
+    empty = pa.Table.from_pydict({
+        out_src: pa.array([], pa.string()),
+        out_dst: pa.array([], pa.string())})
+    if batch.num_rows == 0:
+        return empty
+    h = batch.column(html_col)
+    h = h.combine_chunks() if isinstance(h, pa.ChunkedArray) else h
+    parts = pc.split_pattern_regex(h, pattern=_HREF_SPLIT)
+    flat = pc.list_flatten(parts)
+    if len(flat) == 0:
+        return empty
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    # drop each list's position-0 element (the text BEFORE the first
+    # href); detected via parent transitions so null/empty lists can't
+    # skew an offsets-based position count
+    first = np.ones(len(parent), dtype=bool)
+    first[1:] = parent[1:] != parent[:-1]
+    keep0 = ~first
+    if not keep0.any():
+        return empty
+    flat = flat.filter(pa.array(keep0))
+    parent = parent[keep0]
+
+    tgt = pc.struct_field(pc.extract_regex(flat, _TARGET_RE), "t")
+    nonempty = pc.not_equal(pc.binary_length(tgt), 0)
+    abs_m = pc.match_substring_regex(tgt, _ABS_RE)
+    protrel_m = pc.match_substring_regex(tgt, r"^//")
+    scheme_m = pc.match_substring_regex(tgt, _SCHEME_RE)
+
+    # external hosts: own host from the target, validated + port-strip
+    ext_hp = pc.if_else(
+        abs_m,
+        pc.struct_field(pc.extract_regex(tgt, _ABS_HOST_RE), "h"),
+        pc.struct_field(pc.extract_regex(tgt, _PROTREL_HOST_RE), "h"))
+    ext_host = pc.struct_field(pc.extract_regex(ext_hp, _HOSTPORT_RE), "h")
+    # validated hosts are pure ASCII -> safe cast off binary
+    ext_host = pc.utf8_lower(ext_host.cast(pa.string()))
+
+    src_all = _page_hosts(batch.column(url_col))
+    src = src_all.take(pa.array(parent, pa.int64()))
+
+    external = pc.or_(abs_m, protrel_m)
+    internal = pc.and_(pc.and_(pc.invert(external),
+                               pc.invert(scheme_m)), nonempty)
+    dst = pc.if_else(external, ext_host,
+                     pc.if_else(internal, src, pa.scalar(None, pa.string())))
+    ok = pc.and_kleene(pc.is_valid(dst), pc.is_valid(src))
+    t = pa.Table.from_pydict({out_src: src, out_dst: dst}).filter(ok)
+    return t
+
+
+def host_edges(ds, html_col: str = "html", url_col: str = "url",
+               drop_self: bool = False,
+               num_partitions: int | None = None):
+    """Pages Dataset -> weighted host edge list
+    ``(src_host, dst_host, n_links)`` — distinct host pairs with link
+    counts, ONE hash shuffle of slim pair rows. ``drop_self`` removes
+    same-host (intra-site) edges, the usual form for host-level
+    centrality."""
+    from raydoc.ops.relational import grouped_agg, nonempty_batches
+
+    def _links(b: pa.Table) -> pa.Table:
+        t = extract_links_batch(b, html_col=html_col, url_col=url_col)
+        if drop_self and t.num_rows:
+            t = t.filter(pc.invert(pc.equal(t.column("src_host"),
+                                            t.column("dst_host"))))
+        return t
+
+    links = ds.map_batches(nonempty_batches(_links), batch_format="pyarrow")
+    return grouped_agg(links, ["src_host", "dst_host"],
+                       {"n_links": ("count", "src_host")},
+                       num_partitions=num_partitions)
+
+
+def _partial_idx_sums(batch: pa.Table, idx_col: str,
+                      vals: np.ndarray) -> pa.Table:
+    """Exact int64 per-batch partial: sum ``vals`` rows grouped by the
+    batch's ``idx_col`` via argsort + ``np.add.reduceat`` (no dense
+    node-length buffer, no float accumulation)."""
+    d = batch.column(idx_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(d, kind="stable")
+    ds_ = d[order]
+    starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+    sums = np.add.reduceat(vals[order], starts)
+    return pa.Table.from_pydict({
+        "i": pa.array(ds_[starts], pa.int64()),
+        "s": pa.array(sums, pa.int64())})
+
+
+def pagerank(edges, src_col: str = "src_host", dst_col: str = "dst_host",
+             iterations: int = 5, scale: int = 10**12,
+             damping: tuple[int, int] = (85, 100),
+             max_nodes: int = 4_000_000,
+             node_col: str = "node", rank_col: str = "rank",
+             num_partitions: int | None = None):
+    """Integer fixed-point PageRank over a DISTINCT-edge Dataset
+    (``src_col``, ``dst_col``) -> Dataset ``(node, rank)`` with rank an
+    int64 multiple of 1/``scale``. See module docstring for the exact
+    arithmetic contract (dangling mass dropped, order-independent,
+    DuckDB-replayable). Input rows are treated as distinct edges
+    (dedupe upstream — ``host_edges`` already does); self-loops are
+    ignored. Overflow bound: per-node incoming mass is < ``scale``
+    (total mass never grows), so all int64 arithmetic is safe for any
+    ``scale`` <= 2**63 / d_num."""
+    import ray
+
+    from raydoc.ops.relational import grouped_agg, nonempty_batches
+
+    d_num, d_den = damping
+    if not (0 < d_num < d_den):
+        raise ValueError(f"pagerank: bad damping {damping}")
+    if iterations < 0:
+        raise ValueError("pagerank: iterations must be >= 0")
+
+    # ---- node table: distinct src union dst, fail-loud cap ----
+    def _emit_nodes(b: pa.Table) -> pa.Table:
+        cols = [b.column(src_col).combine_chunks(),
+                b.column(dst_col).combine_chunks()]
+        return pa.Table.from_pydict(
+            {"node": pa.concat_arrays([c.cast(pa.string()) for c in cols])})
+
+    nd = grouped_agg(
+        edges.map_batches(nonempty_batches(_emit_nodes),
+                          batch_format="pyarrow"),
+        ["node"], {"c": ("count", "node")}, num_partitions=num_partitions)
+    rows = nd.limit(max_nodes + 1).take_all()
+    if len(rows) > max_nodes:
+        raise ValueError(
+            f"pagerank: node count exceeds max_nodes={max_nodes}; "
+            "co-partition the rank join instead of broadcasting "
+            "(raise max_nodes only if the node vector fits a worker)")
+    na = pa.array([r["node"] for r in rows], pa.string())
+    na = na.take(pc.sort_indices(na))
+    n = len(na)
+    import ray.data as rd
+    if n == 0:
+        return rd.from_arrow(pa.Table.from_pydict({
+            node_col: pa.array([], pa.string()),
+            rank_col: pa.array([], pa.int64())}))
+
+    # ---- stamp edges with node indices once; drop strings + self.
+    # index_in = one C++ hash probe per edge endpoint (house rule: no
+    # Python string compares per row); every endpoint is in the node
+    # set by construction, so the result is null-free ----
+    nref = ray.put(na)
+
+    def _stamp(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        nv = _r.get(nref)
+        si = pc.index_in(b.column(src_col).cast(pa.string()),
+                         value_set=nv).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ti = pc.index_in(b.column(dst_col).cast(pa.string()),
+                         value_set=nv).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = si != ti
+        return pa.Table.from_pydict({
+            "si": pa.array(si[keep], pa.int64()),
+            "ti": pa.array(ti[keep], pa.int64())})
+
+    eidx = edges.map_batches(nonempty_batches(_stamp),
+                             batch_format="pyarrow").materialize()
+
+    # ---- outdeg (dense, driver-side: O(nodes)) ----
+    def _out_partial(b: pa.Table) -> pa.Table:
+        return _partial_idx_sums(
+            b, "si", np.ones(b.num_rows, dtype=np.int64))
+
+    outdeg = np.zeros(n, dtype=np.int64)
+    od = grouped_agg(
+        eidx.map_batches(nonempty_batches(_out_partial),
+                         batch_format="pyarrow"),
+        ["i"], {"s": ("sum", "s")}, num_partitions=num_partitions)
+    for r in od.take_all():
+        outdeg[r["i"]] = r["s"]
+
+    base = scale // n
+    teleport = ((d_den - d_num) * base) // d_den
+    ranks = np.full(n, base, dtype=np.int64)
+    nz = outdeg > 0
+    for _ in range(iterations):
+        contrib = np.zeros(n, dtype=np.int64)
+        np.floor_divide(ranks, outdeg, out=contrib, where=nz)
+        cref = ray.put(contrib)
+
+        def _in_partial(b: pa.Table, _ref=cref) -> pa.Table:
+            import ray as _r
+
+            cv = _r.get(_ref)
+            si = b.column("si").to_numpy(zero_copy_only=False)
+            return _partial_idx_sums(b, "ti", cv[si])
+
+        insum = np.zeros(n, dtype=np.int64)
+        agg = grouped_agg(
+            eidx.map_batches(nonempty_batches(_in_partial),
+                             batch_format="pyarrow"),
+            ["i"], {"s": ("sum", "s")}, num_partitions=num_partitions)
+        for r in agg.take_all():
+            insum[r["i"]] = r["s"]
+        ranks = teleport + (d_num * insum) // d_den
+
+    return rd.from_arrow(pa.Table.from_pydict({
+        node_col: na,
+        rank_col: pa.array(ranks, pa.int64())}))

@@ -189,3 +189,60 @@ def synthetic_fetch_rows(ids) -> pa.Table:
         "url": pa.concat_arrays([url_a, url_b]),
         "fetch_ts": pa.array(np.concatenate([dnp * 2, dnp * 2 + 1])),
     })
+
+
+# UT1-style domain blocklists are the standard web-corpus front-door
+# filter (RefinedWeb / FineWeb both apply one before any content
+# stage): a list of blocked registrable domains, matched against the
+# page host INCLUDING subdomains. Kept deliberately exact-and-simple
+# (host == b, or host ends with "." + b) so the rule is one Arrow pass
+# and byte-replayable in the DuckDB oracle (queries.docs_url_blocklist).
+_BLOCK_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<hp>[^/?#]+)"
+
+
+def host_of_url(url_col) -> pa.Array:
+    """Lowercased, port-stripped host per URL (null when unparseable).
+    One Arrow pass; the companion of canonicalize_url_batch for rules
+    that only need the host."""
+    u = url_col.combine_chunks() if isinstance(
+        url_col, pa.ChunkedArray) else url_col
+    u = u.cast(pa.string())
+    hp = pc.struct_field(pc.extract_regex(u, _BLOCK_HOST_RE), "hp")
+    host = pc.utf8_lower(
+        pc.replace_substring_regex(hp, r":[0-9]+$", ""))
+    return host
+
+
+def filter_blocked_hosts(ds, blocked, url_col: str = "url",
+                         out_host: str = "host",
+                         invert: bool = False):
+    """Drop every row whose URL's host is a blocked domain or a
+    subdomain of one; appends ``out_host`` (the lowercased parsed
+    host) to the survivors. Rows whose URL has no parseable host are
+    DROPPED too (a CC pipeline cannot fetch them anyway; garbage rows
+    should exit at the front door, not flow on hostless).
+
+    ``blocked``: registrable domains (lowercase). The list ships in
+    the task closure — fine for rule lists up to ~10^5 entries; a
+    full UT1 dump (millions) should move to ``ray.put`` + a per-actor
+    compiled set, the broadcast_join pattern (ops/relational.py).
+    ``invert=True`` keeps ONLY blocked rows (audit mode).
+
+    Scale shape: stateless map_batches — B Arrow kernel calls per
+    batch for a B-domain list (each vectorized over all rows), no
+    shuffle, no per-row Python."""
+    bl = sorted({b.lower() for b in blocked})
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        host = host_of_url(batch.column(url_col))
+        hit = pa.array(np.zeros(batch.num_rows, dtype=bool))
+        for b in bl:
+            m = pc.or_(pc.equal(host, b), pc.ends_with(host, "." + b))
+            hit = pc.or_kleene(hit, m)
+        keep = pc.and_kleene(
+            pc.is_valid(host),
+            hit if invert else pc.invert(pc.fill_null(hit, False)))
+        keep = pc.fill_null(keep, False)
+        return batch.append_column(out_host, host).filter(keep)
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -2037,6 +2037,262 @@ QUALIFY row_number() OVER (PARTITION BY canon_url ORDER BY fetch_ts DESC) = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# r05: domain blocklist filter + link-graph PageRank
+# ---------------------------------------------------------------------------
+
+# the synthetic fetch-row construction (ops/url.synthetic_fetch_rows),
+# as a reusable SQL fragment for every query that needs URL rows
+_SYNTH_FETCH_SQL = """
+  SELECT 'https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+         || '.COM:443/Articles/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+         || CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+                 WHEN 1 THEN '?a=1&utm_campaign=x'
+                 WHEN 2 THEN '?z=9&gclid=abc' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS url,
+         doc_id * 2 AS fetch_ts
+  FROM documents
+  UNION ALL
+  SELECT 'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+         || '.com/Articles/' || CAST(doc_id AS VARCHAR)
+         || CASE doc_id % 4 WHEN 0 THEN '?a=1&b=2&utm_medium=m'
+                 WHEN 1 THEN '?a=1' WHEN 2 THEN '?z=9' ELSE '' END AS url,
+         doc_id * 2 + 1 AS fetch_ts
+"""
+
+# demo blocklist: one subdomain-match entry (site1.com blocks
+# www.site1.com) and one exact-host entry — both match kinds exercised
+_DEMO_BLOCKLIST = ("site1.com", "www.site4.com")
+
+
+def docs_url_blocklist(sf_dir: str):
+    """UT1-style domain blocklist filter (ops/url.filter_blocked_hosts)
+    — the standard web-corpus front door (RefinedWeb/FineWeb apply one
+    before any content stage). The synthetic fetch rows carry hosts
+    www.site0..6.com in dirty (mixed-case, :443) and clean variants;
+    the blocklist blocks one domain by SUBDOMAIN match and one by
+    exact host, and the oracle mirrors the extraction + both match
+    rules (conditions GENERATED from the same _DEMO_BLOCKLIST constant
+    so they can't drift)."""
+    from raydoc.ops.url import filter_blocked_hosts, synthetic_fetch_rows
+
+    fetches = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: synthetic_fetch_rows(b.column("doc_id")),
+        batch_format="pyarrow")
+    out = filter_blocked_hosts(fetches, _DEMO_BLOCKLIST, url_col="url")
+    return out.select_columns(["url", "fetch_ts", "host"])
+
+
+def _url_blocklist_sql() -> str:
+    conds = " OR ".join(
+        f"host = '{b}' OR ends_with(host, '.{b}')"
+        for b in sorted(_DEMO_BLOCKLIST))
+    return f"""
+WITH raw AS ({_SYNTH_FETCH_SQL}  FROM documents
+), h AS (
+  SELECT url, fetch_ts,
+         lower(regexp_replace(
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+             ':[0-9]+$', '')) AS host
+  FROM raw)
+SELECT url, fetch_ts, host FROM h
+WHERE host IS NOT NULL AND host <> '' AND NOT ({conds})
+"""
+
+
+DOCS_URL_BLOCKLIST_SQL = _url_blocklist_sql()
+
+# PageRank constants shared by the Ray query and the generated oracle
+_PR_ITERS = 5
+_PR_SCALE = 10**12
+_PR_DAMP = (85, 100)
+_PR_SRC_MOD = 53
+_PR_DST_MOD = 97
+_PR_MULT = 2654435761  # Knuth multiplicative hash constant
+
+
+def _pagerank_sql(edges_sql: str, iterations: int, scale: int,
+                  d_num: int, d_den: int) -> str:
+    """Unrolled-iteration DuckDB replay of ops/linkgraph.pagerank's
+    integer fixed-point contract — exact because every operation is
+    integer (// floor-div, int sums), hence order-independent on both
+    engines. Generated from the same constants the Ray query passes,
+    so the two can't drift."""
+    its = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        its.append(f"""r{k} AS (
+  SELECT nd.node,
+         (({d_den - d_num}) * ({scale} // c.n)) // {d_den}
+         + ({d_num} * COALESCE(s.insum, 0)) // {d_den} AS pr
+  FROM nodes nd CROSS JOIN cst c
+  LEFT JOIN (SELECT e.dst AS node, SUM(r.pr // d.outdeg) AS insum
+             FROM e JOIN r{k - 1} r ON r.node = e.src
+                    JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) s ON s.node = nd.node
+)""")
+        prev = f"r{k}"
+    joined = ",\n".join(its)
+    return f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+cst AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, {scale} // n AS pr FROM nodes CROSS JOIN cst),
+{joined}
+SELECT node, CAST(pr AS BIGINT) AS pr_rank FROM {prev}
+"""
+
+
+def docs_pagerank(sf_dir: str):
+    """Link-graph PageRank (ops/linkgraph.pagerank) in integer
+    fixed-point: synthetic edges derived per doc_id — src =
+    'h'||(doc_id % 53), dst = 'h'||((doc_id * 2654435761) % 97) — give
+    a skewed multi-component graph with dangling nodes (labels 53..96
+    never emit). The oracle replays the SAME arithmetic with K
+    unrolled SQL iterations generated from the same constants
+    (_pagerank_sql), making an iterative graph algorithm hash-green
+    the way the sketch queries are. Bound: doc_id * _PR_MULT must fit
+    int64 (doc_id < 3.5e9 — any test sf)."""
+    from raydoc.ops.linkgraph import pagerank
+    from raydoc.ops.relational import grouped_agg
+
+    def _edges(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id")
+        j = pc.binary_join_element_wise
+        src = j(pa.scalar("h"),
+                pc.cast(pc.subtract(d, pc.multiply(
+                    pc.divide(d, _PR_SRC_MOD), _PR_SRC_MOD)),
+                    pa.string()), pa.scalar(""))
+        m = pc.multiply(d, _PR_MULT)
+        dst = j(pa.scalar("h"),
+                pc.cast(pc.subtract(m, pc.multiply(
+                    pc.divide(m, _PR_DST_MOD), _PR_DST_MOD)),
+                    pa.string()), pa.scalar(""))
+        return pa.table({"src": src, "dst": dst})
+
+    edges = grouped_agg(
+        _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            _edges, batch_format="pyarrow"),
+        ["src", "dst"], {"c": ("count", "src")})
+    return pagerank(edges, src_col="src", dst_col="dst",
+                    iterations=_PR_ITERS, scale=_PR_SCALE,
+                    damping=_PR_DAMP, rank_col="pr_rank")
+
+
+DOCS_PAGERANK_SQL = _pagerank_sql(
+    f"""
+  SELECT 'h' || CAST(doc_id % {_PR_SRC_MOD} AS VARCHAR) AS src,
+         'h' || CAST((doc_id * {_PR_MULT}) % {_PR_DST_MOD} AS VARCHAR) AS dst
+  FROM documents""",
+    _PR_ITERS, _PR_SCALE, _PR_DAMP[0], _PR_DAMP[1])
+
+
+# golden VALUES oracle for hostgraph_pagerank: computed once over the
+# fixed capped corpus (verified identical at sf0.001 and sf0.01 --
+# the query never reads sf_dir), re-pin if corpus.GEN_VERSION bumps
+HOSTGRAPH_PAGERANK_SQL = """
+SELECT * FROM (VALUES
+('ads.example.com', CAST(127941176445 AS BIGINT), CAST(0 AS BIGINT)),
+('site00.example.com', CAST(2941176470 AS BIGINT), CAST(8545 AS BIGINT)),
+('site01.example.com', CAST(2941176470 AS BIGINT), CAST(3965 AS BIGINT)),
+('site02.example.com', CAST(2941176470 AS BIGINT), CAST(3102 AS BIGINT)),
+('site03.example.com', CAST(2941176470 AS BIGINT), CAST(2206 AS BIGINT)),
+('site04.example.com', CAST(2941176470 AS BIGINT), CAST(1646 AS BIGINT)),
+('site05.example.com', CAST(2941176470 AS BIGINT), CAST(1266 AS BIGINT)),
+('site06.example.com', CAST(2941176470 AS BIGINT), CAST(965 AS BIGINT)),
+('site07.example.com', CAST(2941176470 AS BIGINT), CAST(1220 AS BIGINT)),
+('site08.example.com', CAST(2941176470 AS BIGINT), CAST(1085 AS BIGINT)),
+('site09.example.com', CAST(2941176470 AS BIGINT), CAST(761 AS BIGINT)),
+('site10.example.com', CAST(2941176470 AS BIGINT), CAST(838 AS BIGINT)),
+('site11.example.com', CAST(2941176470 AS BIGINT), CAST(759 AS BIGINT)),
+('site12.example.com', CAST(2941176470 AS BIGINT), CAST(717 AS BIGINT)),
+('site13.example.com', CAST(2941176470 AS BIGINT), CAST(473 AS BIGINT)),
+('site14.example.com', CAST(2941176470 AS BIGINT), CAST(485 AS BIGINT)),
+('site15.example.com', CAST(2941176470 AS BIGINT), CAST(460 AS BIGINT)),
+('site16.example.com', CAST(2941176470 AS BIGINT), CAST(526 AS BIGINT)),
+('site17.example.com', CAST(2941176470 AS BIGINT), CAST(392 AS BIGINT)),
+('site18.example.com', CAST(2941176470 AS BIGINT), CAST(595 AS BIGINT)),
+('site19.example.com', CAST(2941176470 AS BIGINT), CAST(369 AS BIGINT)),
+('site20.example.org', CAST(2941176470 AS BIGINT), CAST(313 AS BIGINT)),
+('site21.example.org', CAST(2941176470 AS BIGINT), CAST(451 AS BIGINT)),
+('site22.example.org', CAST(2941176470 AS BIGINT), CAST(443 AS BIGINT)),
+('site23.example.org', CAST(2941176470 AS BIGINT), CAST(290 AS BIGINT)),
+('site24.example.org', CAST(2941176470 AS BIGINT), CAST(311 AS BIGINT)),
+('site25.example.org', CAST(2941176470 AS BIGINT), CAST(394 AS BIGINT)),
+('site26.example.org', CAST(2941176470 AS BIGINT), CAST(313 AS BIGINT)),
+('site27.example.org', CAST(2941176470 AS BIGINT), CAST(267 AS BIGINT)),
+('site28.example.org', CAST(2941176470 AS BIGINT), CAST(410 AS BIGINT)),
+('site29.example.org', CAST(2941176470 AS BIGINT), CAST(201 AS BIGINT)),
+('site30.example.org', CAST(2941176470 AS BIGINT), CAST(238 AS BIGINT)),
+('site31.example.org', CAST(2941176470 AS BIGINT), CAST(304 AS BIGINT)),
+('site32.example.org', CAST(2941176470 AS BIGINT), CAST(244 AS BIGINT)),
+('site33.example.org', CAST(2941176470 AS BIGINT), CAST(115 AS BIGINT)),
+('site34.example.org', CAST(2941176470 AS BIGINT), CAST(236 AS BIGINT)),
+('site35.example.net', CAST(2941176470 AS BIGINT), CAST(254 AS BIGINT)),
+('site36.example.net', CAST(2941176470 AS BIGINT), CAST(185 AS BIGINT)),
+('site37.example.net', CAST(2941176470 AS BIGINT), CAST(293 AS BIGINT)),
+('site38.example.net', CAST(2941176470 AS BIGINT), CAST(209 AS BIGINT)),
+('site39.example.net', CAST(2941176470 AS BIGINT), CAST(173 AS BIGINT)),
+('site40.example.net', CAST(2941176470 AS BIGINT), CAST(146 AS BIGINT)),
+('site41.example.net', CAST(2941176470 AS BIGINT), CAST(240 AS BIGINT)),
+('site42.example.net', CAST(2941176470 AS BIGINT), CAST(111 AS BIGINT)),
+('site43.example.net', CAST(2941176470 AS BIGINT), CAST(199 AS BIGINT)),
+('site44.example.net', CAST(2941176470 AS BIGINT), CAST(161 AS BIGINT)),
+('site45.example.io', CAST(2941176470 AS BIGINT), CAST(147 AS BIGINT)),
+('site46.example.io', CAST(2941176470 AS BIGINT), CAST(210 AS BIGINT)),
+('site47.example.io', CAST(2941176470 AS BIGINT), CAST(237 AS BIGINT)),
+('site48.example.io', CAST(2941176470 AS BIGINT), CAST(159 AS BIGINT)),
+('site49.example.io', CAST(2941176470 AS BIGINT), CAST(105 AS BIGINT))
+) AS t(node, pr_rank, n_out_links)
+"""
+
+
+def hostgraph_pagerank(sf_dir: str):
+    """END-TO-END link-graph path over the real (capped) pages corpus:
+    vectorized href extraction off the BINARY html column
+    (ops/linkgraph.extract_links_batch — RE2 on bytes, junk hosts
+    drop) -> weighted host edge list (ONE slim-row shuffle) ->
+    integer-fixed-point PageRank. The corpus's nav/tag links are
+    page-relative (resolve to the page's own host — self-loops, which
+    PageRank ignores) and its ad units link every host to
+    ads.example.com (a dangling sink that absorbs all damped mass).
+    Because the rank vector alone would not notice a dropped
+    self-link, the output ALSO carries each host's weighted out-link
+    total (sum of n_links incl. self-edges) — pinning the full
+    extraction + edge-weighting, not just connectivity. Golden VALUES
+    oracle: the capped corpus is fixed at every sf, so all 51
+    (host, pr_rank, n_out_links) rows are literal constants — same
+    pattern as flagship_text_hash."""
+    from raydoc.ops.linkgraph import host_edges, pagerank
+    from raydoc.ops.relational import broadcast_join, grouped_agg
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(_ensure_capped_pages(), columns=["url", "html"])
+    edges = host_edges(ds).materialize()  # tiny host-pair table, reused
+    pr = pagerank(edges, iterations=3, rank_col="pr_rank")
+    import ray
+
+    outl = pa.concat_tables(
+        [t for t in ray.get(grouped_agg(
+            edges, ["src_host"],
+            {"n_out_links": ("sum", "n_links")}).to_arrow_refs())
+         if t.num_rows],
+        promote_options="permissive")
+    joined = broadcast_join(pr, outl, "node", "src_host", how="left")
+
+    def _fin(b: pa.Table) -> pa.Table:
+        n = pc.fill_null(b.column("n_out_links"), 0)
+        return pa.table({"node": b.column("node"),
+                         "pr_rank": b.column("pr_rank"),
+                         "n_out_links": n})
+
+    return joined.map_batches(_fin, batch_format="pyarrow")
+
+
 def docs_segment_dedup(sf_dir: str):
     """Duplicated-span removal (the C4/RefinedWeb line-dedup shape):
     non-overlapping word-8 segments occurring in >1 DISTINCT doc are
@@ -3647,7 +3903,6 @@ QUERIES = {
     # ---- window refill: r04-green anchors for the headline families
     # (curation, dedup, ANN, canvas, relational, retrieval) ----
     "docs_curation": docs_curation,
-    "docs_minhash_pairs": docs_minhash_pairs,
     # new in r05: persisted-band-index incremental dedup — in-window so
     # the driver verifies it this round
     "docs_incremental_dedup": docs_incremental_dedup,
@@ -3663,14 +3918,25 @@ QUERIES = {
     # the embeddings family keeps two in-window anchors)
     "embeddings_kmeans": embeddings_kmeans,
     "embeddings_semantic_dedup": embeddings_semantic_dedup,
+    # new in late r05: link-graph module — UT1-style blocklist filter,
+    # integer fixed-point PageRank (unrolled-SQL algorithmic oracle),
+    # and the end-to-end pages->links->hostgraph->rank composition
+    # (golden VALUES oracle). In-window for their first driver rows;
+    # they displace canvas_customer_service / q1_pricing_summary /
+    # docs_minhash_pairs, all r04 driver-green (minhash stays anchored
+    # in-window through docs_curation, which composes it)
+    "docs_url_blocklist": docs_url_blocklist,
+    "docs_pagerank": docs_pagerank,
+    "hostgraph_pagerank": hostgraph_pagerank,
+    # ---- driver recording window (~50 entries) ends here ----
     "canvas_customer_service": canvas_customer_service,
     "q1_pricing_summary": q1_pricing_summary,
-    # ---- driver recording window (~50 entries) ends here ----
     # Everything below is hash-green in CORRECTNESS_r04.json (driver)
     # and stays green in the committed full-registry artifact.
     # (exact-dedup family stays in-window via docs_incremental_exact;
     # url canonicalization via the flagship anchors + docs_curation)
     "docs_exact_dedup": docs_exact_dedup,
+    "docs_minhash_pairs": docs_minhash_pairs,
     "docs_url_dedup": docs_url_dedup,
     "docs_decontaminate": docs_decontaminate,
     "hybrid_retrieval": hybrid_retrieval,
@@ -3795,6 +4061,11 @@ ORACLES = {
     "docs_pii_redact": DOCS_PII_REDACT_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_url_dedup": DOCS_URL_DEDUP_SQL,
+    "docs_url_blocklist": DOCS_URL_BLOCKLIST_SQL,
+    # algorithmic oracle: K unrolled integer-fixed-point iterations
+    # generated from the same constants as the Ray query
+    "docs_pagerank": DOCS_PAGERANK_SQL,
+    "hostgraph_pagerank": HOSTGRAPH_PAGERANK_SQL,
     "docs_segment_dedup": DOCS_SEGMENT_DEDUP_SQL,
     "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_train_split": DOCS_TRAIN_SPLIT_SQL,

@@ -1,0 +1,190 @@
+"""Link-graph module: href extraction, host edges, integer PageRank,
+and the domain blocklist filter (raydoc/ops/linkgraph.py, ops/url.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raydoc.ops.linkgraph import extract_links_batch, host_edges, pagerank
+from raydoc.ops.url import filter_blocked_hosts
+
+
+def _links(url, html):
+    t = extract_links_batch(pa.table({"url": [url], "html": [html]}))
+    return [(r["src_host"], r["dst_host"]) for r in t.to_pylist()]
+
+
+class TestExtractLinks:
+    def test_absolute_link_carries_own_host(self):
+        assert _links("https://a.com/p",
+                      b'<a href="https://B.org/x">x</a>') == [
+            ("a.com", "b.org")]
+
+    def test_relative_resolves_to_page_host(self):
+        assert _links("https://a.com/p", b'<a href="/rel">r</a>') == [
+            ("a.com", "a.com")]
+        assert _links("https://a.com/p", b'<a href="rel/x">r</a>') == [
+            ("a.com", "a.com")]
+
+    def test_protocol_relative_and_port_strip(self):
+        assert _links("https://a.com/p",
+                      b'<a href="//CDN.b.NET:8080/l.js">c</a>') == [
+            ("a.com", "cdn.b.net")]
+
+    def test_non_http_schemes_drop(self):
+        assert _links("https://a.com/p",
+                      b'<a href="mailto:x@y">m</a>'
+                      b'<a href="javascript:void(0)">j</a>'
+                      b'<a href="ftp://h/x">f</a>') == []
+
+    def test_empty_href_and_junk_host_drop(self):
+        assert _links("https://a.com/p", b'<a href="">e</a>') == []
+        # invalid bytes in an external host fail the ASCII host grammar
+        assert _links("https://a.com/p",
+                      b'<a href="http://bad\xffhost/x">w</a>') == []
+
+    def test_invalid_utf8_elsewhere_does_not_break_extraction(self):
+        assert _links("https://a.com/p",
+                      b'junk \xff\xfe <a href="https://ok.com/x">y</a>') == [
+            ("a.com", "ok.com")]
+
+    def test_unparseable_page_url_contributes_nothing(self):
+        assert _links("garbage", b'<a href="https://b.com/x">y</a>') == []
+        t = extract_links_batch(pa.table(
+            {"url": pa.array([None], pa.string()),
+             "html": [b'<a href="/x">y</a>']}))
+        assert t.num_rows == 0
+
+    def test_case_and_whitespace_tolerant_attribute(self):
+        assert _links("https://a.com/p",
+                      b"<A HREF = 'HTTPS://Sub.B.org:443/q?x=1#f'>z</A>") == [
+            ("a.com", "sub.b.org")]
+
+    def test_empty_batch_and_no_links(self):
+        empty = extract_links_batch(pa.table(
+            {"url": pa.array([], pa.string()),
+             "html": pa.array([], pa.binary())}))
+        assert empty.num_rows == 0
+        assert empty.column_names == ["src_host", "dst_host"]
+        assert _links("https://a.com/p", b"no links here") == []
+
+
+def _pagerank_ref(edges, iterations, scale, d_num, d_den):
+    """Driver-side pure-Python replay of the documented contract."""
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    E = [(idx[s], idx[t]) for s, t in edges if idx[s] != idx[t]]
+    out_deg = [0] * n
+    for s, _t in E:
+        out_deg[s] += 1
+    base = scale // n
+    tele = ((d_den - d_num) * base) // d_den
+    r = [base] * n
+    for _ in range(iterations):
+        ins = [0] * n
+        for s, t in E:
+            if out_deg[s]:
+                ins[t] += r[s] // out_deg[s]
+        r = [tele + (d_num * ins[v]) // d_den for v in range(n)]
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def _edges_ds(edges, parts=3):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "src_host": [e[0] for e in edges],
+        "dst_host": [e[1] for e in edges]}))
+    return ds.repartition(parts) if parts else ds
+
+
+class TestPagerank:
+    EDGES = [("a", "b"), ("c", "b"), ("d", "b"), ("b", "e"),
+             ("e", "a"), ("x", "y"), ("a", "e")]
+
+    def test_matches_reference_and_partition_invariant(self, ray_session):
+        ref = _pagerank_ref(self.EDGES, 5, 10**12, 85, 100)
+        for parts in (1, 4):
+            out = pagerank(_edges_ds(self.EDGES, parts),
+                           iterations=5).take_all()
+            assert {r["node"]: r["rank"] for r in out} == ref
+
+    def test_self_loops_ignored(self, ray_session):
+        with_loops = self.EDGES + [("a", "a"), ("b", "b")]
+        out = pagerank(_edges_ds(with_loops), iterations=3).take_all()
+        ref = _pagerank_ref(self.EDGES, 3, 10**12, 85, 100)
+        assert {r["node"]: r["rank"] for r in out} == ref
+
+    def test_dangling_mass_drops_total_bounded(self, ray_session):
+        out = pagerank(_edges_ds(self.EDGES), iterations=5).take_all()
+        assert sum(r["rank"] for r in out) <= 10**12
+
+    def test_zero_iterations_uniform(self, ray_session):
+        out = pagerank(_edges_ds(self.EDGES), iterations=0).take_all()
+        n = len({u for e in self.EDGES for u in e})
+        assert {r["rank"] for r in out} == {10**12 // n}
+
+    def test_max_nodes_fail_loud(self, ray_session):
+        with pytest.raises(ValueError, match="max_nodes"):
+            pagerank(_edges_ds(self.EDGES), max_nodes=3)
+
+    def test_star_center_dominates(self, ray_session):
+        # hub's whole rank flows to leaf0 each round (outdeg 1), so hub
+        # and leaf0 trade mass; both must dwarf an ordinary leaf
+        star = [(f"leaf{i}", "hub") for i in range(10)] + [("hub", "leaf0")]
+        out = {r["node"]: r["rank"]
+               for r in pagerank(_edges_ds(star), iterations=8).take_all()}
+        assert min(out["hub"], out["leaf0"]) > 3 * out["leaf1"]
+        assert out["leaf1"] == out["leaf2"]  # symmetric leaves tie
+
+    def test_empty_edges(self, ray_session):
+        out = pagerank(_edges_ds([], parts=0)).take_all()
+        assert out == []
+
+
+class TestHostEdges:
+    def test_weighted_edges_one_row_per_pair(self, ray_session):
+        import ray.data as rd
+
+        pages = rd.from_arrow(pa.table({
+            "url": ["https://a.com/1", "https://a.com/2"],
+            "html": [b'<a href="/x">i</a><a href="https://b.com/y">e</a>',
+                     b'<a href="https://b.com/z">e</a>'],
+        }))
+        rows = {(r["src_host"], r["dst_host"]): r["n_links"]
+                for r in host_edges(pages).take_all()}
+        assert rows == {("a.com", "a.com"): 1, ("a.com", "b.com"): 2}
+        rows2 = host_edges(pages, drop_self=True).take_all()
+        assert {(r["src_host"], r["dst_host"]) for r in rows2} == {
+            ("a.com", "b.com")}
+
+
+class TestBlocklist:
+    URLS = ["https://WWW.Bad.COM:443/x",     # subdomain of bad.com
+            "https://bad.com/y",             # exact registrable
+            "https://notbad.com/z",          # suffix but NOT subdomain
+            "https://exact.host.net/q",      # exact-host entry
+            "https://deep.exact.host.net/q",  # subdomain of exact entry
+            "https://ok.org/r",
+            "garbage"]
+
+    def _ds(self):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"url": self.URLS}))
+
+    def test_block_semantics(self, ray_session):
+        out = filter_blocked_hosts(
+            self._ds(), ["bad.com", "exact.host.net"]).take_all()
+        assert sorted(r["host"] for r in out) == ["notbad.com", "ok.org"]
+
+    def test_invert_keeps_only_blocked(self, ray_session):
+        out = filter_blocked_hosts(
+            self._ds(), ["bad.com"], invert=True).take_all()
+        assert sorted(r["host"] for r in out) == ["bad.com", "www.bad.com"]
+
+    def test_unparseable_urls_always_drop(self, ray_session):
+        out = filter_blocked_hosts(self._ds(), []).take_all()
+        assert all(r["host"] is not None for r in out)
+        assert len(out) == 6  # 'garbage' gone even with empty blocklist

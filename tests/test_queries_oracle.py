@@ -42,6 +42,12 @@ NEW_QUERIES = [
     "docs_cluster_terms",
     "docs_incremental_semantic",
     "docs_sample_bottomk",
+    # late r05: link-graph module — blocklist filter, integer
+    # fixed-point PageRank (unrolled-SQL replay), and the end-to-end
+    # pages->hostgraph->rank golden
+    "docs_url_blocklist",
+    "docs_pagerank",
+    "hostgraph_pagerank",
 ]
 
 
