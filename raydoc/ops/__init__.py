@@ -11,6 +11,8 @@ Modules:
   similarity  - cosine top-k (brute force + LSH-bucketed)
   cluster     - distributed k-means (streaming partial-sum Lloyd) and
                 SemDeDup-style semantic dedup over the k-means cells
+  linkgraph   - href extraction off binary html, weighted host-graph
+                edges, integer fixed-point PageRank (late r05)
   window      - event-time tumbling windows, sessionization, as-of join,
                 LLM sequence packing
   template    - per-row template rendering (template.py:70-139)

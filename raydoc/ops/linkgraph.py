@@ -95,14 +95,27 @@ def _page_hosts(url_col) -> pa.Array:
 def extract_links_batch(batch: pa.Table, html_col: str = "html",
                         url_col: str = "url",
                         out_src: str = "src_host",
-                        out_dst: str = "dst_host") -> pa.Table:
+                        out_dst: str = "dst_host",
+                        with_anchor: bool = False) -> pa.Table:
     """(url, html) batch -> one (src_host, dst_host) row per resolved
     link. See module docstring for the resolution contract. Rows whose
     page url has no parseable host contribute nothing (their relative
-    links have no referent and their absolute links no source)."""
-    empty = pa.Table.from_pydict({
-        out_src: pa.array([], pa.string()),
-        out_dst: pa.array([], pa.string())})
+    links have no referent and their absolute links no source).
+
+    ``with_anchor=True`` appends an ``anchor`` BINARY column: the text
+    between the linking tag's ``>`` and the next ``<``, capped at 256
+    bytes — the anchor-text signal retrieval-training corpora mine
+    from CC. Binary, not string, because page bytes may not be UTF-8;
+    deciding a decode policy is the consumer's job (the honest
+    zero-copy contract, same as the multimodal columns). Heuristic
+    caveat: for non-``<a>`` href carriers (``<link>``, ``<area>``)
+    the captured bytes are whatever text follows the tag — acceptable
+    for corpus mining, documented here."""
+    cols = {out_src: pa.array([], pa.string()),
+            out_dst: pa.array([], pa.string())}
+    if with_anchor:
+        cols["anchor"] = pa.array([], pa.binary())
+    empty = pa.Table.from_pydict(cols)
     if batch.num_rows == 0:
         return empty
     h = batch.column(html_col)
@@ -147,7 +160,11 @@ def extract_links_batch(batch: pa.Table, html_col: str = "html",
     dst = pc.if_else(external, ext_host,
                      pc.if_else(internal, src, pa.scalar(None, pa.string())))
     ok = pc.and_kleene(pc.is_valid(dst), pc.is_valid(src))
-    t = pa.Table.from_pydict({out_src: src, out_dst: dst}).filter(ok)
+    data = {out_src: src, out_dst: dst}
+    if with_anchor:
+        data["anchor"] = pc.struct_field(
+            pc.extract_regex(flat, r"^[^>]*>(?P<a>[^<]{0,256})"), "a")
+    t = pa.Table.from_pydict(data).filter(ok)
     return t
 
 

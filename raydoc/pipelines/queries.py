@@ -2293,6 +2293,130 @@ def hostgraph_pagerank(sf_dir: str):
     return joined.map_batches(_fin, batch_format="pyarrow")
 
 
+# golden VALUES oracle for hostgraph_anchors (threshold 40 over the
+# fixed capped corpus; verified identical at sf0.001 and sf0.01),
+# re-pin if corpus.GEN_VERSION bumps
+HOSTGRAPH_ANCHORS_SQL = """
+SELECT * FROM (VALUES
+('site00.example.com', 'aggregate', CAST(50 AS BIGINT)),
+('site00.example.com', 'and', CAST(42 AS BIGINT)),
+('site00.example.com', 'arrow', CAST(52 AS BIGINT)),
+('site00.example.com', 'as', CAST(42 AS BIGINT)),
+('site00.example.com', 'atomic', CAST(49 AS BIGINT)),
+('site00.example.com', 'batch', CAST(50 AS BIGINT)),
+('site00.example.com', 'block', CAST(48 AS BIGINT)),
+('site00.example.com', 'by', CAST(56 AS BIGINT)),
+('site00.example.com', 'byte', CAST(51 AS BIGINT)),
+('site00.example.com', 'chunk', CAST(44 AS BIGINT)),
+('site00.example.com', 'cluster', CAST(52 AS BIGINT)),
+('site00.example.com', 'column', CAST(54 AS BIGINT)),
+('site00.example.com', 'commit', CAST(45 AS BIGINT)),
+('site00.example.com', 'content', CAST(43 AS BIGINT)),
+('site00.example.com', 'corpus', CAST(53 AS BIGINT)),
+('site00.example.com', 'crawl', CAST(51 AS BIGINT)),
+('site00.example.com', 'data', CAST(45 AS BIGINT)),
+('site00.example.com', 'density', CAST(50 AS BIGINT)),
+('site00.example.com', 'distinct', CAST(45 AS BIGINT)),
+('site00.example.com', 'document', CAST(43 AS BIGINT)),
+('site00.example.com', 'engine', CAST(41 AS BIGINT)),
+('site00.example.com', 'filter', CAST(46 AS BIGINT)),
+('site00.example.com', 'for', CAST(47 AS BIGINT)),
+('site00.example.com', 'golden', CAST(43 AS BIGINT)),
+('site00.example.com', 'group', CAST(42 AS BIGINT)),
+('site00.example.com', 'hash', CAST(42 AS BIGINT)),
+('site00.example.com', 'heading', CAST(40 AS BIGINT)),
+('site00.example.com', 'host', CAST(49 AS BIGINT)),
+('site00.example.com', 'html', CAST(47 AS BIGINT)),
+('site00.example.com', 'in', CAST(42 AS BIGINT)),
+('site00.example.com', 'join', CAST(56 AS BIGINT)),
+('site00.example.com', 'latency', CAST(43 AS BIGINT)),
+('site00.example.com', 'limit', CAST(42 AS BIGINT)),
+('site00.example.com', 'lineage', CAST(44 AS BIGINT)),
+('site00.example.com', 'link', CAST(46 AS BIGINT)),
+('site00.example.com', 'list', CAST(54 AS BIGINT)),
+('site00.example.com', 'manifest', CAST(42 AS BIGINT)),
+('site00.example.com', 'metric', CAST(50 AS BIGINT)),
+('site00.example.com', 'model', CAST(49 AS BIGINT)),
+('site00.example.com', 'node', CAST(42 AS BIGINT)),
+('site00.example.com', 'object', CAST(47 AS BIGINT)),
+('site00.example.com', 'of', CAST(41 AS BIGINT)),
+('site00.example.com', 'output', CAST(40 AS BIGINT)),
+('site00.example.com', 'paragraph', CAST(57 AS BIGINT)),
+('site00.example.com', 'parquet', CAST(44 AS BIGINT)),
+('site00.example.com', 'parse', CAST(57 AS BIGINT)),
+('site00.example.com', 'partition', CAST(55 AS BIGINT)),
+('site00.example.com', 'path', CAST(45 AS BIGINT)),
+('site00.example.com', 'pipeline', CAST(40 AS BIGINT)),
+('site00.example.com', 'pool', CAST(52 AS BIGINT)),
+('site00.example.com', 'process', CAST(50 AS BIGINT)),
+('site00.example.com', 'range', CAST(43 AS BIGINT)),
+('site00.example.com', 'rename', CAST(50 AS BIGINT)),
+('site00.example.com', 'result', CAST(47 AS BIGINT)),
+('site00.example.com', 'resume', CAST(46 AS BIGINT)),
+('site00.example.com', 'row', CAST(57 AS BIGINT)),
+('site00.example.com', 'salt', CAST(41 AS BIGINT)),
+('site00.example.com', 'sample', CAST(43 AS BIGINT)),
+('site00.example.com', 'score', CAST(53 AS BIGINT)),
+('site00.example.com', 'search', CAST(40 AS BIGINT)),
+('site00.example.com', 'series', CAST(44 AS BIGINT)),
+('site00.example.com', 'skew', CAST(57 AS BIGINT)),
+('site00.example.com', 'sort', CAST(52 AS BIGINT)),
+('site00.example.com', 'spill', CAST(50 AS BIGINT)),
+('site00.example.com', 'stream', CAST(44 AS BIGINT)),
+('site00.example.com', 'table', CAST(43 AS BIGINT)),
+('site00.example.com', 'the', CAST(44 AS BIGINT)),
+('site00.example.com', 'time', CAST(44 AS BIGINT)),
+('site00.example.com', 'title', CAST(48 AS BIGINT)),
+('site00.example.com', 'to', CAST(47 AS BIGINT)),
+('site00.example.com', 'tree', CAST(45 AS BIGINT)),
+('site00.example.com', 'union', CAST(45 AS BIGINT)),
+('site00.example.com', 'value', CAST(49 AS BIGINT)),
+('site00.example.com', 'web', CAST(47 AS BIGINT)),
+('site00.example.com', 'window', CAST(40 AS BIGINT)),
+('site00.example.com', 'with', CAST(44 AS BIGINT)),
+('site00.example.com', 'worker', CAST(46 AS BIGINT))
+) AS t(dst_host, anchor, n_links)
+"""
+
+
+def hostgraph_anchors(sf_dir: str):
+    """Anchor-text mining — the signal retrieval-training corpora
+    extract from CC (anchor->target pairs): vectorized link+anchor
+    extraction off the BINARY html (extract_links_batch
+    with_anchor=True), keep printable-ASCII non-empty anchors, count
+    per (dst_host, anchor) in one partial-agg shuffle, emit pairs seen
+    >= 40 times. Golden VALUES oracle over the fixed capped corpus
+    (threshold keeps the literal small while still pinning the
+    anchor capture + counting end to end)."""
+    from raydoc.ops.linkgraph import extract_links_batch
+    from raydoc.ops.relational import grouped_agg, nonempty_batches
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(_ensure_capped_pages(), columns=["url", "html"])
+
+    def _anchors(b: pa.Table) -> pa.Table:
+        t = extract_links_batch(b, with_anchor=True)
+        a = t.column("anchor")
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        ok = pc.and_kleene(
+            pc.is_valid(a),
+            pc.and_(pc.match_substring_regex(a, r"^[ -~]+$"),
+                    pc.not_equal(pc.binary_length(a), 0)))
+        t = t.filter(pc.fill_null(ok, False))
+        a2 = t.column("anchor")
+        a2 = a2.combine_chunks() if isinstance(a2, pa.ChunkedArray) else a2
+        return pa.table({"dst_host": t.column("dst_host"),
+                         "anchor": a2.cast(pa.string())})
+
+    counts = grouped_agg(
+        ds.map_batches(nonempty_batches(_anchors), batch_format="pyarrow"),
+        ["dst_host", "anchor"], {"n_links": ("count", "anchor")})
+    return counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_links"), 40)),
+        batch_format="pyarrow")
+
+
 def docs_segment_dedup(sf_dir: str):
     """Duplicated-span removal (the C4/RefinedWeb line-dedup shape):
     non-overlapping word-8 segments occurring in >1 DISTINCT doc are
@@ -3902,7 +4026,6 @@ QUERIES = {
     "events_rolling_mean": events_rolling_mean,
     # ---- window refill: r04-green anchors for the headline families
     # (curation, dedup, ANN, canvas, relational, retrieval) ----
-    "docs_curation": docs_curation,
     # new in r05: persisted-band-index incremental dedup — in-window so
     # the driver verifies it this round
     "docs_incremental_dedup": docs_incremental_dedup,
@@ -3928,7 +4051,10 @@ QUERIES = {
     "docs_url_blocklist": docs_url_blocklist,
     "docs_pagerank": docs_pagerank,
     "hostgraph_pagerank": hostgraph_pagerank,
+    "hostgraph_anchors": hostgraph_anchors,
     # ---- driver recording window (~50 entries) ends here ----
+    # (docs_curation r04 driver-green; displaced by hostgraph_anchors)
+    "docs_curation": docs_curation,
     "canvas_customer_service": canvas_customer_service,
     "q1_pricing_summary": q1_pricing_summary,
     # Everything below is hash-green in CORRECTNESS_r04.json (driver)
@@ -4066,6 +4192,7 @@ ORACLES = {
     # generated from the same constants as the Ray query
     "docs_pagerank": DOCS_PAGERANK_SQL,
     "hostgraph_pagerank": HOSTGRAPH_PAGERANK_SQL,
+    "hostgraph_anchors": HOSTGRAPH_ANCHORS_SQL,
     "docs_segment_dedup": DOCS_SEGMENT_DEDUP_SQL,
     "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_train_split": DOCS_TRAIN_SPLIT_SQL,

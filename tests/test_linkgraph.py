@@ -60,12 +60,33 @@ class TestExtractLinks:
                       b"<A HREF = 'HTTPS://Sub.B.org:443/q?x=1#f'>z</A>") == [
             ("a.com", "sub.b.org")]
 
+    def test_anchor_capture(self):
+        b = pa.table({
+            "url": ["https://a.com/p"],
+            "html": [b'<a href="https://b.org/x" class="z">Read More</a>'
+                     b'<a href="/rel">inner\xfftext</a>'
+                     b'<link href="s.css" rel="x">'],
+        })
+        t = extract_links_batch(b, with_anchor=True)
+        got = [(r["dst_host"], r["anchor"]) for r in t.to_pylist()]
+        assert got == [("b.org", b"Read More"),
+                       ("a.com", b"inner\xfftext"),
+                       ("a.com", b"")]  # <link>: no anchor text follows
+        # default output schema unchanged
+        t2 = extract_links_batch(b)
+        assert t2.column_names == ["src_host", "dst_host"]
+
     def test_empty_batch_and_no_links(self):
         empty = extract_links_batch(pa.table(
             {"url": pa.array([], pa.string()),
              "html": pa.array([], pa.binary())}))
         assert empty.num_rows == 0
         assert empty.column_names == ["src_host", "dst_host"]
+        empty_a = extract_links_batch(
+            pa.table({"url": pa.array([], pa.string()),
+                      "html": pa.array([], pa.binary())}),
+            with_anchor=True)
+        assert empty_a.column_names == ["src_host", "dst_host", "anchor"]
         assert _links("https://a.com/p", b"no links here") == []
 
 

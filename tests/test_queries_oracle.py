@@ -48,6 +48,7 @@ NEW_QUERIES = [
     "docs_url_blocklist",
     "docs_pagerank",
     "hostgraph_pagerank",
+    "hostgraph_anchors",
 ]
 
 
