@@ -442,6 +442,31 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
         ).incremental_semantic_dedup(
             ds, p["index_dir"], threshold=p.get("threshold", 0.9),
             update_index=p.get("update_index", False))[0]),
+    # late r05: the link-graph family (ops/linkgraph.py, ops/url.py) —
+    # blocklist front door, href->host edges, PageRank
+    "blocklist_filter": (
+        lambda p: _require(p, "blocked"),
+        lambda ds, p: __import__(
+            "raydoc.ops.url", fromlist=["filter_blocked_hosts"]
+        ).filter_blocked_hosts(
+            ds, p["blocked"], url_col=p.get("url_col", "url"),
+            invert=p.get("invert", False))),
+    "host_edges": (
+        lambda p: None,
+        lambda ds, p: __import__(
+            "raydoc.ops.linkgraph", fromlist=["host_edges"]
+        ).host_edges(ds, html_col=p.get("html_col", "html"),
+                     url_col=p.get("url_col", "url"),
+                     drop_self=p.get("drop_self", False))),
+    "pagerank": (
+        lambda p: None,
+        lambda ds, p: __import__(
+            "raydoc.ops.linkgraph", fromlist=["pagerank"]
+        ).pagerank(ds, src_col=p.get("src_col", "src_host"),
+                   dst_col=p.get("dst_col", "dst_host"),
+                   iterations=p.get("iterations", 5),
+                   scale=p.get("scale", 10**12),
+                   max_nodes=p.get("max_nodes", 4_000_000))),
 }
 
 _VALID_PREDICATE_OPS = None

@@ -222,6 +222,7 @@ def web_to_training_shards(
     extract_batch_size: int = 64,
     extract_concurrency=None,
     corpus_index_dir: str | None = None,
+    blocked_hosts=None,
 ):
     """Raw fetch records -> packed, split training shards, end to end:
 
@@ -246,6 +247,16 @@ def web_to_training_shards(
     docs a ~3% chance that ONE doc pair shares an id and one of the
     two is dropped as a duplicate; acceptable for training-corpus
     curation (never use it as a storage key).
+
+    ``blocked_hosts`` (late r05): UT1-style domain blocklist applied
+    as the FIRST gate (ops/url.filter_blocked_hosts — exact host or
+    subdomain match), before canonicalization pays for a row the
+    pipeline will never keep. Note the filter also drops rows whose
+    URL has no parseable host (with no blocklist, such rows pass
+    through canonicalization unchanged); counting the blocked rows
+    would cost an extra pass over the fetch stream, so no
+    ``n_blocked`` stat is emitted — audit with ``invert=True``
+    separately when needed.
 
     ``corpus_index_dir`` (r05): shared-storage path of a persisted
     near-dup index (ops/incremental.py). First run seeds it from the
@@ -274,6 +285,11 @@ def web_to_training_shards(
     from raydoc.ops.window import pack_sequences
     from raydoc.stages.extract_stage import ExtractStage
 
+    if blocked_hosts:
+        from raydoc.ops.url import filter_blocked_hosts
+
+        fetches = filter_blocked_hosts(fetches, blocked_hosts,
+                                       url_col=url_col)
     latest = url_dedup(fetches, url_col=url_col, ts_col=ts_col)
 
     def _to_pages(b: pa.Table) -> pa.Table:

@@ -209,3 +209,74 @@ class TestBlocklist:
         out = filter_blocked_hosts(self._ds(), []).take_all()
         assert all(r["host"] is not None for r in out)
         assert len(out) == 6  # 'garbage' gone even with empty blocklist
+
+
+class TestSpecOps:
+    def test_spec_linkgraph_chain(self, ray_session, tmp_path):
+        """blocklist_filter is declarable and composes with
+        host_edges -> pagerank over a real pages parquet."""
+        import pyarrow.parquet as pq
+
+        from raydoc.corpus import gen_rows
+        from raydoc.pipelines.spec import run_spec
+
+        src = str(tmp_path / "pages.parquet")
+        pq.write_table(gen_rows(0, 60), src)
+        spec = {
+            "source": {"op": "read_parquet", "path": src,
+                       "columns": ["url", "html"]},
+            "stages": [
+                {"op": "blocklist_filter",
+                 "blocked": ["site00.example.com"]},
+                {"op": "host_edges"},
+                {"op": "pagerank", "iterations": 2},
+            ],
+            "sink": {"op": "collect"},
+        }
+        out = run_spec(spec).to_pandas()
+        assert "rank" in out.columns and len(out) > 1
+        assert not out["node"].str.startswith("site00.").any()
+
+    def test_spec_blocklist_requires_blocked(self, ray_session):
+        from raydoc.pipelines.spec import SpecError, run_spec
+
+        spec = {"source": {"op": "from_items", "items": [{"url": "x"}]},
+                "stages": [{"op": "blocklist_filter"}],
+                "sink": {"op": "collect"}}
+        with pytest.raises((SpecError, KeyError, ValueError)):
+            run_spec(spec)
+
+
+class TestShardsBlocklist:
+    def test_web_to_training_shards_front_door(self, ray_session, tmp_path):
+        """blocked_hosts drops a whole host's fetches before
+        canonicalization; remaining output is identical in shape."""
+        import ray.data as rd
+
+        from raydoc.pipelines.training_data import web_to_training_shards
+
+        n = 60
+        urls = [f"https://www.site{i % 3}.com/a/{i}" for i in range(n)]
+        body = ("words making a real document body with plenty of "
+                "distinct tokens alpha%d beta%d gamma%d here")
+        html = [(f"<html><body><p>{body % (i, i * 3, i * 7)} "
+                 f"unique{i} page text</p></body></html>").encode()
+                for i in range(n)]
+        fetches = rd.from_arrow(pa.table({
+            "url": urls, "fetch_ts": list(range(n)), "html": html}))
+        stats = web_to_training_shards(
+            fetches, str(tmp_path / "out"),
+            blocked_hosts=["site1.com"], min_tokens=4)
+        # a third of the corpus was blocked at the front door
+        assert stats["n_extract_ok"] == n - n // 3
+        assert stats["n_train"] + stats["n_val"] + stats["n_test"] > 0
+
+        import glob
+
+        files = glob.glob(str(tmp_path / "out" / "split=*" / "*.parquet"))
+        assert files
+        import pyarrow.parquet as pq
+
+        t = pa.concat_tables([pq.read_table(f, columns=["url"])
+                              for f in files])
+        assert not any("site1" in u for u in t.column("url").to_pylist())
