@@ -206,12 +206,31 @@ def _partial_idx_sums(batch: pa.Table, idx_col: str,
         "s": pa.array(sums, pa.int64())})
 
 
+def _node_union(edges, src_col: str, dst_col: str,
+                num_partitions: int | None):
+    """Distinct-node Dataset ``(node)`` from both edge endpoints."""
+    from raydoc.ops.relational import grouped_agg, nonempty_batches
+
+    def _emit_nodes(b: pa.Table) -> pa.Table:
+        cols = [b.column(src_col).combine_chunks(),
+                b.column(dst_col).combine_chunks()]
+        return pa.Table.from_pydict(
+            {"node": pa.concat_arrays([c.cast(pa.string()) for c in cols])})
+
+    return grouped_agg(
+        edges.map_batches(nonempty_batches(_emit_nodes),
+                          batch_format="pyarrow"),
+        ["node"], {"c": ("count", "node")},
+        num_partitions=num_partitions).select_columns(["node"])
+
+
 def pagerank(edges, src_col: str = "src_host", dst_col: str = "dst_host",
              iterations: int = 5, scale: int = 10**12,
              damping: tuple[int, int] = (85, 100),
              max_nodes: int = 4_000_000,
              node_col: str = "node", rank_col: str = "rank",
-             num_partitions: int | None = None):
+             num_partitions: int | None = None,
+             plan: str = "auto", max_key_rows: int | None = None):
     """Integer fixed-point PageRank over a DISTINCT-edge Dataset
     (``src_col``, ``dst_col``) -> Dataset ``(node, rank)`` with rank an
     int64 multiple of 1/``scale``. See module docstring for the exact
@@ -220,7 +239,20 @@ def pagerank(edges, src_col: str = "src_host", dst_col: str = "dst_host",
     (dedupe upstream — ``host_edges`` already does); self-loops are
     ignored. Overflow bound: per-node incoming mass is < ``scale``
     (total mass never grows), so all int64 arithmetic is safe for any
-    ``scale`` <= 2**63 / d_num."""
+    ``scale`` <= 2**63 / d_num.
+
+    ``plan``: ``"broadcast"`` (rank vector via ``ray.put`` each
+    iteration — fastest while the node set fits a worker, fail-loud at
+    ``max_nodes``), ``"copartition"`` (ranks stay a DATASET; each
+    iteration is one tag-union coarse-bucket shuffle joining ranks to
+    out-edges — outdeg falls out of the run length, no driver node
+    vector, no ``Dataset.join``, the beyond-10^8-hosts path; ~2 slim
+    shuffles per iteration), or ``"auto"`` (broadcast, escalating to
+    copartition when the node count exceeds ``max_nodes``). Both plans
+    produce bit-identical output (integer arithmetic; equality
+    pytest-pinned). ``max_key_rows`` guards the copartition plan's
+    one-key-run-fits-a-worker assumption (a single host with >cap
+    out-edges raises, naming the key)."""
     import ray
 
     from raydoc.ops.relational import grouped_agg, nonempty_batches
@@ -230,24 +262,24 @@ def pagerank(edges, src_col: str = "src_host", dst_col: str = "dst_host",
         raise ValueError(f"pagerank: bad damping {damping}")
     if iterations < 0:
         raise ValueError("pagerank: iterations must be >= 0")
+    if plan not in ("auto", "broadcast", "copartition"):
+        raise ValueError(f"pagerank: unknown plan {plan!r}")
+    if plan == "copartition":
+        return _pagerank_copartition(
+            edges, src_col, dst_col, iterations, scale, d_num, d_den,
+            num_partitions, node_col, rank_col, max_key_rows)
 
-    # ---- node table: distinct src union dst, fail-loud cap ----
-    def _emit_nodes(b: pa.Table) -> pa.Table:
-        cols = [b.column(src_col).combine_chunks(),
-                b.column(dst_col).combine_chunks()]
-        return pa.Table.from_pydict(
-            {"node": pa.concat_arrays([c.cast(pa.string()) for c in cols])})
-
-    nd = grouped_agg(
-        edges.map_batches(nonempty_batches(_emit_nodes),
-                          batch_format="pyarrow"),
-        ["node"], {"c": ("count", "node")}, num_partitions=num_partitions)
+    nd = _node_union(edges, src_col, dst_col, num_partitions)
     rows = nd.limit(max_nodes + 1).take_all()
     if len(rows) > max_nodes:
+        if plan == "auto":
+            return _pagerank_copartition(
+                edges, src_col, dst_col, iterations, scale, d_num,
+                d_den, num_partitions, node_col, rank_col, max_key_rows)
         raise ValueError(
             f"pagerank: node count exceeds max_nodes={max_nodes}; "
-            "co-partition the rank join instead of broadcasting "
-            "(raise max_nodes only if the node vector fits a worker)")
+            "use plan='copartition' (ranks stay a Dataset) or raise "
+            "max_nodes if the node vector fits a worker")
     na = pa.array([r["node"] for r in rows], pa.string())
     na = na.take(pc.sort_indices(na))
     n = len(na)
@@ -322,3 +354,135 @@ def pagerank(edges, src_col: str = "src_host", dst_col: str = "dst_host",
     return rd.from_arrow(pa.Table.from_pydict({
         node_col: na,
         rank_col: pa.array(ranks, pa.int64())}))
+
+
+def _pagerank_copartition(edges, src_col, dst_col, iterations, scale,
+                          d_num, d_den, num_partitions, node_col,
+                          rank_col, max_key_rows):
+    """PageRank with the rank vector as a DATASET — the beyond-broadcast
+    plan for graphs whose node set does not fit a worker (10^9-host
+    crawls). Per iteration:
+
+    1. tag-union message pass: rank rows (tag 0) and out-edge rows
+       (tag 1) of each src key land in the same coarse bucket
+       (``bucketed_sorted_apply`` on the key, tag-sorted) — the house
+       alternative to ``Dataset.join`` (see shuffle_join's chained-join
+       pitfall). Within each key run the rank row leads, outdeg = run
+       length minus its rank row, and every edge row emits
+       ``(dst, rank // outdeg)`` segment-vectorized.
+    2. the contributions UNION a zero row per node (so teleport-only
+       nodes survive) feed one partial-agg sum by node; the finalize
+       maps ``teleport + (d_num * sum) // d_den``.
+
+    Two slim shuffles per iteration, rank state materialized per round
+    (bounded lineage, the ops/graph.py iteration pattern). Bit-identical
+    to the broadcast plan — integer arithmetic is order-independent.
+    ``max_key_rows`` fail-louds a single host whose out-edge run
+    exceeds the one-key-fits-a-worker assumption."""
+    import ray.data as rd
+
+    from raydoc.ops.bucketing import bucketed_sorted_apply, segment_ids
+    from raydoc.ops.relational import grouped_agg, nonempty_batches
+
+    empty = pa.Table.from_pydict({
+        node_col: pa.array([], pa.string()),
+        rank_col: pa.array([], pa.int64())})
+
+    nodes = _node_union(edges, src_col, dst_col,
+                        num_partitions).materialize()
+    n = nodes.count()
+    if n == 0:
+        return rd.from_arrow(empty)
+    base = scale // n
+    tele = ((d_den - d_num) * base) // d_den
+
+    def _clean(b: pa.Table) -> pa.Table:
+        s = b.column(src_col).combine_chunks().cast(pa.string())
+        d = b.column(dst_col).combine_chunks().cast(pa.string())
+        t = pa.Table.from_pydict({"key": s, "dst": d})
+        return t.filter(pc.invert(pc.equal(t.column("key"),
+                                           t.column("dst"))))
+
+    eds = edges.map_batches(nonempty_batches(_clean),
+                            batch_format="pyarrow").materialize()
+
+    def _edge_msgs(b: pa.Table) -> pa.Table:
+        nr = b.num_rows
+        return pa.Table.from_pydict({
+            "key": b.column("key"), "dst": b.column("dst"),
+            "pr": pa.nulls(nr, pa.int64()),
+            "tag": pa.array(np.ones(nr, dtype=np.int64))})
+
+    def _rank_msgs(b: pa.Table) -> pa.Table:
+        nr = b.num_rows
+        return pa.Table.from_pydict({
+            "key": b.column("node"), "dst": pa.nulls(nr, pa.string()),
+            "pr": b.column("pr"),
+            "tag": pa.array(np.zeros(nr, dtype=np.int64))})
+
+    def _contrib(t: pa.Table, starts: np.ndarray,
+                 counts: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict({
+                "node": pa.array([], pa.string()),
+                "s": pa.array([], pa.int64())})
+        tags = t.column("tag").to_numpy(zero_copy_only=False)
+        prs = pc.fill_null(t.column("pr"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        seg = segment_ids(starts, counts)
+        is_rank = tags == 0
+        n_rank = np.add.reduceat(is_rank.astype(np.int64), starts)
+        outdeg = counts - n_rank
+        # tag-ascending sort puts the rank row first in its run; a run
+        # with no rank row cannot occur (every edge endpoint is a
+        # node), but guard it out rather than divide by garbage
+        pr_run = prs[starts]
+        valid = is_rank[starts] & (outdeg > 0)
+        mask = (~is_rank) & valid[seg]
+        contrib = pr_run[seg][mask] // outdeg[seg][mask]
+        return pa.Table.from_pydict({
+            "node": t.column("dst").filter(pa.array(mask)),
+            "s": pa.array(contrib, pa.int64())})
+
+    def _zero_rows(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "node": b.column("node"),
+            "s": pa.array(np.zeros(b.num_rows, dtype=np.int64))})
+
+    def _seed(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "node": b.column("node"),
+            "pr": pa.array(np.full(b.num_rows, base, dtype=np.int64))})
+
+    ranks = nodes.map_batches(_seed, batch_format="pyarrow").materialize()
+    zeros = nodes.map_batches(_zero_rows, batch_format="pyarrow")
+    for _ in range(iterations):
+        msgs = eds.map_batches(
+            nonempty_batches(_edge_msgs), batch_format="pyarrow").union(
+            ranks.map_batches(nonempty_batches(_rank_msgs),
+                              batch_format="pyarrow"))
+        contribs = bucketed_sorted_apply(
+            msgs, ["key"], [("key", "ascending"), ("tag", "ascending")],
+            _contrib, num_partitions=num_partitions,
+            max_key_rows=max_key_rows)
+        sums = grouped_agg(contribs.union(zeros), ["node"],
+                           {"s": ("sum", "s")},
+                           num_partitions=num_partitions)
+
+        def _finalize(b: pa.Table) -> pa.Table:
+            s = b.column("s").to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            pr = tele + (d_num * s) // d_den
+            return pa.Table.from_pydict({
+                "node": b.column("node"), "pr": pa.array(pr, pa.int64())})
+
+        ranks = sums.map_batches(
+            nonempty_batches(_finalize),
+            batch_format="pyarrow").materialize()
+
+    def _out(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({node_col: b.column("node"),
+                                     rank_col: b.column("pr")})
+
+    return ranks.map_batches(nonempty_batches(_out),
+                             batch_format="pyarrow")

@@ -146,9 +146,38 @@ class TestPagerank:
         n = len({u for e in self.EDGES for u in e})
         assert {r["rank"] for r in out} == {10**12 // n}
 
-    def test_max_nodes_fail_loud(self, ray_session):
+    def test_max_nodes_fail_loud_broadcast(self, ray_session):
         with pytest.raises(ValueError, match="max_nodes"):
-            pagerank(_edges_ds(self.EDGES), max_nodes=3)
+            pagerank(_edges_ds(self.EDGES), max_nodes=3, plan="broadcast")
+
+    def test_copartition_matches_broadcast(self, ray_session):
+        ref = _pagerank_ref(self.EDGES, 4, 10**12, 85, 100)
+        out = pagerank(_edges_ds(self.EDGES, 4), iterations=4,
+                       plan="copartition").take_all()
+        assert {r["node"]: r["rank"] for r in out} == ref
+
+    def test_auto_escalates_to_copartition(self, ray_session):
+        # max_nodes below the node count: auto must fall through to the
+        # dataset-rank plan and still produce the identical result
+        ref = _pagerank_ref(self.EDGES, 3, 10**12, 85, 100)
+        out = pagerank(_edges_ds(self.EDGES), iterations=3,
+                       max_nodes=3).take_all()
+        assert {r["node"]: r["rank"] for r in out} == ref
+
+    def test_copartition_self_loops_and_empty(self, ray_session):
+        with_loops = self.EDGES + [("a", "a")]
+        out = pagerank(_edges_ds(with_loops), iterations=2,
+                       plan="copartition").take_all()
+        ref = _pagerank_ref(self.EDGES, 2, 10**12, 85, 100)
+        assert {r["node"]: r["rank"] for r in out} == ref
+        assert pagerank(_edges_ds([], parts=0),
+                        plan="copartition").take_all() == []
+
+    def test_copartition_max_key_rows_fail_loud(self, ray_session):
+        fan = [("hot", f"t{i}") for i in range(50)]
+        with pytest.raises(ValueError, match="max_key_rows"):
+            pagerank(_edges_ds(fan), iterations=1, plan="copartition",
+                     max_key_rows=10).take_all()
 
     def test_star_center_dominates(self, ray_session):
         # hub's whole rank flows to leaf0 each round (outdeg 1), so hub

@@ -6,7 +6,8 @@ numpy replay of the integer fixed-point contract (exactness is the
 point of the integer design: any partitioning must reproduce the
 replay to the last unit).
 
-Usage: python tools/validate_pagerank.py [n_edges] [n_hosts]
+Usage: python tools/validate_pagerank.py [n_edges] [n_hosts] [plan]
+``plan`` in {broadcast, copartition, auto} (default broadcast).
 Prints one JSON line: edge count, node count, wall seconds for the
 5-iteration run, edges*iters/s, and exact-match flag.
 """
@@ -23,6 +24,7 @@ sys.path.insert(0, ".")
 
 E = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 H = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+PLAN = sys.argv[3] if len(sys.argv) > 3 else "broadcast"
 ITERS = 5
 SCALE = 10**12
 
@@ -65,7 +67,7 @@ edges = grouped_agg(edges_raw, ["src", "dst"], {"c": ("count", "src")})
 
 t0 = time.time()
 out = pagerank(edges, src_col="src", dst_col="dst", iterations=ITERS,
-               scale=SCALE, max_nodes=2 * H).take_all()
+               scale=SCALE, max_nodes=2 * H, plan=PLAN).take_all()
 wall = time.time() - t0
 got = {r["node"]: r["rank"] for r in out}
 
@@ -95,6 +97,7 @@ ref = {f"s{nodes[k]}": int(r[k]) for k in range(n)}
 
 exact = got == ref
 print(json.dumps({
+    "plan": PLAN,
     "n_edges_raw": E, "n_edges_distinct": int(len(uk)),
     "n_nodes": n, "iterations": ITERS,
     "wall_s": round(wall, 2),
