@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "docs_train_split",
     "docs_pii_redact",
     "events_ndv_sketch",
+    # late r05: link-graph family — synthetic-edge PageRank at sf-size
+    # (5 integer iterations over the documents-derived graph)
+    "docs_pagerank",
 ]
 
 

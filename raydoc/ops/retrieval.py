@@ -157,3 +157,203 @@ def hybrid_retrieve(
 
     return group_rank(cands, "query_id", "score", out_col="rank",
                       descending=True, tiebreak="doc_id", k=top_n)
+
+
+def bm25_topk(
+    ds,
+    queries: list[str],
+    top_n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: tuple[int, int] = (12, 10),
+    b: tuple[int, int] = (3, 4),
+    avgdl_bits: int = 10,
+    idf_bits: int = 16,
+    num_partitions: int | None = None,
+):
+    """Corpus-scale BM25 top-k in INTEGER fixed-point — an engine
+    addition past the reference's external-service retrieval
+    (retrieval.py:100-112): the classic sparse ranking a web corpus
+    needs without an external search service.
+
+    Contract (mirrored exactly by the generated SQL oracle,
+    queries.docs_bm25_topk):
+
+    - tokens = ``\\s+``-split of trim(lower(text)) — byte-identical to
+      the (hash-green) keyword/langid tokenization;
+    - N = doc count, L = total token count, dl = per-doc token count,
+      tf = per-doc count of each DISTINCT query term — all exact ints;
+    - AVGDL_FP = (L << avgdl_bits) // N  (the contract's avgdl IS this
+      quantized value, so both engines use the identical integer);
+    - IDF_FP(t) = floor(ln(1 + (N - df + .5)/(df + .5)) * 2**idf_bits)
+      — the ONLY float step, applied to identical rationals on both
+      engines; a floor-boundary flip needs ln to land within ~1e-9 of
+      a 2**-idf_bits grid point (per-term probability ~1e-9);
+    - per-term contribution, with k1 = k1n/k1d and b = bn/bd exact
+      rationals (defaults 1.2, 0.75):
+
+        (IDF_FP * (k1n+k1d) * tf * AVGDL_FP)
+          // (k1d*tf*AVGDL_FP + k1n*(bd-bn)//? ...)   [see code: the
+        single floor-div keeps every intermediate an int64]
+
+    - score_fp(query, doc) = SUM of contributions over the query's
+      distinct terms — integer, hence ORDER-INDEPENDENT and tie-safe
+      (identical-stat docs get identical ints; ties break on doc_id),
+      which is what lets the oracle hash-check the SCORES, not just
+      ranks.
+
+    Physical plan: ONE tokenize pass over the text emits a slim stats
+    table (id, dl, tf-list over the |T| distinct query terms — never a
+    full inverted index; only query terms leave the batch),
+    materialized (~(T+2)*8 B/doc). Corpus stats (N, L, df) reduce to
+    one small row per block, combined on the driver; scoring re-reads
+    only the slim table; per-query ranks finalize through the
+    coarse-bucket group_rank kernel. No shuffle touches text.
+
+    Overflow bound (documented, not checked per row): needs
+    (k1n+k1d) * IDF_FP * tf * AVGDL_FP < 2**63 — with defaults,
+    tf * avgdl < ~2.3e11 * 2**-avgdl_bits (e.g. tf<=2e5 at avgdl 1e3).
+    """
+    import math
+
+    import ray
+    import pyarrow.compute as pc
+
+    k1n, k1d = k1
+    bn, bd = b
+    if not (k1n > 0 and k1d > 0 and 0 <= bn <= bd and bd > 0):
+        raise ValueError(f"bm25_topk: bad k1/b rationals {k1}/{b}")
+    qterms = [sorted({w for w in q.lower().split() if w})
+              for q in queries]
+    terms = sorted({t for ts in qterms for t in ts})
+    if not terms:
+        raise ValueError("bm25_topk: queries contain no terms")
+    tpos = {t: i for i, t in enumerate(terms)}
+    T = len(terms)
+    term_arr = pa.array(terms, pa.string())
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(text_col), pa.string())
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(s)), r"\s+")
+        dl = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        code = pc.index_in(flat, value_set=term_arr)
+        hit = pc.is_valid(code).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        tf = np.zeros((n, T), dtype=np.int64)
+        if hit.any():
+            codes = code.to_numpy(zero_copy_only=False)[hit].astype(
+                np.int64)
+            np.add.at(tf, (parent[hit], codes), 1)
+        flatv = pa.array(tf.ravel(), pa.int64())
+        offs = pa.array(np.arange(0, (n + 1) * T, T, dtype=np.int64)
+                        .astype(np.int32))
+        return pa.Table.from_pydict({
+            "id": batch.column(id_col),
+            "dl": pa.array(dl, pa.int64()),
+            "tf": pa.ListArray.from_arrays(offs, flatv)})
+
+    slim = ds.map_batches(_stats, batch_format="pyarrow").materialize()
+
+    def _reduce(b: pa.Table) -> pa.Table:
+        from raydoc.util import embedding_matrix
+
+        tf = embedding_matrix(b.column("tf"), dtype=np.int64)
+        dl = b.column("dl").to_numpy(zero_copy_only=False)
+        dfv = (tf > 0).sum(axis=0).astype(np.int64)
+        row = {"n": pa.array([b.num_rows], pa.int64()),
+               "l": pa.array([int(dl.sum())], pa.int64()),
+               "df": pa.ListArray.from_arrays(
+                   pa.array([0, T], pa.int32()),
+                   pa.array(dfv, pa.int64()))}
+        return pa.Table.from_pydict(row)
+
+    parts = pa.concat_tables(
+        [t for t in ray.get(
+            slim.map_batches(_reduce, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows],
+        promote_options="permissive")
+    N = int(pc.sum(parts.column("n")).as_py() or 0)
+    if N == 0:
+        return ray.data.from_arrow(pa.Table.from_pydict({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "score_fp": pa.array([], pa.int64())}))
+    L = int(pc.sum(parts.column("l")).as_py())
+    from raydoc.util import embedding_matrix
+
+    df = embedding_matrix(parts.column("df"), dtype=np.int64).sum(axis=0)
+    avgdl_fp = (L << avgdl_bits) // N
+    idf_fp = np.array(
+        [math.floor(math.log(1.0 + (N - int(d) + 0.5) / (int(d) + 0.5))
+                    * (1 << idf_bits)) if d > 0 else 0 for d in df],
+        dtype=np.int64)
+    qmask = np.zeros((len(queries), T), dtype=bool)
+    for qi, ts in enumerate(qterms):
+        for t in ts:
+            qmask[qi, tpos[t]] = True
+    shared = ray.put((idf_fp, qmask))
+
+    c_num = k1n + k1d            # (k1 + 1) scaled by k1d
+    # denominator (exact, x k1d*bd): k1d*bd*tf*AVGDL
+    #   + k1n*(bd-bn)*AVGDL + k1n*bn*(dl << avgdl_bits)
+    d_tf = k1d * bd
+    d_const = k1n * (bd - bn)
+    d_dl = k1n * bn << avgdl_bits
+
+    def _score(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        idf, qm = _r.get(shared) if isinstance(
+            shared, _r.ObjectRef) else shared
+        tf = embedding_matrix(b.column("tf"), dtype=np.int64)
+        cand = (tf > 0).any(axis=1)
+        if not cand.any():
+            return pa.Table.from_pydict({
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], b.column("id").type),
+                "score_fp": pa.array([], pa.int64())})
+        tf = tf[cand]
+        dl = b.column("dl").to_numpy(zero_copy_only=False)[cand]
+        ids = b.column("id").filter(pa.array(cand))
+        # per-(doc, term) integer contribution; bd-scaled denominator
+        num = (idf * (c_num * bd)) * tf * avgdl_fp
+        den = d_tf * tf * avgdl_fp + d_const * avgdl_fp \
+            + (d_dl * dl)[:, None]
+        contrib = num // den
+        out = {"query_id": [], "ids": [], "s": []}
+        id_np = np.arange(len(dl))
+        for qi in range(qm.shape[0]):
+            s = contrib[:, qm[qi]].sum(axis=1)
+            m = s > 0
+            if not m.any():
+                continue
+            out["query_id"].append(np.full(int(m.sum()), qi,
+                                           dtype=np.int64))
+            out["ids"].append(id_np[m])
+            out["s"].append(s[m])
+        if not out["s"]:
+            return pa.Table.from_pydict({
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], b.column("id").type),
+                "score_fp": pa.array([], pa.int64())})
+        take = pa.array(np.concatenate(out["ids"]), pa.int64())
+        return pa.Table.from_pydict({
+            "query_id": pa.array(np.concatenate(out["query_id"]),
+                                 pa.int64()),
+            id_col: ids.take(take),
+            "score_fp": pa.array(np.concatenate(out["s"]), pa.int64())})
+
+    from raydoc.ops.relational import nonempty_batches
+    from raydoc.ops.window import group_rank
+
+    cands = slim.map_batches(nonempty_batches(_score),
+                             batch_format="pyarrow")
+    return group_rank(cands, "query_id", "score_fp", out_col="rank",
+                      descending=True, tiebreak=id_col, k=top_n,
+                      num_partitions=num_partitions)

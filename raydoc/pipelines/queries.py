@@ -2417,6 +2417,92 @@ def hostgraph_anchors(sf_dir: str):
         batch_format="pyarrow")
 
 
+# BM25 constants shared by the Ray query and the generated oracle
+# (k1 = 12/10, b = 3/4 as exact rationals; avgdl_bits/idf_bits per
+# ops/retrieval.bm25_topk's fixed-point contract)
+_BM25_QUERIES = ["fast hash join merge",
+                 "window sort order scan",
+                 "dup vector stream batch query"]
+_BM25_K = 10
+_BM25_RAT = (12, 10, 3, 4)
+_BM25_BITS = (10, 16)
+
+
+def _bm25_sql() -> str:
+    k1n, k1d, bn, bd = _BM25_RAT
+    avgdl_bits, idf_bits = _BM25_BITS
+    cn = (k1n + k1d) * bd
+    dt = k1d * bd
+    dc = k1n * (bd - bn)
+    dd = (k1n * bn) << avgdl_bits
+    qterms = [sorted({w for w in q.lower().split() if w})
+              for q in _BM25_QUERIES]
+    allterms = sorted({t for ts in qterms for t in ts})
+    inlist = ", ".join(f"'{t}'" for t in allterms)
+    legs = []
+    for qi, ts in enumerate(qterms):
+        tl = ", ".join(f"'{t}'" for t in ts)
+        legs.append(f"""sq{qi} AS (
+  SELECT c.doc_id, SUM(c.c) AS score_fp
+  FROM contrib c WHERE c.w IN ({tl})
+  GROUP BY c.doc_id HAVING SUM(c.c) > 0),
+tq{qi} AS (
+  SELECT CAST({qi} AS BIGINT) AS query_id,
+         CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id)
+              AS BIGINT) AS rank, doc_id,
+         CAST(score_fp AS BIGINT) AS score_fp
+  FROM sq{qi} QUALIFY rank <= {_BM25_K})""")
+    body = ",\n".join(legs)
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM tq{qi}" for qi in range(len(qterms)))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*) AS n, sum(dl) AS l FROM dl),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+       WHERE w IN ({inlist}) GROUP BY doc_id, w),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+av AS (SELECT (l * {1 << avgdl_bits}) // n AS avgdl_fp FROM st),
+idf AS (SELECT w, CAST(floor(ln(1 + (st.n - df.df + 0.5)
+                                    / (df.df + 0.5))
+                             * {1 << idf_bits}) AS BIGINT) AS idf_fp
+        FROM df CROSS JOIN st),
+contrib AS (
+  SELECT t.doc_id, t.w,
+         (i.idf_fp * {cn} * t.tf * a.avgdl_fp)
+           // ({dt} * t.tf * a.avgdl_fp + {dc} * a.avgdl_fp
+               + {dd} * d.dl) AS c
+  FROM tf t JOIN idf i USING (w) JOIN dl d USING (doc_id)
+       CROSS JOIN av a),
+{body}
+{union}
+"""
+
+
+DOCS_BM25_SQL = _bm25_sql()
+
+
+def docs_bm25_topk(sf_dir: str):
+    """Corpus-scale BM25 top-k (ops/retrieval.bm25_topk) — sparse
+    ranking over the documents table for three fixed queries, WITHOUT
+    an external search service. The integer fixed-point contract
+    (quantized avgdl, fixed-point idf, exact rational k1/b — module
+    docstring) makes scores order-independent ints, so the generated
+    DuckDB oracle hash-checks ranks AND scores. Only the query terms'
+    tf ever leaves a batch — no inverted index, no text shuffle."""
+    from raydoc.ops.retrieval import bm25_topk
+
+    k1n, k1d, bn, bd = _BM25_RAT
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_topk(ds, _BM25_QUERIES, top_n=_BM25_K,
+                    k1=(k1n, k1d), b=(bn, bd),
+                    avgdl_bits=_BM25_BITS[0], idf_bits=_BM25_BITS[1])
+    return out.select_columns(["query_id", "rank", "doc_id", "score_fp"])
+
+
 def docs_segment_dedup(sf_dir: str):
     """Duplicated-span removal (the C4/RefinedWeb line-dedup shape):
     non-overlapping word-8 segments occurring in >1 DISTINCT doc are
@@ -4034,7 +4120,6 @@ QUERIES = {
     # so the driver verifies them this round
     "docs_corpus_report": docs_corpus_report,
     "multimodal_image_decode": multimodal_image_decode,
-    "multimodal_video_frames": multimodal_video_frames,
     # new in r05: distributed k-means + SemDeDup semantic dedup —
     # in-window so the driver verifies them this round (they displace
     # embeddings_knn / embeddings_ann_join, both r04 driver-green, so
@@ -4052,7 +4137,11 @@ QUERIES = {
     "docs_pagerank": docs_pagerank,
     "hostgraph_pagerank": hostgraph_pagerank,
     "hostgraph_anchors": hostgraph_anchors,
+    "docs_bm25_topk": docs_bm25_topk,
     # ---- driver recording window (~50 entries) ends here ----
+    # (multimodal_video_frames shares its actor-pool plumbing with the
+    # in-window multimodal_image_decode; displaced by docs_bm25_topk)
+    "multimodal_video_frames": multimodal_video_frames,
     # (docs_curation r04 driver-green; displaced by hostgraph_anchors)
     "docs_curation": docs_curation,
     "canvas_customer_service": canvas_customer_service,
@@ -4193,6 +4282,9 @@ ORACLES = {
     "docs_pagerank": DOCS_PAGERANK_SQL,
     "hostgraph_pagerank": HOSTGRAPH_PAGERANK_SQL,
     "hostgraph_anchors": HOSTGRAPH_ANCHORS_SQL,
+    # algorithmic oracle: integer fixed-point BM25 replayed
+    # (scores AND ranks hash-checked)
+    "docs_bm25_topk": DOCS_BM25_SQL,
     "docs_segment_dedup": DOCS_SEGMENT_DEDUP_SQL,
     "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_train_split": DOCS_TRAIN_SPLIT_SQL,

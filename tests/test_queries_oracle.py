@@ -49,6 +49,7 @@ NEW_QUERIES = [
     "docs_pagerank",
     "hostgraph_pagerank",
     "hostgraph_anchors",
+    "docs_bm25_topk",
 ]
 
 
