@@ -13,6 +13,8 @@ Modules:
                 SemDeDup-style semantic dedup over the k-means cells
   linkgraph   - href extraction off binary html, weighted host-graph
                 edges, integer fixed-point PageRank (late r05)
+  lm          - corpus-fit bigram-LM perplexity scoring (CCNet-style
+                quality signal, integer fixed-point; late r05)
   window      - event-time tumbling windows, sessionization, as-of join,
                 LLM sequence packing
   template    - per-row template rendering (template.py:70-139)

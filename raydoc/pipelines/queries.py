@@ -2503,6 +2503,52 @@ def docs_bm25_topk(sf_dir: str):
     return out.select_columns(["query_id", "rank", "doc_id", "score_fp"])
 
 
+_LM_FRAC_BITS = 16
+
+
+def docs_lm_perplexity(sf_dir: str):
+    """CCNet-style LM quality signal (ops/lm.py): fit a bigram LM on
+    the corpus itself (two partial-agg count shuffles), score every
+    doc's negative log-likelihood under it in integer fixed point
+    (add-one smoothing, ln of exact rationals floored to 2^-16 steps,
+    int64 sums) — order-independent, so the generated DuckDB oracle
+    replays it bit-exactly: counts as SQL groupbys, the identical
+    ln((c+1.0)/(cu+V)) double, floor, integer sum per doc."""
+    from raydoc.ops.lm import lm_perplexity
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = lm_perplexity(ds, frac_bits=_LM_FRAC_BITS)
+    return out.select_columns(["doc_id", "n_bigrams", "nll_fp"])
+
+
+DOCS_LM_PERPLEXITY_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w,
+         generate_subscripts(
+             regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS ord
+  FROM documents),
+uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+v AS (SELECT count(*) AS v FROM uni),
+big AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+  FROM tok QUALIFY w2 IS NOT NULL),
+bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+cost AS (
+  SELECT b.doc_id,
+         CAST(-floor(ln((bc.c + 1.0) / (u.cu + v.v))
+                     * {1 << _LM_FRAC_BITS}) AS BIGINT) AS cst
+  FROM big b JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+       JOIN uni u ON u.w = b.w1 CROSS JOIN v)
+SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(c.s, 0) AS BIGINT) AS nll_fp
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*) AS n, SUM(cst) AS s
+  FROM cost GROUP BY doc_id) c USING (doc_id)
+"""
+
+
 def docs_segment_dedup(sf_dir: str):
     """Duplicated-span removal (the C4/RefinedWeb line-dedup shape):
     non-overlapping word-8 segments occurring in >1 DISTINCT doc are
@@ -4109,7 +4155,6 @@ QUERIES = {
     "events_ndv_sketch": events_ndv_sketch,
     "events_quantile_sketch": events_quantile_sketch,
     "events_lag_delta": events_lag_delta,
-    "events_rolling_mean": events_rolling_mean,
     # ---- window refill: r04-green anchors for the headline families
     # (curation, dedup, ANN, canvas, relational, retrieval) ----
     # new in r05: persisted-band-index incremental dedup — in-window so
@@ -4138,7 +4183,10 @@ QUERIES = {
     "hostgraph_pagerank": hostgraph_pagerank,
     "hostgraph_anchors": hostgraph_anchors,
     "docs_bm25_topk": docs_bm25_topk,
+    "docs_lm_perplexity": docs_lm_perplexity,
     # ---- driver recording window (~50 entries) ends here ----
+    # (events_rolling_mean r03 driver-green; displaced by the LM query)
+    "events_rolling_mean": events_rolling_mean,
     # (multimodal_video_frames shares its actor-pool plumbing with the
     # in-window multimodal_image_decode; displaced by docs_bm25_topk)
     "multimodal_video_frames": multimodal_video_frames,
@@ -4285,6 +4333,9 @@ ORACLES = {
     # algorithmic oracle: integer fixed-point BM25 replayed
     # (scores AND ranks hash-checked)
     "docs_bm25_topk": DOCS_BM25_SQL,
+    # algorithmic oracle: the corpus-fit bigram LM replayed
+    # (counts, smoothing, fixed-point ln, integer doc sums)
+    "docs_lm_perplexity": DOCS_LM_PERPLEXITY_SQL,
     "docs_segment_dedup": DOCS_SEGMENT_DEDUP_SQL,
     "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_train_split": DOCS_TRAIN_SPLIT_SQL,

@@ -50,6 +50,7 @@ NEW_QUERIES = [
     "hostgraph_pagerank",
     "hostgraph_anchors",
     "docs_bm25_topk",
+    "docs_lm_perplexity",
 ]
 
 
