@@ -466,7 +466,18 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
                    dst_col=p.get("dst_col", "dst_host"),
                    iterations=p.get("iterations", 5),
                    scale=p.get("scale", 10**12),
-                   max_nodes=p.get("max_nodes", 4_000_000))),
+                   max_nodes=p.get("max_nodes", 4_000_000),
+                   plan=p.get("plan", "auto"))),
+    # late r05: CCNet-style corpus-fit LM perplexity (ops/lm.py)
+    "lm_perplexity": (
+        lambda p: None,
+        lambda ds, p: __import__(
+            "raydoc.ops.lm", fromlist=["lm_perplexity"]
+        ).lm_perplexity(ds, text_col=p.get("text_col", "text"),
+                        id_col=p.get("id_col", "doc_id"),
+                        frac_bits=p.get("frac_bits", 16),
+                        max_model_rows=p.get("max_model_rows",
+                                             50_000_000))),
 }
 
 _VALID_PREDICATE_OPS = None

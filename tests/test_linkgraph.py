@@ -266,13 +266,17 @@ class TestSpecOps:
         assert "rank" in out.columns and len(out) > 1
         assert not out["node"].str.startswith("site00.").any()
 
-    def test_spec_blocklist_requires_blocked(self, ray_session):
+    def test_spec_blocklist_requires_blocked(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
         from raydoc.pipelines.spec import SpecError, run_spec
 
-        spec = {"source": {"op": "from_items", "items": [{"url": "x"}]},
+        src = str(tmp_path / "u.parquet")
+        pq.write_table(pa.table({"url": ["https://a.com/x"]}), src)
+        spec = {"source": {"op": "read_parquet", "path": src},
                 "stages": [{"op": "blocklist_filter"}],
                 "sink": {"op": "collect"}}
-        with pytest.raises((SpecError, KeyError, ValueError)):
+        with pytest.raises(SpecError, match="blocked"):
             run_spec(spec)
 
 

@@ -84,3 +84,21 @@ class TestLMPerplexity:
     def test_model_cap_fail_loud(self, ray_session):
         with pytest.raises(ValueError, match="max_model_rows"):
             fit_bigram_lm(_ds(), max_model_rows=3)
+
+    def test_spec_op(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from raydoc.pipelines.spec import run_spec
+
+        src = str(tmp_path / "docs.parquet")
+        pq.write_table(pa.table({
+            "doc_id": [d for d, _ in DOCS],
+            "text": [t for _, t in DOCS]}), src)
+        out = run_spec({
+            "source": {"op": "read_parquet", "path": src},
+            "stages": [{"op": "lm_perplexity"}],
+            "sink": {"op": "collect"}}).to_pandas()
+        ref = _ref()
+        got = {int(r.doc_id): (int(r.n_bigrams), int(r.nll_fp))
+               for r in out.itertuples()}
+        assert got == ref
