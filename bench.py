@@ -47,8 +47,10 @@ BENCH_QUERIES = [
     "docs_pii_redact",
     "events_ndv_sketch",
     # late r05: link-graph family — synthetic-edge PageRank at sf-size
-    # (5 integer iterations over the documents-derived graph)
+    # (5 integer iterations over the documents-derived graph) — and the
+    # corpus-fit bigram-LM perplexity score over the documents table
     "docs_pagerank",
+    "docs_lm_perplexity",
 ]
 
 

@@ -230,7 +230,8 @@ def pagerank(edges, src_col: str = "src_host", dst_col: str = "dst_host",
              max_nodes: int = 4_000_000,
              node_col: str = "node", rank_col: str = "rank",
              num_partitions: int | None = None,
-             plan: str = "auto", max_key_rows: int | None = None):
+             plan: str = "auto", max_key_rows: int | None = None,
+             weight_col: str | None = None):
     """Integer fixed-point PageRank over a DISTINCT-edge Dataset
     (``src_col``, ``dst_col``) -> Dataset ``(node, rank)`` with rank an
     int64 multiple of 1/``scale``. See module docstring for the exact
@@ -252,7 +253,15 @@ def pagerank(edges, src_col: str = "src_host", dst_col: str = "dst_host",
     produce bit-identical output (integer arithmetic; equality
     pytest-pinned). ``max_key_rows`` guards the copartition plan's
     one-key-run-fits-a-worker assumption (a single host with >cap
-    out-edges raises, naming the key)."""
+    out-edges raises, naming the key).
+
+    ``weight_col``: WEIGHTED PageRank — each edge carries a positive
+    int64 weight (``host_edges``'s n_links is the natural one) and a
+    node's rank splits proportionally: contribution = (rank * w) //
+    out_weight(src). Still exact integers, still order-independent;
+    with all weights 1 the result is bit-identical to the unweighted
+    form. Overflow bound: rank * w < 2**63, i.e. w < 9.2e6 at the
+    default scale."""
     import ray
 
     from raydoc.ops.relational import grouped_agg, nonempty_batches
@@ -267,7 +276,8 @@ def pagerank(edges, src_col: str = "src_host", dst_col: str = "dst_host",
     if plan == "copartition":
         return _pagerank_copartition(
             edges, src_col, dst_col, iterations, scale, d_num, d_den,
-            num_partitions, node_col, rank_col, max_key_rows)
+            num_partitions, node_col, rank_col, max_key_rows,
+            weight_col)
 
     nd = _node_union(edges, src_col, dst_col, num_partitions)
     rows = nd.limit(max_nodes + 1).take_all()
@@ -275,7 +285,8 @@ def pagerank(edges, src_col: str = "src_host", dst_col: str = "dst_host",
         if plan == "auto":
             return _pagerank_copartition(
                 edges, src_col, dst_col, iterations, scale, d_num,
-                d_den, num_partitions, node_col, rank_col, max_key_rows)
+                d_den, num_partitions, node_col, rank_col, max_key_rows,
+                weight_col)
         raise ValueError(
             f"pagerank: node count exceeds max_nodes={max_nodes}; "
             "use plan='copartition' (ranks stay a Dataset) or raise "
@@ -306,17 +317,26 @@ def pagerank(edges, src_col: str = "src_host", dst_col: str = "dst_host",
                          value_set=nv).to_numpy(
             zero_copy_only=False).astype(np.int64)
         keep = si != ti
-        return pa.Table.from_pydict({
-            "si": pa.array(si[keep], pa.int64()),
-            "ti": pa.array(ti[keep], pa.int64())})
+        cols = {"si": pa.array(si[keep], pa.int64()),
+                "ti": pa.array(ti[keep], pa.int64())}
+        if weight_col is not None:
+            w = b.column(weight_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)[keep]
+            if len(w) and w.min() <= 0:
+                raise ValueError(
+                    "pagerank: weights must be positive ints")
+            cols["w"] = pa.array(w, pa.int64())
+        return pa.Table.from_pydict(cols)
 
     eidx = edges.map_batches(nonempty_batches(_stamp),
                              batch_format="pyarrow").materialize()
 
-    # ---- outdeg (dense, driver-side: O(nodes)) ----
+    # ---- out-degree / out-weight (dense, driver-side: O(nodes)) ----
     def _out_partial(b: pa.Table) -> pa.Table:
-        return _partial_idx_sums(
-            b, "si", np.ones(b.num_rows, dtype=np.int64))
+        w = (b.column("w").to_numpy(zero_copy_only=False)
+             if weight_col is not None
+             else np.ones(b.num_rows, dtype=np.int64))
+        return _partial_idx_sums(b, "si", w)
 
     outdeg = np.zeros(n, dtype=np.int64)
     od = grouped_agg(
@@ -331,16 +351,27 @@ def pagerank(edges, src_col: str = "src_host", dst_col: str = "dst_host",
     ranks = np.full(n, base, dtype=np.int64)
     nz = outdeg > 0
     for _ in range(iterations):
-        contrib = np.zeros(n, dtype=np.int64)
-        np.floor_divide(ranks, outdeg, out=contrib, where=nz)
-        cref = ray.put(contrib)
+        if weight_col is None:
+            # unweighted: per-SRC contribution precomputes driver-side
+            contrib = np.zeros(n, dtype=np.int64)
+            np.floor_divide(ranks, outdeg, out=contrib, where=nz)
+            cref = ray.put((contrib, None))
+        else:
+            # weighted: contribution is per EDGE ((rank*w)//outw), so
+            # broadcast the rank and out-weight vectors instead
+            cref = ray.put((ranks, outdeg))
 
         def _in_partial(b: pa.Table, _ref=cref) -> pa.Table:
             import ray as _r
 
-            cv = _r.get(_ref)
+            cv, ow = _r.get(_ref)
             si = b.column("si").to_numpy(zero_copy_only=False)
-            return _partial_idx_sums(b, "ti", cv[si])
+            if ow is None:
+                vals = cv[si]
+            else:
+                w = b.column("w").to_numpy(zero_copy_only=False)
+                vals = (cv[si] * w) // ow[si]
+            return _partial_idx_sums(b, "ti", vals)
 
         insum = np.zeros(n, dtype=np.int64)
         agg = grouped_agg(
@@ -358,7 +389,7 @@ def pagerank(edges, src_col: str = "src_host", dst_col: str = "dst_host",
 
 def _pagerank_copartition(edges, src_col, dst_col, iterations, scale,
                           d_num, d_den, num_partitions, node_col,
-                          rank_col, max_key_rows):
+                          rank_col, max_key_rows, weight_col=None):
     """PageRank with the rank vector as a DATASET — the beyond-broadcast
     plan for graphs whose node set does not fit a worker (10^9-host
     crawls). Per iteration:
@@ -399,7 +430,17 @@ def _pagerank_copartition(edges, src_col, dst_col, iterations, scale,
     def _clean(b: pa.Table) -> pa.Table:
         s = b.column(src_col).combine_chunks().cast(pa.string())
         d = b.column(dst_col).combine_chunks().cast(pa.string())
-        t = pa.Table.from_pydict({"key": s, "dst": d})
+        if weight_col is not None:
+            w = b.column(weight_col).cast(pa.int64())
+            wn = w.to_numpy(zero_copy_only=False)
+            if len(wn) and wn.min() <= 0:
+                raise ValueError(
+                    "pagerank: weights must be positive ints")
+        else:
+            # unit weights: the weighted kernel then reproduces the
+            # unweighted arithmetic bit-for-bit (pr*1 // outdeg)
+            w = pa.array(np.ones(b.num_rows, dtype=np.int64))
+        t = pa.Table.from_pydict({"key": s, "dst": d, "w": w})
         return t.filter(pc.invert(pc.equal(t.column("key"),
                                            t.column("dst"))))
 
@@ -410,14 +451,14 @@ def _pagerank_copartition(edges, src_col, dst_col, iterations, scale,
         nr = b.num_rows
         return pa.Table.from_pydict({
             "key": b.column("key"), "dst": b.column("dst"),
-            "pr": pa.nulls(nr, pa.int64()),
+            "pr": pa.nulls(nr, pa.int64()), "w": b.column("w"),
             "tag": pa.array(np.ones(nr, dtype=np.int64))})
 
     def _rank_msgs(b: pa.Table) -> pa.Table:
         nr = b.num_rows
         return pa.Table.from_pydict({
             "key": b.column("node"), "dst": pa.nulls(nr, pa.string()),
-            "pr": b.column("pr"),
+            "pr": b.column("pr"), "w": pa.nulls(nr, pa.int64()),
             "tag": pa.array(np.zeros(nr, dtype=np.int64))})
 
     def _contrib(t: pa.Table, starts: np.ndarray,
@@ -429,17 +470,20 @@ def _pagerank_copartition(edges, src_col, dst_col, iterations, scale,
         tags = t.column("tag").to_numpy(zero_copy_only=False)
         prs = pc.fill_null(t.column("pr"), 0).to_numpy(
             zero_copy_only=False).astype(np.int64)
+        ws = pc.fill_null(t.column("w"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         seg = segment_ids(starts, counts)
         is_rank = tags == 0
-        n_rank = np.add.reduceat(is_rank.astype(np.int64), starts)
-        outdeg = counts - n_rank
+        # rank rows carry w=0, so the segmented w-sum IS the run's
+        # out-weight (== outdeg when all weights are 1)
+        outw = np.add.reduceat(ws, starts)
         # tag-ascending sort puts the rank row first in its run; a run
         # with no rank row cannot occur (every edge endpoint is a
         # node), but guard it out rather than divide by garbage
         pr_run = prs[starts]
-        valid = is_rank[starts] & (outdeg > 0)
+        valid = is_rank[starts] & (outw > 0)
         mask = (~is_rank) & valid[seg]
-        contrib = pr_run[seg][mask] // outdeg[seg][mask]
+        contrib = (pr_run[seg][mask] * ws[mask]) // outw[seg][mask]
         return pa.Table.from_pydict({
             "node": t.column("dst").filter(pa.array(mask)),
             "s": pa.array(contrib, pa.int64())})

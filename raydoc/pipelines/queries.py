@@ -2113,21 +2113,33 @@ _PR_MULT = 2654435761  # Knuth multiplicative hash constant
 
 
 def _pagerank_sql(edges_sql: str, iterations: int, scale: int,
-                  d_num: int, d_den: int) -> str:
+                  d_num: int, d_den: int,
+                  weighted: bool = False) -> str:
     """Unrolled-iteration DuckDB replay of ops/linkgraph.pagerank's
     integer fixed-point contract — exact because every operation is
     integer (// floor-div, int sums), hence order-independent on both
     engines. Generated from the same constants the Ray query passes,
-    so the two can't drift."""
+    so the two can't drift. ``weighted``: edge multiplicity becomes
+    the weight (e = src,dst,count(*)) and a node's rank splits
+    proportionally ((pr * w) // out_weight) — the weighted contract."""
     its = []
     prev = "r0"
+    if weighted:
+        e_cte = ("SELECT src, dst, count(*) AS w FROM e0 "
+                 "WHERE src <> dst GROUP BY src, dst")
+        deg_cte = "SELECT src, SUM(w) AS outdeg FROM e GROUP BY src"
+        contrib = "(r.pr * e.w) // d.outdeg"
+    else:
+        e_cte = "SELECT DISTINCT src, dst FROM e0 WHERE src <> dst"
+        deg_cte = "SELECT src, count(*) AS outdeg FROM e GROUP BY src"
+        contrib = "r.pr // d.outdeg"
     for k in range(1, iterations + 1):
         its.append(f"""r{k} AS (
   SELECT nd.node,
          (({d_den - d_num}) * ({scale} // c.n)) // {d_den}
          + ({d_num} * COALESCE(s.insum, 0)) // {d_den} AS pr
   FROM nodes nd CROSS JOIN cst c
-  LEFT JOIN (SELECT e.dst AS node, SUM(r.pr // d.outdeg) AS insum
+  LEFT JOIN (SELECT e.dst AS node, SUM({contrib}) AS insum
              FROM e JOIN r{k - 1} r ON r.node = e.src
                     JOIN deg d ON d.src = e.src
              GROUP BY e.dst) s ON s.node = nd.node
@@ -2136,14 +2148,31 @@ def _pagerank_sql(edges_sql: str, iterations: int, scale: int,
     joined = ",\n".join(its)
     return f"""
 WITH e0 AS ({edges_sql}),
-e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+e AS ({e_cte}),
 nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+deg AS ({deg_cte}),
 cst AS (SELECT count(*) AS n FROM nodes),
 r0 AS (SELECT node, {scale} // n AS pr FROM nodes CROSS JOIN cst),
 {joined}
 SELECT node, CAST(pr AS BIGINT) AS pr_rank FROM {prev}
 """
+
+
+def _pr_edges(b: pa.Table) -> pa.Table:
+    """Deterministic documents-derived edge rows (one per doc_id),
+    mirrored expression-for-expression in the oracle SQL."""
+    d = b.column("doc_id")
+    j = pc.binary_join_element_wise
+    src = j(pa.scalar("h"),
+            pc.cast(pc.subtract(d, pc.multiply(
+                pc.divide(d, _PR_SRC_MOD), _PR_SRC_MOD)),
+                pa.string()), pa.scalar(""))
+    m = pc.multiply(d, _PR_MULT)
+    dst = j(pa.scalar("h"),
+            pc.cast(pc.subtract(m, pc.multiply(
+                pc.divide(m, _PR_DST_MOD), _PR_DST_MOD)),
+                pa.string()), pa.scalar(""))
+    return pa.table({"src": src, "dst": dst})
 
 
 def docs_pagerank(sf_dir: str):
@@ -2159,23 +2188,9 @@ def docs_pagerank(sf_dir: str):
     from raydoc.ops.linkgraph import pagerank
     from raydoc.ops.relational import grouped_agg
 
-    def _edges(b: pa.Table) -> pa.Table:
-        d = b.column("doc_id")
-        j = pc.binary_join_element_wise
-        src = j(pa.scalar("h"),
-                pc.cast(pc.subtract(d, pc.multiply(
-                    pc.divide(d, _PR_SRC_MOD), _PR_SRC_MOD)),
-                    pa.string()), pa.scalar(""))
-        m = pc.multiply(d, _PR_MULT)
-        dst = j(pa.scalar("h"),
-                pc.cast(pc.subtract(m, pc.multiply(
-                    pc.divide(m, _PR_DST_MOD), _PR_DST_MOD)),
-                    pa.string()), pa.scalar(""))
-        return pa.table({"src": src, "dst": dst})
-
     edges = grouped_agg(
         _read(sf_dir, "documents", ["doc_id"]).map_batches(
-            _edges, batch_format="pyarrow"),
+            _pr_edges, batch_format="pyarrow"),
         ["src", "dst"], {"c": ("count", "src")})
     return pagerank(edges, src_col="src", dst_col="dst",
                     iterations=_PR_ITERS, scale=_PR_SCALE,
@@ -2188,6 +2203,34 @@ DOCS_PAGERANK_SQL = _pagerank_sql(
          'h' || CAST((doc_id * {_PR_MULT}) % {_PR_DST_MOD} AS VARCHAR) AS dst
   FROM documents""",
     _PR_ITERS, _PR_SCALE, _PR_DAMP[0], _PR_DAMP[1])
+
+
+def docs_pagerank_weighted(sf_dir: str):
+    """WEIGHTED PageRank: the same documents-derived graph, but edge
+    MULTIPLICITY becomes the weight (grouped count c -> weight_col),
+    so a host cited by many pages of another host receives
+    proportionally more of its rank — the form host_edges' n_links
+    feeds at CC scale. Oracle generated with weighted=True from the
+    same constants."""
+    from raydoc.ops.linkgraph import pagerank
+    from raydoc.ops.relational import grouped_agg
+
+    edges = grouped_agg(
+        _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            _pr_edges, batch_format="pyarrow"),
+        ["src", "dst"], {"w": ("count", "src")})
+    return pagerank(edges, src_col="src", dst_col="dst",
+                    iterations=_PR_ITERS, scale=_PR_SCALE,
+                    damping=_PR_DAMP, rank_col="pr_rank",
+                    weight_col="w")
+
+
+DOCS_PAGERANK_WEIGHTED_SQL = _pagerank_sql(
+    f"""
+  SELECT 'h' || CAST(doc_id % {_PR_SRC_MOD} AS VARCHAR) AS src,
+         'h' || CAST((doc_id * {_PR_MULT}) % {_PR_DST_MOD} AS VARCHAR) AS dst
+  FROM documents""",
+    _PR_ITERS, _PR_SCALE, _PR_DAMP[0], _PR_DAMP[1], weighted=True)
 
 
 # golden VALUES oracle for hostgraph_pagerank: computed once over the
@@ -4154,7 +4197,6 @@ QUERIES = {
     "events_value_quantiles": events_value_quantiles,
     "events_ndv_sketch": events_ndv_sketch,
     "events_quantile_sketch": events_quantile_sketch,
-    "events_lag_delta": events_lag_delta,
     # ---- window refill: r04-green anchors for the headline families
     # (curation, dedup, ANN, canvas, relational, retrieval) ----
     # new in r05: persisted-band-index incremental dedup — in-window so
@@ -4180,12 +4222,15 @@ QUERIES = {
     # in-window through docs_curation, which composes it)
     "docs_url_blocklist": docs_url_blocklist,
     "docs_pagerank": docs_pagerank,
+    "docs_pagerank_weighted": docs_pagerank_weighted,
     "hostgraph_pagerank": hostgraph_pagerank,
     "hostgraph_anchors": hostgraph_anchors,
     "docs_bm25_topk": docs_bm25_topk,
     "docs_lm_perplexity": docs_lm_perplexity,
     # ---- driver recording window (~50 entries) ends here ----
-    # (events_rolling_mean r03 driver-green; displaced by the LM query)
+    # (events_rolling_mean / events_lag_delta r03 driver-green;
+    # displaced by the LM and weighted-pagerank queries)
+    "events_lag_delta": events_lag_delta,
     "events_rolling_mean": events_rolling_mean,
     # (multimodal_video_frames shares its actor-pool plumbing with the
     # in-window multimodal_image_decode; displaced by docs_bm25_topk)
@@ -4328,6 +4373,7 @@ ORACLES = {
     # algorithmic oracle: K unrolled integer-fixed-point iterations
     # generated from the same constants as the Ray query
     "docs_pagerank": DOCS_PAGERANK_SQL,
+    "docs_pagerank_weighted": DOCS_PAGERANK_WEIGHTED_SQL,
     "hostgraph_pagerank": HOSTGRAPH_PAGERANK_SQL,
     "hostgraph_anchors": HOSTGRAPH_ANCHORS_SQL,
     # algorithmic oracle: integer fixed-point BM25 replayed

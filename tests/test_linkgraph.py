@@ -313,3 +313,73 @@ class TestShardsBlocklist:
         t = pa.concat_tables([pq.read_table(f, columns=["url"])
                               for f in files])
         assert not any("site1" in u for u in t.column("url").to_pylist())
+
+
+def _pagerank_w_ref(edges, iterations, scale, d_num, d_den):
+    """Weighted-contract replay: edges = [(src, dst, w)]."""
+    nodes = sorted({u for e in edges for u in e[:2]})
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    E = [(idx[s], idx[t], w) for s, t, w in edges if idx[s] != idx[t]]
+    outw = [0] * n
+    for s, _t, w in E:
+        outw[s] += w
+    base = scale // n
+    tele = ((d_den - d_num) * base) // d_den
+    r = [base] * n
+    for _ in range(iterations):
+        ins = [0] * n
+        for s, t, w in E:
+            ins[t] += (r[s] * w) // outw[s]
+        r = [tele + (d_num * ins[v]) // d_den for v in range(n)]
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+class TestWeightedPagerank:
+    WEDGES = [("a", "b", 3), ("a", "e", 1), ("c", "b", 2), ("b", "e", 5),
+              ("e", "a", 1), ("x", "y", 7), ("d", "b", 1)]
+
+    def _ds(self, parts=3):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({
+            "src_host": [e[0] for e in self.WEDGES],
+            "dst_host": [e[1] for e in self.WEDGES],
+            "w": [e[2] for e in self.WEDGES]}))
+        return ds.repartition(parts) if parts else ds
+
+    def test_matches_reference_both_plans(self, ray_session):
+        ref = _pagerank_w_ref(self.WEDGES, 4, 10**12, 85, 100)
+        for plan in ("broadcast", "copartition"):
+            out = pagerank(self._ds(), iterations=4, weight_col="w",
+                           plan=plan).take_all()
+            assert {r["node"]: r["rank"] for r in out} == ref, plan
+
+    def test_unit_weights_equal_unweighted(self, ray_session):
+        import ray.data as rd
+
+        unit = rd.from_arrow(pa.table({
+            "src_host": [e[0] for e in self.WEDGES],
+            "dst_host": [e[1] for e in self.WEDGES],
+            "w": [1] * len(self.WEDGES)}))
+        a = pagerank(unit, iterations=3, weight_col="w").take_all()
+        b = pagerank(unit, iterations=3).take_all()
+        assert sorted((r["node"], r["rank"]) for r in a) == \
+            sorted((r["node"], r["rank"]) for r in b)
+
+    def test_weights_shift_rank(self, ray_session):
+        # b receives 3/4 of a's mass, e only 1/4: with weights, b must
+        # beat the unweighted tie
+        out_w = {r["node"]: r["rank"] for r in pagerank(
+            self._ds(), iterations=5, weight_col="w").take_all()}
+        out_u = {r["node"]: r["rank"] for r in pagerank(
+            self._ds(), iterations=5).take_all()}
+        assert out_w["b"] > out_u["b"]
+
+    def test_nonpositive_weight_fail_loud(self, ray_session):
+        import ray.data as rd
+
+        bad = rd.from_arrow(pa.table({
+            "src_host": ["a"], "dst_host": ["b"], "w": [0]}))
+        with pytest.raises(Exception, match="positive"):
+            pagerank(bad, iterations=1, weight_col="w").take_all()

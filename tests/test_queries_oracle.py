@@ -47,6 +47,7 @@ NEW_QUERIES = [
     # pages->hostgraph->rank golden
     "docs_url_blocklist",
     "docs_pagerank",
+    "docs_pagerank_weighted",
     "hostgraph_pagerank",
     "hostgraph_anchors",
     "docs_bm25_topk",
