@@ -357,3 +357,72 @@ class TestMinhashProperties:
             assert est == 1.0
         # signatures are deterministic uint64 vectors of fixed width
         assert sa.dtype == np.uint64 and len(sa) == 64
+
+
+class TestLinkgraphKernelProperties:
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.binary(max_size=200), min_size=0, max_size=8))
+    def test_extract_links_total_on_arbitrary_bytes(self, pages):
+        """extract_links_batch is a total function of arbitrary html
+        bytes: never throws, emits the fixed schema, every host it
+        emits is lowercase ASCII, and it is deterministic."""
+        import pyarrow as pa
+
+        from raydoc.ops.linkgraph import extract_links_batch
+
+        b = pa.table({
+            "url": ["https://h.example/x"] * len(pages),
+            "html": pa.array(pages, pa.binary())})
+        t1 = extract_links_batch(b)
+        t2 = extract_links_batch(b)
+        assert t1.column_names == ["src_host", "dst_host"]
+        assert t1.equals(t2)
+        for h in t1.column("dst_host").to_pylist():
+            assert h == h.lower()
+            h.encode("ascii")
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 999)),
+                    min_size=1, max_size=200))
+    def test_partial_idx_sums_matches_bincount(self, pairs):
+        import numpy as np
+        import pyarrow as pa
+
+        from raydoc.ops.linkgraph import _partial_idx_sums
+
+        idx = np.array([p[0] for p in pairs], dtype=np.int64)
+        val = np.array([p[1] for p in pairs], dtype=np.int64)
+        t = _partial_idx_sums(
+            pa.table({"i": idx}), "i", val)
+        got = {r["i"]: r["s"] for r in t.to_pylist()}
+        ref = {int(i): int(val[idx == i].sum()) for i in set(idx.tolist())}
+        assert got == ref
+
+
+class TestLMKernelProperties:
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.text(alphabet="ab c", max_size=24),
+                    min_size=0, max_size=8))
+    def test_bigram_keys_match_python(self, texts):
+        """_bigram_keys emits exactly the consecutive in-doc pairs of
+        the contract tokenization, in order, with the right doc idx."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from raydoc.ops.lm import _SEP, _bigram_keys, _tokens
+
+        b = pa.table({"text": pa.array(texts, pa.string())})
+        keys, w1, docidx = _bigram_keys(_tokens(b, "text"))
+        got = list(zip(docidx.tolist(),
+                       [k.split(_SEP)[0] for k in keys.to_pylist()],
+                       [k.split(_SEP)[1] for k in keys.to_pylist()]))
+        ref = []
+        for i, s in enumerate(texts):
+            tk = s.strip().lower().split()
+            if not tk:
+                # Arrow split of "" yields [''] — one empty token,
+                # zero bigrams either way for len<2
+                tk = [""]
+            ref.extend((i, a, bb) for a, bb in zip(tk, tk[1:]))
+        assert got == ref
+        assert w1.to_pylist() == [a for _, a, _ in ref]
