@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hybrid_retrieve", "insert_citations"]
+__all__ = ["hybrid_retrieve", "insert_citations", "bm25_topk"]
 
 _SENT_SPLIT = None
 
