@@ -231,7 +231,8 @@ def pagerank(edges, src_col: str = "src_host", dst_col: str = "dst_host",
              node_col: str = "node", rank_col: str = "rank",
              num_partitions: int | None = None,
              plan: str = "auto", max_key_rows: int | None = None,
-             weight_col: str | None = None):
+             weight_col: str | None = None,
+             local_edges: int = 1_000_000):
     """Integer fixed-point PageRank over a DISTINCT-edge Dataset
     (``src_col``, ``dst_col``) -> Dataset ``(node, rank)`` with rank an
     int64 multiple of 1/``scale``. See module docstring for the exact
@@ -261,7 +262,16 @@ def pagerank(edges, src_col: str = "src_host", dst_col: str = "dst_host",
     out_weight(src). Still exact integers, still order-independent;
     with all weights 1 the result is bit-identical to the unweighted
     form. Overflow bound: rank * w < 2**63, i.e. w < 9.2e6 at the
-    default scale."""
+    default scale.
+
+    ``local_edges``: small-graph fast path (broadcast plan only) —
+    when the stamped edge count is at or below this, the slim index
+    rows (16-24 B each) gather to the driver and the K iterations run
+    in one numpy loop instead of K distributed rounds, skipping K x
+    (broadcast + partial + combine) fixed costs that dominate tiny
+    graphs. The arithmetic is the same exact-integer formula, so the
+    result is bit-identical (pytest-pinned); set 0 to force the
+    distributed loop."""
     import ray
 
     from raydoc.ops.relational import grouped_agg, nonempty_batches
@@ -330,6 +340,39 @@ def pagerank(edges, src_col: str = "src_host", dst_col: str = "dst_host",
 
     eidx = edges.map_batches(nonempty_batches(_stamp),
                              batch_format="pyarrow").materialize()
+
+    if eidx.count() <= local_edges:
+        # small-graph fast path: same integer formulas, one numpy loop
+        parts = [t for t in ray.get(eidx.to_arrow_refs()) if t.num_rows]
+        if parts:
+            et = pa.concat_tables(parts, promote_options="permissive")
+            si = et.column("si").to_numpy(zero_copy_only=False)
+            ti = et.column("ti").to_numpy(zero_copy_only=False)
+            w = (et.column("w").to_numpy(zero_copy_only=False)
+                 if weight_col is not None else None)
+        else:
+            si = ti = np.empty(0, dtype=np.int64)
+            w = np.empty(0, dtype=np.int64) if weight_col else None
+        # int64 add.at, not bincount(weights=...): bincount sums
+        # weights in float64, which would break exactness past 2**53
+        outdeg = np.zeros(n, dtype=np.int64)
+        np.add.at(outdeg, si, 1 if w is None else w)
+        base = scale // n
+        teleport = ((d_den - d_num) * base) // d_den
+        ranks = np.full(n, base, dtype=np.int64)
+        nz = outdeg > 0
+        for _ in range(iterations):
+            if w is None:
+                contrib = np.zeros(n, dtype=np.int64)
+                np.floor_divide(ranks, outdeg, out=contrib, where=nz)
+                vals = contrib[si]
+            else:
+                vals = (ranks[si] * w) // outdeg[si]
+            insum = np.zeros(n, dtype=np.int64)
+            np.add.at(insum, ti, vals)
+            ranks = teleport + (d_num * insum) // d_den
+        return rd.from_arrow(pa.Table.from_pydict({
+            node_col: na, rank_col: pa.array(ranks, pa.int64())}))
 
     # ---- out-degree / out-weight (dense, driver-side: O(nodes)) ----
     def _out_partial(b: pa.Table) -> pa.Table:

@@ -383,3 +383,27 @@ class TestWeightedPagerank:
             "src_host": ["a"], "dst_host": ["b"], "w": [0]}))
         with pytest.raises(Exception, match="positive"):
             pagerank(bad, iterations=1, weight_col="w").take_all()
+
+
+class TestLocalFastPath:
+    def test_local_path_bit_identical_to_distributed(self, ray_session):
+        edges = TestPagerank.EDGES
+        a = pagerank(_edges_ds(edges), iterations=5).take_all()
+        b = pagerank(_edges_ds(edges), iterations=5,
+                     local_edges=0).take_all()
+        assert sorted((r["node"], r["rank"]) for r in a) == \
+            sorted((r["node"], r["rank"]) for r in b)
+
+    def test_local_path_weighted_bit_identical(self, ray_session):
+        import ray.data as rd
+
+        w = TestWeightedPagerank.WEDGES
+        ds = rd.from_arrow(pa.table({
+            "src_host": [e[0] for e in w],
+            "dst_host": [e[1] for e in w],
+            "w": [e[2] for e in w]}))
+        a = pagerank(ds, iterations=4, weight_col="w").take_all()
+        b = pagerank(ds, iterations=4, weight_col="w",
+                     local_edges=0).take_all()
+        assert sorted((r["node"], r["rank"]) for r in a) == \
+            sorted((r["node"], r["rank"]) for r in b)
