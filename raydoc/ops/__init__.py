@@ -15,6 +15,8 @@ Modules:
                 edges, integer fixed-point PageRank (late r05)
   lm          - corpus-fit bigram-LM perplexity scoring (CCNet-style
                 quality signal, integer fixed-point; late r05)
+  drift       - per-token log-odds drift between two corpora (crawl
+                QA report, integer fixed-point; late r05)
   window      - event-time tumbling windows, sessionization, as-of join,
                 LLM sequence packing
   template    - per-row template rendering (template.py:70-139)

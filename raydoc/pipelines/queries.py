@@ -2592,6 +2592,55 @@ FROM documents d LEFT JOIN (
 """
 
 
+_DRIFT_K = 15
+_DRIFT_BITS = 16
+
+
+def docs_token_drift(sf_dir: str):
+    """Corpus drift report (ops/drift.py): split the documents table
+    into two deterministic halves (even vs odd doc_id — a stand-in for
+    crawl N vs crawl N-1) and emit the top-15 tokens by add-one
+    smoothed log-odds in integer fixed point. The double expression
+    inside ln is spelled operation-for-operation like the SQL, so the
+    oracle replays counts, smoothing, ln, floor, and the tiebroken
+    top-k exactly."""
+    from raydoc.ops.drift import token_drift
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    a = ds.map_batches(
+        lambda b: b.filter(pc.equal(
+            pc.bit_wise_and(b.column("doc_id"), 1), 0)),
+        batch_format="pyarrow")
+    b = ds.map_batches(
+        lambda t: t.filter(pc.equal(
+            pc.bit_wise_and(t.column("doc_id"), 1), 1)),
+        batch_format="pyarrow")
+    return token_drift(a, b, top_k=_DRIFT_K, frac_bits=_DRIFT_BITS)
+
+
+DOCS_TOKEN_DRIFT_SQL = rf"""
+WITH ta AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE doc_id % 2 = 0),
+tb AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE doc_id % 2 = 1),
+ca AS (SELECT w, count(*) AS c1 FROM ta GROUP BY w),
+cb AS (SELECT w, count(*) AS c2 FROM tb GROUP BY w),
+u AS (SELECT coalesce(ca.w, cb.w) AS w, coalesce(c1, 0) AS c1,
+             coalesce(c2, 0) AS c2
+      FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+st AS (SELECT sum(c1) AS t1, sum(c2) AS t2, count(*) AS v FROM u),
+d AS (SELECT w, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+        CAST(floor(ln(((c1 + 1.0) * (st.t2 + st.v))
+                      / ((c2 + 1.0) * (st.t1 + st.v)))
+                   * {1 << _DRIFT_BITS}) AS BIGINT) AS drift_fp
+      FROM u CROSS JOIN st)
+SELECT w, c1, c2, drift_fp FROM d
+QUALIFY row_number() OVER (ORDER BY drift_fp DESC, w) <= {_DRIFT_K}
+"""
+
+
 def docs_segment_dedup(sf_dir: str):
     """Duplicated-span removal (the C4/RefinedWeb line-dedup shape):
     non-overlapping word-8 segments occurring in >1 DISTINCT doc are
@@ -4168,7 +4217,6 @@ QUERIES = {
     "asof_events_orders": asof_events_orders,
     "events_sessionize": events_sessionize,
     "events_hourly": events_hourly,
-    "events_running_sum": events_running_sum,
     "docs_top_terms": docs_top_terms,
     "events_user_ndv": events_user_ndv,
     "q12_priority_class": q12_priority_class,
@@ -4227,9 +4275,12 @@ QUERIES = {
     "hostgraph_anchors": hostgraph_anchors,
     "docs_bm25_topk": docs_bm25_topk,
     "docs_lm_perplexity": docs_lm_perplexity,
+    "docs_token_drift": docs_token_drift,
     # ---- driver recording window (~50 entries) ends here ----
-    # (events_rolling_mean / events_lag_delta r03 driver-green;
-    # displaced by the LM and weighted-pagerank queries)
+    # (events_rolling_mean / events_lag_delta / events_running_sum r03
+    # driver-green; displaced by the LM / weighted-pagerank / drift
+    # queries — the window family keeps sessionize+hourly in-window)
+    "events_running_sum": events_running_sum,
     "events_lag_delta": events_lag_delta,
     "events_rolling_mean": events_rolling_mean,
     # (multimodal_video_frames shares its actor-pool plumbing with the
@@ -4382,6 +4433,8 @@ ORACLES = {
     # algorithmic oracle: the corpus-fit bigram LM replayed
     # (counts, smoothing, fixed-point ln, integer doc sums)
     "docs_lm_perplexity": DOCS_LM_PERPLEXITY_SQL,
+    # algorithmic oracle: smoothed log-odds drift replayed
+    "docs_token_drift": DOCS_TOKEN_DRIFT_SQL,
     "docs_segment_dedup": DOCS_SEGMENT_DEDUP_SQL,
     "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_train_split": DOCS_TRAIN_SPLIT_SQL,

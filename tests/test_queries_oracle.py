@@ -52,6 +52,7 @@ NEW_QUERIES = [
     "hostgraph_anchors",
     "docs_bm25_topk",
     "docs_lm_perplexity",
+    "docs_token_drift",
 ]
 
 
