@@ -17,6 +17,8 @@ Modules:
                 quality signal, integer fixed-point; late r05)
   drift       - per-token log-odds drift between two corpora (crawl
                 QA report, integer fixed-point; late r05)
+  validate    - declarative data-expectation gates (not_null/unique/
+                range/regex/in_set violation report; late r05)
   window      - event-time tumbling windows, sessionization, as-of join,
                 LLM sequence packing
   template    - per-row template rendering (template.py:70-139)

@@ -2641,6 +2641,124 @@ QUALIFY row_number() OVER (ORDER BY drift_fp DESC, w) <= {_DRIFT_K}
 """
 
 
+# expectation rules shared by the Ray query and the generated oracle;
+# range/in_set are deliberately strict so the report carries nonzero
+# violation counts (a report of all zeros would not pin the counters)
+_EXPECT_RULES = [
+    {"check": "not_null", "column": "text"},
+    {"check": "unique", "column": "doc_id"},
+    {"check": "range", "column": "n_chars", "min": 50, "max": 100000},
+    {"check": "regex", "column": "lang",
+     "pattern": "^[a-z]{2}(-[a-z]+)?$"},
+    {"check": "in_set", "column": "lang", "values": ["en", "de", "fr"]},
+]
+
+
+def docs_expectations(sf_dir: str):
+    """Declarative data-expectation gates (ops/validate.py) — the
+    Great-Expectations/dbt-test shape: one vectorized pass emits a
+    fixed-size partial per batch for the row-local rules, uniqueness
+    rides one slim key shuffle, and the report row per rule carries
+    exact violation counts. Oracle GENERATED from the same rule list
+    (CASE-expression counters + count-distinct), so the two can't
+    drift."""
+    from raydoc.ops.validate import validate_expectations
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "lang", "n_chars"])
+    return validate_expectations(ds, _EXPECT_RULES)
+
+
+def _expectations_sql() -> str:
+    legs = []
+    for i, r in enumerate(_EXPECT_RULES):
+        c = r["column"]
+        if r["check"] == "not_null":
+            v = f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+        elif r["check"] == "unique":
+            v = (f"count(*) - (SELECT count(*) FROM "
+                 f"(SELECT DISTINCT {c} FROM documents))")
+        elif r["check"] == "range":
+            v = (f"sum(CASE WHEN {c} IS NULL OR {c} < {r['min']} "
+                 f"OR {c} > {r['max']} THEN 1 ELSE 0 END)")
+        elif r["check"] == "regex":
+            v = (f"sum(CASE WHEN {c} IS NULL OR NOT "
+                 f"regexp_matches(CAST({c} AS VARCHAR), "
+                 f"'{r['pattern']}') THEN 1 ELSE 0 END)")
+        else:  # in_set
+            vals = ", ".join(f"'{x}'" for x in r["values"])
+            v = (f"sum(CASE WHEN {c} IS NULL OR {c} NOT IN ({vals}) "
+                 f"THEN 1 ELSE 0 END)")
+        legs.append(
+            f"SELECT CAST({i} AS BIGINT) AS rule_id, '{c}' AS column, "
+            f"'{r['check']}' AS check, CAST({v} AS BIGINT) AS "
+            f"n_violations, count(*) AS n_rows FROM documents")
+    un = "\nUNION ALL\n".join(legs)
+    return (f"SELECT rule_id, \"column\", \"check\", n_violations, "
+            f"n_rows, n_violations = 0 AS ok FROM ({un}) "
+            f"ORDER BY rule_id")
+
+
+DOCS_EXPECTATIONS_SQL = _expectations_sql()
+
+
+_CRAWL_DELAY_MS = 1000
+
+
+def urls_crawl_schedule(sf_dir: str):
+    """Crawl-politeness planner — the scheduling half of a polite
+    fetcher (reference crawler semantics, sources/crawl_stage.py):
+    per HOST, urls take deterministic slots (url-ascending) and each
+    slot waits ``_CRAWL_DELAY_MS`` after the previous fetch to the
+    same host. Pure composition of existing operators: the host
+    kernel (ops/url.host_of_url) + the coarse-bucket group_rank —
+    hosts with many urls stretch out, singleton hosts fetch at t=0.
+    Output (url, host, slot, fetch_at_ms); SQL mirror is one
+    row_number window."""
+    from raydoc.ops.url import host_of_url, synthetic_fetch_rows
+    from raydoc.ops.window import group_rank
+
+    fetches = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: synthetic_fetch_rows(b.column("doc_id")),
+        batch_format="pyarrow")
+
+    def _host(b: pa.Table) -> pa.Table:
+        h = host_of_url(b.column("url"))
+        t = pa.table({"url": b.column("url"), "host": h})
+        return t.filter(pc.is_valid(h))
+
+    ranked = group_rank(
+        fetches.map_batches(_host, batch_format="pyarrow"),
+        "host", "url", out_col="rn", descending=False)
+
+    def _slots(b: pa.Table) -> pa.Table:
+        rn = b.column("rn").to_numpy(zero_copy_only=False)
+        slot = rn - 1
+        return pa.table({
+            "url": b.column("url"), "host": b.column("host"),
+            "slot": pa.array(slot, pa.int64()),
+            "fetch_at_ms": pa.array(slot * _CRAWL_DELAY_MS, pa.int64())})
+
+    return ranked.map_batches(_slots, batch_format="pyarrow")
+
+
+URLS_CRAWL_SCHEDULE_SQL = rf"""
+WITH raw AS ({_SYNTH_FETCH_SQL}  FROM documents
+), h AS (
+  SELECT url,
+         lower(regexp_replace(
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+             ':[0-9]+$', '')) AS host
+  FROM raw)
+SELECT url, host,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+            AS BIGINT) AS slot,
+       CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+            * {_CRAWL_DELAY_MS} AS BIGINT) AS fetch_at_ms
+FROM h WHERE host IS NOT NULL AND host <> ''
+"""
+
+
 def docs_segment_dedup(sf_dir: str):
     """Duplicated-span removal (the C4/RefinedWeb line-dedup shape):
     non-overlapping word-8 segments occurring in >1 DISTINCT doc are
@@ -4218,8 +4336,6 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_hourly": events_hourly,
     "docs_top_terms": docs_top_terms,
-    "events_user_ndv": events_user_ndv,
-    "q12_priority_class": q12_priority_class,
     "anti_customers_inactive": anti_customers_inactive,
     "switch_route_orders": switch_route_orders,
     "filter_parts": filter_parts,
@@ -4276,10 +4392,15 @@ QUERIES = {
     "docs_bm25_topk": docs_bm25_topk,
     "docs_lm_perplexity": docs_lm_perplexity,
     "docs_token_drift": docs_token_drift,
+    "docs_expectations": docs_expectations,
+    "urls_crawl_schedule": urls_crawl_schedule,
     # ---- driver recording window (~50 entries) ends here ----
     # (events_rolling_mean / events_lag_delta / events_running_sum r03
-    # driver-green; displaced by the LM / weighted-pagerank / drift
-    # queries — the window family keeps sessionize+hourly in-window)
+    # driver-green; displaced by the LM / weighted-pagerank / drift /
+    # expectation queries — the window family keeps sessionize+hourly
+    # in-window, the sketch family keeps both sketch queries)
+    "events_user_ndv": events_user_ndv,
+    "q12_priority_class": q12_priority_class,
     "events_running_sum": events_running_sum,
     "events_lag_delta": events_lag_delta,
     "events_rolling_mean": events_rolling_mean,
@@ -4435,6 +4556,8 @@ ORACLES = {
     "docs_lm_perplexity": DOCS_LM_PERPLEXITY_SQL,
     # algorithmic oracle: smoothed log-odds drift replayed
     "docs_token_drift": DOCS_TOKEN_DRIFT_SQL,
+    "docs_expectations": DOCS_EXPECTATIONS_SQL,
+    "urls_crawl_schedule": URLS_CRAWL_SCHEDULE_SQL,
     "docs_segment_dedup": DOCS_SEGMENT_DEDUP_SQL,
     "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_train_split": DOCS_TRAIN_SPLIT_SQL,

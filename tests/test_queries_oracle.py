@@ -53,6 +53,8 @@ NEW_QUERIES = [
     "docs_bm25_topk",
     "docs_lm_perplexity",
     "docs_token_drift",
+    "docs_expectations",
+    "urls_crawl_schedule",
 ]
 
 
