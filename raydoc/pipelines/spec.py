@@ -34,7 +34,10 @@ near_dup_dedup (MinHash-LSH victim removal), incremental_dedup
 trio semantic_dedup / cluster_sample / incremental_semantic_dedup
 (SemDeDup victim removal, the per-k-means-cell diversity cap, and the
 persisted-semantic-index probe; ops/cluster.py + ops/incremental.py)
-— the whole curation flow is spec-expressible.
+— the whole curation flow is spec-expressible; late r05 adds the
+link-graph chain (blocklist_filter, host_edges, pagerank), the quality
+pair (lm_perplexity, token_drift vs a reference parquet), and `expect`
+(declarative data-expectation gates -> violation report).
 Sinks: collect, count, write_parquet, side_effect (idempotent per-key
 ledger, stages/sink_stage.py).
 """
@@ -468,6 +471,25 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
                    scale=p.get("scale", 10**12),
                    max_nodes=p.get("max_nodes", 4_000_000),
                    plan=p.get("plan", "auto"))),
+    # late r05: expectation gates + corpus drift (ops/validate.py,
+    # ops/drift.py) — the report datasets become the chain's stream
+    "expect": (
+        lambda p: _require(p, "rules"),
+        lambda ds, p: __import__(
+            "raydoc.ops.validate", fromlist=["validate_expectations"]
+        ).validate_expectations(ds, p["rules"])),
+    "token_drift": (
+        lambda p: _require(p, "ref_path"),
+        lambda ds, p: __import__(
+            "raydoc.ops.drift", fromlist=["token_drift"]
+        ).token_drift(
+            ds,
+            __import__("ray.data", fromlist=["read_parquet"]).
+            read_parquet(p["ref_path"],
+                         columns=[p.get("text_col", "text")]),
+            text_col=p.get("text_col", "text"),
+            top_k=p.get("top_k", 20),
+            frac_bits=p.get("frac_bits", 16))),
     # late r05: CCNet-style corpus-fit LM perplexity (ops/lm.py)
     "lm_perplexity": (
         lambda p: None,

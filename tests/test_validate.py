@@ -58,3 +58,29 @@ class TestValidateExpectations:
                 {"check": "sorted", "column": "id"}])
         with pytest.raises(ValueError, match="missing 'column'"):
             validate_expectations(_ds(), [{"check": "not_null"}])
+
+    def test_spec_ops(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from raydoc.pipelines.spec import run_spec
+
+        src = str(tmp_path / "t.parquet")
+        pq.write_table(pa.table({
+            "id": [1, 2, 2], "text": ["a b c", "a b", "zz yy"]}), src)
+        ref = str(tmp_path / "ref.parquet")
+        pq.write_table(pa.table({"text": ["a b c", "a b d"]}), ref)
+
+        rep = run_spec({
+            "source": {"op": "read_parquet", "path": src},
+            "stages": [{"op": "expect", "rules": [
+                {"check": "unique", "column": "id"},
+                {"check": "not_null", "column": "text"}]}],
+            "sink": {"op": "collect"}}).to_pandas()
+        assert list(rep["n_violations"]) == [1, 0]
+
+        dr = run_spec({
+            "source": {"op": "read_parquet", "path": src},
+            "stages": [{"op": "token_drift", "ref_path": ref,
+                        "top_k": 2}],
+            "sink": {"op": "collect"}}).to_pandas()
+        assert set(dr["w"]) <= {"zz", "yy", "c"} and len(dr) == 2
