@@ -19,7 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hybrid_retrieve", "insert_citations", "bm25_topk"]
+__all__ = ["hybrid_retrieve", "insert_citations", "bm25_topk",
+           "retrieval_eval"]
 
 _SENT_SPLIT = None
 
@@ -357,3 +358,77 @@ def bm25_topk(
     return group_rank(cands, "query_id", "score_fp", out_col="rank",
                       descending=True, tiebreak=id_col, k=top_n,
                       num_partitions=num_partitions)
+
+
+def retrieval_eval(results, gold, k: int = 10,
+                   query_col: str = "query_id", id_col: str = "doc_id",
+                   rank_col: str = "rank", mrr_scale: int = 10**9):
+    """Retrieval evaluation: recall@k and MRR of a ranked result set
+    against gold (query, doc) pairs — the harness every retrieval
+    stage needs next to it.
+
+    Contract (exact ints, SQL-replayable): per query, hit_rank = the
+    MINIMUM rank of any gold doc in its result list; a query counts as
+    hit when hit_rank <= k; MRR is integer fixed point,
+    ``mrr_fp = SUM over hit queries of (mrr_scale // hit_rank)`` —
+    order-independent, no float division. Output: one row
+    (n_queries, n_hit, mrr_fp) with n_queries = distinct gold queries.
+
+    Physical plan: gold is the SMALL side (queries x a few gold docs)
+    — broadcast once via ``ray.put``; each result batch marks gold
+    hits with one hash ``index_in`` probe on a packed (query, doc)
+    key, partial-min-reduces hit ranks per query, and a bucketed
+    grouped min finalizes; only O(queries) rows reach the driver."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    from raydoc.ops.relational import grouped_agg, nonempty_batches
+
+    gt = gold if isinstance(gold, pa.Table) else pa.concat_tables(
+        [t for t in ray.get(gold.to_arrow_refs()) if t.num_rows],
+        promote_options="permissive")
+    if gt.num_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.Table.from_pydict({
+            "n_queries": pa.array([0], pa.int64()),
+            "n_hit": pa.array([0], pa.int64()),
+            "mrr_fp": pa.array([0], pa.int64())}))
+    def _pair_key(q, d):
+        # string pair key: collision-free for ANY id width (doc ids
+        # are 63-bit at scale, so integer packing cannot hold both)
+        return pc.binary_join_element_wise(
+            pc.cast(q, pa.string()), pc.cast(d, pa.string()), ":")
+
+    gq = gt.column(query_col).cast(pa.int64())
+    n_queries = len(pc.unique(gq))
+    gkey = _pair_key(gq, gt.column(id_col))
+    gref = ray.put(gkey.combine_chunks() if isinstance(
+        gkey, pa.ChunkedArray) else gkey)
+
+    def _hits(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        gk = _r.get(gref)
+        q = b.column(query_col).cast(pa.int64())
+        key = _pair_key(q, b.column(id_col))
+        hit = pc.is_valid(pc.index_in(key, value_set=gk))
+        t = pa.Table.from_pydict({
+            "q": q, "r": b.column(rank_col).cast(pa.int64())})
+        return t.filter(hit)
+
+    best = grouped_agg(
+        results.map_batches(nonempty_batches(_hits),
+                            batch_format="pyarrow"),
+        ["q"], {"hit_rank": ("min", "r")})
+    rows = best.take_all()
+    n_hit = sum(1 for r in rows if r["hit_rank"] <= k)
+    mrr = sum(mrr_scale // r["hit_rank"] for r in rows
+              if r["hit_rank"] <= k)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pydict({
+        "n_queries": pa.array([n_queries], pa.int64()),
+        "n_hit": pa.array([n_hit], pa.int64()),
+        "mrr_fp": pa.array([int(mrr)], pa.int64())}))

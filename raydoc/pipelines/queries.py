@@ -2759,6 +2759,109 @@ FROM h WHERE host IS NOT NULL AND host <> ''
 """
 
 
+def bm25_eval(sf_dir: str):
+    """Retrieval evaluation harness (ops/retrieval.retrieval_eval)
+    composed over bm25_topk: gold(q) = the MIN doc_id containing ALL
+    of q's distinct terms (independently derivable on both engines),
+    metrics = recall@10 + integer-MRR (mrr_fp = sum of 1e9 // hit_rank
+    — no float division, order-independent). The oracle embeds the
+    full BM25 replay as a subquery and re-derives gold in SQL."""
+    from raydoc.ops.retrieval import bm25_topk, retrieval_eval
+    from raydoc.ops.relational import grouped_agg
+
+    k1n, k1d, bn, bd = _BM25_RAT
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    results = bm25_topk(ds, _BM25_QUERIES, top_n=_BM25_K,
+                        k1=(k1n, k1d), b=(bn, bd),
+                        avgdl_bits=_BM25_BITS[0],
+                        idf_bits=_BM25_BITS[1])
+
+    qterms = [sorted({w for w in q.lower().split() if w})
+              for q in _BM25_QUERIES]
+    terms = sorted({t for ts in qterms for t in ts})
+    term_arr = pa.array(terms, pa.string())
+    tpos = {t: i for i, t in enumerate(terms)}
+
+    def _gold_cands(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s2 = pc.cast(b.column("text"), pa.string())
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(s2)), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        code = pc.index_in(flat, value_set=term_arr)
+        hitm = pc.is_valid(code).to_numpy(zero_copy_only=False)
+        present = np.zeros((b.num_rows, len(terms)), dtype=bool)
+        if hitm.any():
+            codes = code.to_numpy(zero_copy_only=False)[hitm] \
+                .astype(np.int64)
+            present[parent[hitm], codes] = True
+        out_q, out_d = [], []
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        for qi, ts in enumerate(qterms):
+            m = present[:, [tpos[t] for t in ts]].all(axis=1)
+            if m.any():
+                out_q.append(np.full(int(m.sum()), qi, dtype=np.int64))
+                out_d.append(ids[m])
+        import numpy as np2
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64())})
+
+    from raydoc.ops.relational import nonempty_batches
+
+    gold = grouped_agg(
+        ds.map_batches(nonempty_batches(_gold_cands),
+                       batch_format="pyarrow"),
+        ["query_id"], {"doc_id": ("min", "doc_id")})
+    return retrieval_eval(results, gold, k=_BM25_K)
+
+
+def _bm25_eval_sql() -> str:
+    qterms = [sorted({w for w in q.lower().split() if w})
+              for q in _BM25_QUERIES]
+    allterms = sorted({t for ts in qterms for t in ts})
+    inlist = ", ".join(f"'{t}'" for t in allterms)
+    legs = []
+    for qi, ts in enumerate(qterms):
+        tl = ", ".join(f"'{t}'" for t in ts)
+        legs.append(
+            f"SELECT CAST({qi} AS BIGINT) AS query_id, min(doc_id) AS "
+            f"doc_id FROM (SELECT doc_id FROM tf WHERE w IN ({tl}) "
+            f"GROUP BY doc_id HAVING count(DISTINCT w) = {len(ts)})")
+    gold = "\nUNION ALL\n".join(legs)
+    return rf"""
+WITH res AS (SELECT * FROM ({DOCS_BM25_SQL}) r),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents),
+tf AS (SELECT doc_id, w FROM tok WHERE w IN ({inlist})),
+gold AS ({gold}),
+hits AS (
+  SELECT g.query_id, min(r.rank) AS hit_rank
+  FROM gold g JOIN res r
+       ON r.query_id = g.query_id AND r.doc_id = g.doc_id
+  GROUP BY g.query_id)
+SELECT (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM gold)
+         AS n_queries,
+       CAST(count(CASE WHEN hit_rank <= {_BM25_K} THEN 1 END)
+            AS BIGINT) AS n_hit,
+       CAST(coalesce(sum(CASE WHEN hit_rank <= {_BM25_K}
+                         THEN 1000000000 // hit_rank END), 0)
+            AS BIGINT) AS mrr_fp
+FROM hits
+"""
+
+
+BM25_EVAL_SQL = _bm25_eval_sql()
+
+
 def docs_segment_dedup(sf_dir: str):
     """Duplicated-span removal (the C4/RefinedWeb line-dedup shape):
     non-overlapping word-8 segments occurring in >1 DISTINCT doc are
@@ -4336,7 +4439,6 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_hourly": events_hourly,
     "docs_top_terms": docs_top_terms,
-    "anti_customers_inactive": anti_customers_inactive,
     "switch_route_orders": switch_route_orders,
     "filter_parts": filter_parts,
     "template_render_customers": template_render_customers,
@@ -4394,6 +4496,7 @@ QUERIES = {
     "docs_token_drift": docs_token_drift,
     "docs_expectations": docs_expectations,
     "urls_crawl_schedule": urls_crawl_schedule,
+    "bm25_eval": bm25_eval,
     # ---- driver recording window (~50 entries) ends here ----
     # (events_rolling_mean / events_lag_delta / events_running_sum r03
     # driver-green; displaced by the LM / weighted-pagerank / drift /
@@ -4401,6 +4504,7 @@ QUERIES = {
     # in-window, the sketch family keeps both sketch queries)
     "events_user_ndv": events_user_ndv,
     "q12_priority_class": q12_priority_class,
+    "anti_customers_inactive": anti_customers_inactive,
     "events_running_sum": events_running_sum,
     "events_lag_delta": events_lag_delta,
     "events_rolling_mean": events_rolling_mean,
@@ -4558,6 +4662,8 @@ ORACLES = {
     "docs_token_drift": DOCS_TOKEN_DRIFT_SQL,
     "docs_expectations": DOCS_EXPECTATIONS_SQL,
     "urls_crawl_schedule": URLS_CRAWL_SCHEDULE_SQL,
+    # composed oracle: full BM25 replay as a subquery + SQL gold
+    "bm25_eval": BM25_EVAL_SQL,
     "docs_segment_dedup": DOCS_SEGMENT_DEDUP_SQL,
     "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_train_split": DOCS_TRAIN_SPLIT_SQL,

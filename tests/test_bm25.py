@@ -99,3 +99,43 @@ class TestBM25:
         order = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
         assert order == [3, 7, 10]
         assert len({r["score_fp"] for r in rows}) == 1  # exact int tie
+
+
+class TestRetrievalEval:
+    def _results(self):
+        import ray.data as rd
+
+        rows = []
+        for q, docs in ((0, [7, 3, 9]), (1, [4, 5, 6]), (2, [1, 2, 8])):
+            for rk, d in enumerate(docs, 1):
+                rows.append({"query_id": q, "rank": rk, "doc_id": d})
+        return rd.from_items(rows).repartition(2)
+
+    def test_recall_and_integer_mrr(self, ray_session):
+        from raydoc.ops.retrieval import retrieval_eval
+
+        gold = pa.table({
+            "query_id": [0, 0, 1, 2, 3],
+            "doc_id": [9, 3, 99, 8, 1]})  # q0: best rank 2; q1 miss;
+        # q2: rank 3; q3: gold query absent from results
+        out = retrieval_eval(self._results(), gold, k=3).take_all()
+        assert out == [{"n_queries": 4, "n_hit": 2,
+                        "mrr_fp": 10**9 // 2 + 10**9 // 3}]
+
+    def test_k_boundary(self, ray_session):
+        from raydoc.ops.retrieval import retrieval_eval
+
+        gold = pa.table({"query_id": [0], "doc_id": [9]})  # rank 3
+        out2 = retrieval_eval(self._results(), gold, k=2).take_all()
+        assert out2[0]["n_hit"] == 0 and out2[0]["mrr_fp"] == 0
+        out3 = retrieval_eval(self._results(), gold, k=3).take_all()
+        assert out3[0]["n_hit"] == 1
+
+    def test_empty_gold(self, ray_session):
+        from raydoc.ops.retrieval import retrieval_eval
+
+        out = retrieval_eval(
+            self._results(),
+            pa.table({"query_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64())})).take_all()
+        assert out == [{"n_queries": 0, "n_hit": 0, "mrr_fp": 0}]

@@ -55,6 +55,7 @@ NEW_QUERIES = [
     "docs_token_drift",
     "docs_expectations",
     "urls_crawl_schedule",
+    "bm25_eval",
 ]
 
 
