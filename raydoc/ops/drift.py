@@ -42,7 +42,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["token_drift"]
+__all__ = ["token_drift", "dataset_diff"]
 
 
 def _tok_rows(batch: pa.Table, text_col: str, a: int) -> pa.Table:
@@ -116,3 +116,106 @@ def token_drift(ds_a, ds_b, text_col: str = "text", top_k: int = 20,
     scored = vocab.map_batches(nonempty_batches(_drift),
                                batch_format="pyarrow")
     return _top(scored, "drift_fp", top_k, descending=True, tiebreak="w")
+
+
+def dataset_diff(ds_a, ds_b, key_col: str, compare_cols: list[str],
+                 num_partitions: int | None = None):
+    """Row-level diff of two dataset snapshots by key — the other half
+    of pipeline QA next to ``token_drift``: after an engine or parser
+    upgrade, "how many rows appeared / vanished / changed?" is the
+    regression report. Output: ONE row
+    (n_a, n_b, n_added, n_removed, n_changed, n_same) — exact ints,
+    trivially SQL-replayable.
+
+    Contract: keys are assumed unique per side (snapshot semantics —
+    run exact_dedup first otherwise; with duplicate keys the counts
+    follow the bucketed grouped math of whichever rows share the key
+    and are not meaningful). "changed" compares the process-stable
+    64-bit hash of the NUL-joined ``compare_cols`` (null encodes as
+    the empty string, so a null->'' flip is invisible) — a 2^-64
+    per-pair collision could report "same" for a changed row, the
+    same accepted odds as the engine's 63-bit doc ids; the SQL oracle
+    compares the raw strings instead, which is what makes the hash
+    contract checkable.
+
+    Physical plan: each side maps to slim (key, side, content-hash)
+    rows; ONE tag-union coarse-bucket pass classifies every key run
+    vectorized (present-in-a / present-in-b / hash-equal) and emits
+    fixed-size per-bucket count partials; the driver sums P rows."""
+    import ray
+    import ray.data as rd
+
+    from raydoc.ops.bucketing import bucketed_sorted_apply
+    from raydoc.ops.relational import nonempty_batches
+
+    def _rows(side: int):
+        def _fn(b: pa.Table) -> pa.Table:
+            cols = []
+            for c in compare_cols:
+                col = b.column(c)
+                cols.append(pc.fill_null(pc.cast(col, pa.string()), ""))
+            joined = pc.binary_join_element_wise(
+                *cols, "\x00") if len(cols) > 1 else cols[0]
+            # vectorized content hash (the dedup md5 contract would be
+            # hashlib-per-row; the diff only needs equality, so the
+            # process-stable 64-bit kernel is the right tool)
+            from raydoc.hashing import stable_u64_arr
+
+            h = stable_u64_arr(joined).astype(np.int64)
+            return pa.Table.from_pydict({
+                "k": pc.cast(b.column(key_col), pa.string()),
+                "side": pa.array(
+                    np.full(b.num_rows, side, dtype=np.int64)),
+                "h": pa.array(h)})
+
+        return _fn
+
+    msgs = ds_a.map_batches(nonempty_batches(_rows(0)),
+                            batch_format="pyarrow").union(
+        ds_b.map_batches(nonempty_batches(_rows(1)),
+                         batch_format="pyarrow"))
+
+    def _classify(t: pa.Table, starts: np.ndarray,
+                  counts: np.ndarray) -> pa.Table:
+        z = {"n_a": 0, "n_b": 0, "n_added": 0, "n_removed": 0,
+             "n_changed": 0, "n_same": 0}
+        if t.num_rows:
+            side = t.column("side").to_numpy(zero_copy_only=False)
+            h = t.column("h").to_numpy(zero_copy_only=False)
+            in_a = side == 0
+            na = np.add.reduceat(in_a.astype(np.int64), starts)
+            nb = counts - na
+            both = (na > 0) & (nb > 0)
+            z["n_a"] = int(in_a.sum())
+            z["n_b"] = int((~in_a).sum())
+            z["n_added"] = int(((na == 0) & (nb > 0)).sum())
+            z["n_removed"] = int(((na > 0) & (nb == 0)).sum())
+            # same iff every hash in the run is identical (side-sorted
+            # run: first/last hash differ => changed)
+            hfirst = h[starts]
+            hlast = h[starts + counts - 1]
+            same = both & (hfirst == hlast)
+            # guard multi-row runs with equal endpoints but a noisy
+            # middle (duplicate keys): require all-equal within run
+            seg = np.repeat(np.arange(len(starts)), counts)
+            allsame = np.ones(len(starts), dtype=bool)
+            np.logical_and.at(allsame, seg, h == hfirst[seg])
+            same &= allsame
+            z["n_same"] = int(same.sum())
+            z["n_changed"] = int((both & ~same).sum())
+        return pa.Table.from_pydict(
+            {k: pa.array([v], pa.int64()) for k, v in z.items()})
+
+    parts = [t for t in ray.get(
+        bucketed_sorted_apply(
+            msgs, ["k"], [("k", "ascending"), ("side", "ascending")],
+            _classify, num_partitions=num_partitions)
+        .to_arrow_refs()) if t.num_rows]
+    tot = {k: 0 for k in ("n_a", "n_b", "n_added", "n_removed",
+                          "n_changed", "n_same")}
+    if parts:
+        t = pa.concat_tables(parts, promote_options="permissive")
+        for k in tot:
+            tot[k] = int(pc.sum(t.column(k)).as_py() or 0)
+    return rd.from_arrow(pa.Table.from_pydict(
+        {k: pa.array([v], pa.int64()) for k, v in tot.items()}))

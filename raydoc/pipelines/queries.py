@@ -2862,6 +2862,75 @@ FROM hits
 BM25_EVAL_SQL = _bm25_eval_sql()
 
 
+def docs_dataset_diff(sf_dir: str):
+    """Snapshot diff report (ops/drift.dataset_diff): B is a
+    deterministic perturbation of the documents table — doc_id%7==0
+    rows removed, doc_id%11==0 rows re-added under key+1000000, and
+    %5 (surviving) rows edited by a ' v2' suffix — so every counter
+    (added/removed/changed/same) is nonzero and the oracle re-derives
+    the same construction plus raw-string comparison in SQL (the
+    engine compares 64-bit content hashes; identical counts modulo
+    2^-64 collisions on this fixed corpus)."""
+    from raydoc.ops.drift import dataset_diff
+
+    a = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _perturb(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id")
+        keep = pc.not_equal(
+            pc.subtract(did, pc.multiply(pc.divide(did, 7), 7)), 0)
+        kept = b.filter(keep)
+        kd = kept.column("doc_id")
+        edited = pc.equal(
+            pc.subtract(kd, pc.multiply(pc.divide(kd, 5), 5)), 0)
+        text = pc.if_else(
+            edited,
+            pc.binary_join_element_wise(
+                pc.cast(kept.column("text"), pa.string()),
+                pa.scalar(" v2"), pa.scalar("")),
+            pc.cast(kept.column("text"), pa.string()))
+        base = pa.table({"doc_id": kd, "text": text})
+        addm = pc.equal(
+            pc.subtract(did, pc.multiply(pc.divide(did, 11), 11)), 0)
+        adds = b.filter(addm)
+        added = pa.table({
+            "doc_id": pc.add(adds.column("doc_id"), 1000000),
+            "text": pc.cast(adds.column("text"), pa.string())})
+        return pa.concat_tables([base, added])
+
+    bside = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _perturb, batch_format="pyarrow")
+    return dataset_diff(a, bside, "doc_id", ["text"])
+
+
+DOCS_DATASET_DIFF_SQL = """
+WITH a AS (SELECT doc_id, text FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+j AS (SELECT coalesce(a.doc_id, b.doc_id) AS k,
+             a.doc_id IS NOT NULL AS in_a,
+             b.doc_id IS NOT NULL AS in_b,
+             a.text = b.text AS same
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+       CAST(sum(CASE WHEN in_b AND NOT in_a THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN in_a AND in_b AND NOT same THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN in_a AND in_b AND same THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_same
+FROM j
+"""
+
+
 def docs_segment_dedup(sf_dir: str):
     """Duplicated-span removal (the C4/RefinedWeb line-dedup shape):
     non-overlapping word-8 segments occurring in >1 DISTINCT doc are
@@ -4439,7 +4508,6 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_hourly": events_hourly,
     "docs_top_terms": docs_top_terms,
-    "switch_route_orders": switch_route_orders,
     "filter_parts": filter_parts,
     "template_render_customers": template_render_customers,
     "template_render_conditional": template_render_conditional,
@@ -4497,6 +4565,7 @@ QUERIES = {
     "docs_expectations": docs_expectations,
     "urls_crawl_schedule": urls_crawl_schedule,
     "bm25_eval": bm25_eval,
+    "docs_dataset_diff": docs_dataset_diff,
     # ---- driver recording window (~50 entries) ends here ----
     # (events_rolling_mean / events_lag_delta / events_running_sum r03
     # driver-green; displaced by the LM / weighted-pagerank / drift /
@@ -4505,6 +4574,7 @@ QUERIES = {
     "events_user_ndv": events_user_ndv,
     "q12_priority_class": q12_priority_class,
     "anti_customers_inactive": anti_customers_inactive,
+    "switch_route_orders": switch_route_orders,
     "events_running_sum": events_running_sum,
     "events_lag_delta": events_lag_delta,
     "events_rolling_mean": events_rolling_mean,
@@ -4664,6 +4734,7 @@ ORACLES = {
     "urls_crawl_schedule": URLS_CRAWL_SCHEDULE_SQL,
     # composed oracle: full BM25 replay as a subquery + SQL gold
     "bm25_eval": BM25_EVAL_SQL,
+    "docs_dataset_diff": DOCS_DATASET_DIFF_SQL,
     "docs_segment_dedup": DOCS_SEGMENT_DEDUP_SQL,
     "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_train_split": DOCS_TRAIN_SPLIT_SQL,

@@ -68,3 +68,41 @@ class TestTokenDrift:
         out = token_drift(_ds(A), _ds([""]), top_k=5).take_all()
         assert len(out) == 5  # everything overrepresented in A
         assert all(r["c2"] == 0 for r in out)
+
+
+class TestDatasetDiff:
+    def test_hand_built_diff(self, ray_session):
+        import ray.data as rd
+
+        from raydoc.ops.drift import dataset_diff
+
+        a = rd.from_arrow(pa.table({
+            "k": [1, 2, 3, 4], "t": ["a", "b", "c", "d"]})).repartition(2)
+        b = rd.from_arrow(pa.table({
+            "k": [2, 3, 5], "t": ["b", "C", "e"]})).repartition(2)
+        out = dataset_diff(a, b, "k", ["t"]).take_all()
+        assert out == [{"n_a": 4, "n_b": 3, "n_added": 1,
+                        "n_removed": 2, "n_changed": 1, "n_same": 1}]
+
+    def test_identical_snapshots(self, ray_session):
+        import ray.data as rd
+
+        from raydoc.ops.drift import dataset_diff
+
+        a = rd.from_arrow(pa.table({
+            "k": [1, 2], "t": ["x", None]}))
+        out = dataset_diff(a, a, "k", ["t"]).take_all()
+        assert out == [{"n_a": 2, "n_b": 2, "n_added": 0,
+                        "n_removed": 0, "n_changed": 0, "n_same": 2}]
+
+    def test_multi_column_compare(self, ray_session):
+        import ray.data as rd
+
+        from raydoc.ops.drift import dataset_diff
+
+        a = rd.from_arrow(pa.table({
+            "k": [1, 2], "x": ["p", "q"], "y": [10, 20]}))
+        b = rd.from_arrow(pa.table({
+            "k": [1, 2], "x": ["p", "q"], "y": [10, 99]}))
+        out = dataset_diff(a, b, "k", ["x", "y"]).take_all()
+        assert out[0]["n_changed"] == 1 and out[0]["n_same"] == 1

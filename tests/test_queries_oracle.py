@@ -56,6 +56,7 @@ NEW_QUERIES = [
     "docs_expectations",
     "urls_crawl_schedule",
     "bm25_eval",
+    "docs_dataset_diff",
 ]
 
 
