@@ -2805,7 +2805,6 @@ def bm25_eval(sf_dir: str):
             if m.any():
                 out_q.append(np.full(int(m.sum()), qi, dtype=np.int64))
                 out_d.append(ids[m])
-        import numpy as np2
         if not out_q:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64())})
