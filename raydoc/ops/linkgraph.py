@@ -55,11 +55,16 @@ Three stages, each Ray-Data-native:
    and combined by ``grouped_agg``'s partial plan — only O(nodes)
    rows ever reach the driver. Edges are stamped with node indices
    ONCE and materialized (slim 16 B rows), so K iterations re-read
-   the stamped edges, not the html. The documented assumption is the
+   the stamped edges, not the html. The broadcast plan assumes the
    node VECTOR fits the driver/workers (~100 M hosts x 8 B = 800 MB
-   at full CC scale — tight but real; beyond that the rank join must
-   co-partition, the same escalation path ops/incremental.py takes),
-   enforced fail-loud by ``max_nodes``.
+   at full CC scale — tight but real); past ``max_nodes`` the default
+   ``plan="auto"`` escalates to the CO-PARTITION plan
+   (``_pagerank_copartition``: ranks stay a Dataset, one tag-union
+   coarse-bucket shuffle per iteration, no driver node vector —
+   bit-identical output), and below ``local_edges`` a small-graph
+   fast path runs the identical integer loop driver-side. Weighted
+   mode (``weight_col``) splits rank proportionally to edge weights,
+   still exact.
 """
 
 from __future__ import annotations
