@@ -14,7 +14,8 @@ component/__init__.py:56-59, base.py:109-161). Differences by design:
 
 Spec format:
 
-    {"source": {"op": "read_parquet" | "read_csv" | "read_json", "path": ...,
+    {"source": {"op": "read_parquet" | "read_csv" | "read_json"
+                      | "read_warc", "path": ...,
                 "columns": [...optional...]},
      "stages": [{"op": <name>, ...params...}, ...],
      "sink":   {"op": "write_parquet", "path": ...} | {"op": "collect"}}
@@ -513,8 +514,10 @@ def validate_spec(spec: dict) -> None:
     _check(isinstance(spec, dict), "spec must be a dict")
     _check("source" in spec, "spec needs a 'source'")
     src = spec["source"]
-    _check(src.get("op") in ("read_parquet", "read_csv", "read_json"),
-           "source.op must be read_parquet | read_csv | read_json")
+    _check(src.get("op") in ("read_parquet", "read_csv", "read_json",
+                             "read_warc"),
+           "source.op must be read_parquet | read_csv | read_json "
+           "| read_warc")
     _require(src, "path")
     for i, st in enumerate(spec.get("stages", [])):
         op = st.get("op")
@@ -548,6 +551,12 @@ def run_spec(spec: dict) -> Any:
             ds = ds.select_columns(src["columns"])
     elif src["op"] == "read_json":
         ds = rd.read_json(src["path"])
+        if src.get("columns"):
+            ds = ds.select_columns(src["columns"])
+    elif src["op"] == "read_warc":
+        from raydoc.sources.warc import read_warc
+
+        ds = read_warc(src["path"])
         if src.get("columns"):
             ds = ds.select_columns(src["columns"])
     else:
