@@ -246,3 +246,97 @@ def filter_blocked_hosts(ds, blocked, url_col: str = "url",
         return batch.append_column(out_host, host).filter(keep)
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309 literal-prefix subset)
+# ---------------------------------------------------------------------------
+
+def parse_robots(txt: str, agent: str = "*") -> list:
+    """robots.txt text -> [(prefix, allow)] rules for ``agent`` —
+    the group whose User-agent matches ``agent`` exactly (case-
+    insensitive), else the ``*`` group. LITERAL-PREFIX subset of RFC
+    9309: rules whose path contains the ``*``/``$`` wildcards are
+    skipped (documented contract — the dominant real-world rules are
+    plain prefixes; a wildcard-bearing file degrades to its literal
+    rules, never to a crash). An empty Disallow value is a no-op, per
+    the RFC."""
+    groups: dict = {}
+    agents: list = []
+    rules_started = False
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        k, v = line.split(":", 1)
+        k = k.strip().lower()
+        v = v.strip()
+        if k == "user-agent":
+            if rules_started:
+                agents = []
+                rules_started = False
+            agents.append(v.lower())
+            for a in (v.lower(),):
+                groups.setdefault(a, [])
+        elif k in ("allow", "disallow"):
+            rules_started = True
+            if not v and k == "disallow":
+                continue
+            if "*" in v or "$" in v:
+                continue
+            for a in agents:
+                groups.setdefault(a, []).append((v, k == "allow"))
+    return groups.get(agent.lower(), groups.get("*", []))
+
+
+def filter_robots_disallowed(ds, robots: dict, url_col: str = "url",
+                             agent: str = "*", out_host: str = "host"):
+    """Drop rows whose URL a host's robots.txt disallows for
+    ``agent`` — the politeness gate between the domain blocklist and
+    the crawl scheduler. ``robots``: {host -> robots.txt text} (the
+    fetcher's per-host cache; ship via closure for test-sized maps,
+    ``ray.put`` past ~10^5 hosts — the blocklist note applies).
+
+    Decision per RFC 9309: among the agent's rules whose literal
+    prefix prefixes the URL PATH, the LONGEST wins; ties prefer
+    allow; no matching rule (or unknown host) allows. Hostless rows
+    drop (as in filter_blocked_hosts).
+
+    Scale shape: rules compile once per call; each batch groups rows
+    by host (few distinct hosts per batch) and evaluates R vectorized
+    ``starts_with`` kernels per host — no per-row Python."""
+    compiled = {h.lower(): parse_robots(t, agent)
+                for h, t in robots.items()}
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        host = host_of_url(batch.column(url_col))
+        u = batch.column(url_col)
+        u = (u.combine_chunks() if isinstance(u, pa.ChunkedArray)
+             else u).cast(pa.string())
+        path = pc.replace_substring_regex(
+            u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
+        path = pc.if_else(pc.equal(path, ""), "/", path)
+        n = batch.num_rows
+        hv = host.to_numpy(zero_copy_only=False)
+        allow = np.ones(n, dtype=bool)
+        bestlen = np.full(n, -1, dtype=np.int64)
+        for h in {x for x in hv.tolist() if x is not None}:
+            rules = compiled.get(h)
+            if not rules:
+                continue
+            mask = hv == h
+            for prefix, rule_allow in rules:
+                m = pc.starts_with(path, prefix).to_numpy(
+                    zero_copy_only=False) & mask
+                plen = len(prefix)
+                longer = m & (bestlen < plen)
+                # ties prefer allow regardless of rule order
+                upd = longer | (m & (bestlen == plen) & rule_allow)
+                allow[upd] = rule_allow
+                bestlen[longer] = plen
+            # rows of h with no matching rule keep the default allow
+        keep = pa.array(allow & pc.is_valid(host).to_numpy(
+            zero_copy_only=False))
+        return batch.append_column(out_host, host).filter(keep)
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -2930,6 +2930,74 @@ FROM j
 """
 
 
+# demo robots set for the oracle query: one host with a longest-match
+# allow override inside a disallowed tree, one fully-closed host
+_ROBOTS_DEMO = {
+    "www.site2.com": ("User-agent: *\n"
+                      "Disallow: /Articles/1\n"
+                      "Allow: /Articles/12\n"),
+    "www.site5.com": "User-agent: *\nDisallow: /\n",
+}
+
+
+def docs_robots_filter(sf_dir: str):
+    """robots.txt politeness gate (ops/url.filter_robots_disallowed):
+    the synthetic fetch urls run against a demo robots set exercising
+    longest-match, allow-override, and a fully-closed host. The oracle
+    SQL takes its rule rows FROM the same parse_robots output (the
+    parser is pytest-pinned), and replays the RFC decision — longest
+    prefix wins, ties prefer allow, no match allows — as one
+    row_number window."""
+    from raydoc.ops.url import filter_robots_disallowed, synthetic_fetch_rows
+
+    fetches = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: synthetic_fetch_rows(b.column("doc_id")),
+        batch_format="pyarrow")
+    out = filter_robots_disallowed(fetches, _ROBOTS_DEMO)
+    return out.select_columns(["url", "fetch_ts", "host"])
+
+
+def _robots_sql() -> str:
+    from raydoc.ops.url import parse_robots
+
+    vals = []
+    for host, txt in sorted(_ROBOTS_DEMO.items()):
+        for prefix, allow in parse_robots(txt):
+            vals.append(f"('{host}', '{prefix}', "
+                        f"{'TRUE' if allow else 'FALSE'})")
+    rules = ",\n".join(vals)
+    return f"""
+WITH raw AS ({_SYNTH_FETCH_SQL}  FROM documents
+), h AS (
+  SELECT url, fetch_ts,
+         lower(regexp_replace(
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+             ':[0-9]+$', '')) AS host,
+         CASE WHEN regexp_replace(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') = ''
+              THEN '/' ELSE regexp_replace(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') END AS path
+  FROM raw),
+r(rhost, prefix, allow) AS (VALUES
+{rules}),
+m AS (
+  SELECT h.url, r.allow, length(r.prefix) AS plen
+  FROM h JOIN r ON r.rhost = h.host
+       AND starts_with(h.path, r.prefix)),
+best AS (
+  SELECT url, allow FROM m
+  QUALIFY row_number() OVER (PARTITION BY url
+                             ORDER BY plen DESC, allow DESC) = 1)
+SELECT h.url, h.fetch_ts, h.host
+FROM h LEFT JOIN best USING (url)
+WHERE h.host IS NOT NULL AND h.host <> ''
+  AND coalesce(best.allow, TRUE)
+"""
+
+
+DOCS_ROBOTS_FILTER_SQL = _robots_sql()
+
+
 def docs_segment_dedup(sf_dir: str):
     """Duplicated-span removal (the C4/RefinedWeb line-dedup shape):
     non-overlapping word-8 segments occurring in >1 DISTINCT doc are
@@ -4516,7 +4584,6 @@ QUERIES = {
     "orders_rank_in_cust": orders_rank_in_cust,
     "cust_priority_concat": cust_priority_concat,
     "top_orders": top_orders,
-    "distinct_segments": distinct_segments,
     "nation_region_join": nation_region_join,
     "union_nation_keys": union_nation_keys,
     "events_by_type": events_by_type,
@@ -4565,6 +4632,7 @@ QUERIES = {
     "urls_crawl_schedule": urls_crawl_schedule,
     "bm25_eval": bm25_eval,
     "docs_dataset_diff": docs_dataset_diff,
+    "docs_robots_filter": docs_robots_filter,
     # ---- driver recording window (~50 entries) ends here ----
     # (events_rolling_mean / events_lag_delta / events_running_sum r03
     # driver-green; displaced by the LM / weighted-pagerank / drift /
@@ -4574,6 +4642,7 @@ QUERIES = {
     "q12_priority_class": q12_priority_class,
     "anti_customers_inactive": anti_customers_inactive,
     "switch_route_orders": switch_route_orders,
+    "distinct_segments": distinct_segments,
     "events_running_sum": events_running_sum,
     "events_lag_delta": events_lag_delta,
     "events_rolling_mean": events_rolling_mean,
@@ -4734,6 +4803,7 @@ ORACLES = {
     # composed oracle: full BM25 replay as a subquery + SQL gold
     "bm25_eval": BM25_EVAL_SQL,
     "docs_dataset_diff": DOCS_DATASET_DIFF_SQL,
+    "docs_robots_filter": DOCS_ROBOTS_FILTER_SQL,
     "docs_segment_dedup": DOCS_SEGMENT_DEDUP_SQL,
     "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_train_split": DOCS_TRAIN_SPLIT_SQL,

@@ -42,7 +42,8 @@ import gzip
 
 import pyarrow as pa
 
-__all__ = ["parse_warc_bytes", "read_warc", "write_warc_bytes"]
+__all__ = ["parse_warc_bytes", "read_warc", "read_wet",
+           "write_warc_bytes", "write_wet_bytes"]
 
 _CRLF2 = b"\r\n\r\n"
 
@@ -55,10 +56,15 @@ def _parse_ts(s: str):
         return None
 
 
-def parse_warc_bytes(buf: bytes) -> pa.Table:
-    """One WARC file's bytes -> (url, warc_ts, html) rows for its
-    response records. Pure function (testable without Ray); hand it
-    DECOMPRESSED bytes (``read_warc`` magic-sniffs gzip)."""
+def parse_warc_bytes(buf: bytes, record_type: str = "response",
+                     strip_http: bool = True,
+                     body_col: str = "html") -> pa.Table:
+    """One WARC file's bytes -> (url, warc_ts, <body_col>) rows for
+    its ``record_type`` records. Pure function (testable without Ray);
+    hand it DECOMPRESSED bytes (``read_warc`` magic-sniffs gzip).
+    ``strip_http=False`` keeps the record body verbatim — the WET
+    shape, whose conversion records hold plain text, not an HTTP
+    response."""
     urls: list = []
     tss: list = []
     bodies: list = []
@@ -89,19 +95,20 @@ def parse_warc_bytes(buf: bytes) -> pa.Table:
         body_end = body_start + clen
         if body_end > n:  # truncated capture: stop with what we have
             break
-        if fields.get("warc-type") == "response":
+        if fields.get("warc-type") == record_type:
             body = bytes(view[body_start:body_end])
-            # strip the HTTP response's own header block
-            split = body.find(_CRLF2)
-            html = body[split + 4:] if split >= 0 else body
+            if strip_http:
+                # strip the HTTP response's own header block
+                split = body.find(_CRLF2)
+                body = body[split + 4:] if split >= 0 else body
             urls.append(fields.get("warc-target-uri"))
             tss.append(_parse_ts(fields.get("warc-date", "")))
-            bodies.append(html)
+            bodies.append(body)
         pos = body_end
     return pa.Table.from_pydict({
         "url": pa.array(urls, pa.string()),
         "warc_ts": pa.array(tss, pa.timestamp("us")),
-        "html": pa.array(bodies, pa.binary())})
+        body_col: pa.array(bodies, pa.binary())})
 
 
 def read_warc(paths, parallelism: int = -1):
@@ -135,6 +142,63 @@ def read_warc(paths, parallelism: int = -1):
 
     return files.map_batches(nonempty_batches(_parse),
                              batch_format="pyarrow", batch_size=1)
+
+
+def read_wet(paths, parallelism: int = -1):
+    """WET file paths (CC's extracted-text sibling of WARC: the same
+    record framing, ``WARC-Type: conversion`` records holding plain
+    text) -> Dataset ``(url, warc_ts, text)`` with text decoded
+    utf-8/replace — the documents-table shape, ready for the curation
+    stack without the extract stage."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    files = rd.read_binary_files(paths, override_num_blocks=(
+        None if parallelism in (-1, None) else parallelism))
+
+    def _parse(b: pa.Table) -> pa.Table:
+        out = []
+        for data in b.column("bytes").to_pylist():
+            if data[:2] == b"\x1f\x8b":
+                data = gzip.decompress(data)
+            out.append(parse_warc_bytes(
+                data, record_type="conversion", strip_http=False,
+                body_col="text"))
+        out = [t for t in out if t.num_rows]
+        if not out:
+            return pa.Table.from_pydict({
+                "url": pa.array([], pa.string()),
+                "warc_ts": pa.array([], pa.timestamp("us")),
+                "text": pa.array([], pa.string())})
+        t = pa.concat_tables(out, promote_options="permissive")
+        # bytes -> text: per-row decode with replace (WET is utf-8 by
+        # spec, but CC carries stragglers); rows are file-local so the
+        # loop is bounded by one file's records, like the record walk
+        txt = pa.array([x.decode("utf-8", errors="replace")
+                        for x in t.column("text").to_pylist()],
+                       pa.string())
+        return t.set_column(t.schema.get_field_index("text"),
+                            "text", txt)
+
+    from raydoc.ops.relational import nonempty_batches
+
+    return files.map_batches(nonempty_batches(_parse),
+                             batch_format="pyarrow", batch_size=1)
+
+
+def write_wet_bytes(records) -> bytes:
+    """Deterministic WET fixture writer: (url, iso_ts, text) ->
+    conversion records."""
+    chunks = [b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+              b"Content-Length: 0\r\n\r\n\r\n\r\n"]
+    for url, ts, text in records:
+        body = text.encode("utf-8")
+        hdr = (f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+               f"WARC-Target-URI: {url}\r\n"
+               f"WARC-Date: {ts}\r\n"
+               f"Content-Length: {len(body)}\r\n\r\n").encode()
+        chunks.append(hdr + body + b"\r\n\r\n")
+    return b"".join(chunks)
 
 
 def write_warc_bytes(records) -> bytes:

@@ -57,6 +57,7 @@ NEW_QUERIES = [
     "urls_crawl_schedule",
     "bm25_eval",
     "docs_dataset_diff",
+    "docs_robots_filter",
 ]
 
 

@@ -99,3 +99,66 @@ def test_docs_url_dedup_matches_duckdb(ray_session):
     b = odf[cols].sort_values(cols).reset_index(drop=True)
     assert len(a) == len(b) > 0
     assert a.astype(str).equals(b.astype(str))
+
+
+class TestRobots:
+    TXT = (
+        "# comment\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok\n"
+        "Disallow: /tmp\n"
+        "Disallow: /wild*card\n"   # wildcard rule skipped
+        "\n"
+        "User-agent: strictbot\n"
+        "Disallow: /\n")
+
+    def test_parse_groups_and_wildcard_skip(self):
+        from raydoc.ops.url import parse_robots
+
+        assert parse_robots(self.TXT) == [
+            ("/private/", False), ("/private/ok", True),
+            ("/tmp", False)]
+        assert parse_robots(self.TXT, "StrictBot") == [("/", False)]
+        assert parse_robots("", "*") == []
+
+    def test_filter_longest_match_and_defaults(self, ray_session):
+        import ray.data as rd
+
+        from raydoc.ops.url import filter_robots_disallowed
+
+        urls = ["https://a.com/public/x",      # no rule -> allow
+                "https://a.com/private/x",     # disallow
+                "https://a.com/private/ok/y",  # longer allow wins
+                "https://a.com/tmpfile",       # prefix match disallow
+                "https://A.COM:443/private/z",  # case/port normalize
+                "https://other.net/private/x",  # unknown host -> allow
+                "garbage"]                     # hostless -> drop
+        ds = rd.from_arrow(pa.table({"url": urls})).repartition(2)
+        out = filter_robots_disallowed(ds, {"a.com": self.TXT})
+        kept = sorted(r["url"] for r in out.take_all())
+        assert kept == sorted([
+            "https://a.com/public/x",
+            "https://a.com/private/ok/y",
+            "https://other.net/private/x"])
+
+    def test_agent_specific_group(self, ray_session):
+        import ray.data as rd
+
+        from raydoc.ops.url import filter_robots_disallowed
+
+        ds = rd.from_arrow(pa.table({"url": ["https://a.com/anything"]}))
+        out = filter_robots_disallowed(ds, {"a.com": self.TXT},
+                                       agent="strictbot").take_all()
+        assert out == []
+
+    def test_tie_prefers_allow_either_order(self, ray_session):
+        import ray.data as rd
+
+        from raydoc.ops.url import filter_robots_disallowed
+
+        ds = rd.from_arrow(pa.table({"url": ["https://a.com/p/x"]}))
+        for txt in ("User-agent: *\nDisallow: /p/\nAllow: /p/\n",
+                    "User-agent: *\nAllow: /p/\nDisallow: /p/\n"):
+            out = filter_robots_disallowed(ds, {"a.com": txt}).take_all()
+            assert len(out) == 1, txt

@@ -88,3 +88,33 @@ class TestReadWarc:
             "stages": [{"op": "extract", "batch_size": 8}],
             "sink": {"op": "count"}})
         assert n == 1
+
+
+class TestWet:
+    def test_wet_round_trip_and_decode(self, ray_session, tmp_path):
+        import gzip as _gz
+
+        from raydoc.sources.warc import read_wet, write_wet_bytes
+
+        recs = [("https://a.com/1", "2024-03-01T00:00:00Z",
+                 "plain extracted text one"),
+                ("https://b.org/2", "2024-03-02T00:00:00Z",
+                 "unicode snippet: danke schön 中文")]
+        p = tmp_path / "x.wet.gz"
+        p.write_bytes(_gz.compress(write_wet_bytes(recs)))
+        rows = sorted(read_wet([str(p)]).take_all(),
+                      key=lambda r: r["url"])
+        assert [r["text"] for r in rows] == [r[2] for r in recs]
+
+    def test_wet_feeds_curation_shape(self, ray_session, tmp_path):
+        from raydoc.ops.text import token_count_batch
+        from raydoc.sources.warc import read_wet, write_wet_bytes
+
+        p = tmp_path / "y.wet"
+        p.write_bytes(write_wet_bytes(
+            [("https://a.com/1", "2024-03-01T00:00:00Z",
+              "five plain text tokens here")]))
+        out = read_wet([str(p)]).map_batches(
+            lambda b: token_count_batch(b, "text"),
+            batch_format="pyarrow").take_all()
+        assert out[0]["n_tokens"] == 5
