@@ -578,3 +578,35 @@ def _pagerank_copartition(edges, src_col, dst_col, iterations, scale,
 
     return ranks.map_batches(nonempty_batches(_out),
                              batch_format="pyarrow")
+
+
+# rel=canonical — attribute order varies in the wild; two patterns
+# cover href-then-rel and rel-then-href on one tag, binary-safe
+_CANON_RE_1 = (r"""<[lL][iI][nN][kK][^>]*[rR][eE][lL]\s*=\s*"""
+               r"""["']canonical["'][^>]*[hH][rR][eE][fF]\s*=\s*"""
+               r"""["'](?P<c>[^"']*)["']""")
+_CANON_RE_2 = (r"""<[lL][iI][nN][kK][^>]*[hH][rR][eE][fF]\s*=\s*"""
+               r"""["'](?P<c>[^"']*)["'][^>]*[rR][eE][lL]\s*=\s*"""
+               r"""["']canonical["']""")
+
+
+def extract_canonical_batch(batch: pa.Table, html_col: str = "html",
+                            out_col: str = "canonical") -> pa.Table:
+    """Append the page's ``<link rel="canonical" href=...>`` target
+    (first match, either attribute order) as a string column — null
+    when absent or not valid UTF-8. The canonical target is the
+    publisher's OWN dedup key: collapsing recrawls on
+    ``coalesce(canonical, canonicalized-url)`` catches mirrors and
+    parameter variants that URL normalization alone cannot (the
+    queries.docs_canonical_dedup composition). One RE2 pass per
+    pattern on the binary html; no per-row Python."""
+    h = batch.column(html_col)
+    h = h.combine_chunks() if isinstance(h, pa.ChunkedArray) else h
+    c1 = pc.struct_field(pc.extract_regex(h, _CANON_RE_1), "c")
+    c2 = pc.struct_field(pc.extract_regex(h, _CANON_RE_2), "c")
+    raw = pc.if_else(pc.is_valid(c1), c1, c2)
+    # ASCII-validate (urls in the wild are; junk bytes -> null)
+    ok = pc.match_substring_regex(raw, r"^[ -~]+$")
+    out = pc.if_else(pc.fill_null(ok, False),
+                     raw, pa.scalar(None, pa.binary()))
+    return batch.append_column(out_col, out.cast(pa.string()))

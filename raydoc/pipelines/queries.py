@@ -2998,6 +2998,80 @@ WHERE h.host IS NOT NULL AND h.host <> ''
 DOCS_ROBOTS_FILTER_SQL = _robots_sql()
 
 
+def _mod(col, m: int):
+    return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
+
+
+def docs_canonical_dedup(sf_dir: str):
+    """rel=canonical-aware dedup (ops/linkgraph.extract_canonical_batch):
+    pages constructed per doc_id — every third page declares a
+    canonical target shared across a (host, id%10) group — collapse on
+    coalesce(extracted canonical, url), the publisher-declared dedup
+    key URL normalization alone cannot see. The SQL oracle constructs
+    the SAME html strings and replays the extraction with
+    regexp_extract, so the kernel's output is what the hash checks."""
+    from raydoc.ops.linkgraph import extract_canonical_batch
+    from raydoc.ops.relational import grouped_agg
+
+    def _rows(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id")
+        j = pc.binary_join_element_wise
+        h7 = pc.cast(_mod(d, 7), pa.string())
+        url = j(pa.scalar("https://www.site"), h7,
+                pa.scalar(".com/p/"), pc.cast(d, pa.string()),
+                pa.scalar(""))
+        canon = j(pa.scalar("https://site"), h7,
+                  pa.scalar(".com/canon/"),
+                  pc.cast(_mod(pc.divide(d, 3), 10), pa.string()),
+                  pa.scalar(""))
+        has = pc.equal(_mod(d, 3), 0)
+        html = pc.if_else(
+            has,
+            j(pa.scalar('<html><head><link rel="canonical" href="'),
+              canon, pa.scalar('"/></head><body>x</body></html>'),
+              pa.scalar("")),
+            pa.scalar("<html><body>x</body></html>"))
+        return pa.table({"doc_id": d, "url": url, "html": html})
+
+    pages = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        _rows, batch_format="pyarrow")
+    withc = pages.map_batches(
+        lambda b: extract_canonical_batch(b), batch_format="pyarrow")
+
+    def _key(b: pa.Table) -> pa.Table:
+        key = pc.coalesce(b.column("canonical"), b.column("url"))
+        return pa.table({"dedup_key": key, "doc_id": b.column("doc_id")})
+
+    return grouped_agg(
+        withc.map_batches(_key, batch_format="pyarrow"),
+        ["dedup_key"],
+        {"n_pages": ("count", "doc_id"), "first_doc": ("min", "doc_id")})
+
+
+DOCS_CANONICAL_DEDUP_SQL = """
+WITH p AS (
+  SELECT doc_id,
+    'https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'
+      || CAST(doc_id AS VARCHAR) AS url,
+    CASE WHEN doc_id % 3 = 0 THEN
+      '<html><head><link rel="canonical" href="https://site'
+        || CAST(doc_id % 7 AS VARCHAR) || '.com/canon/'
+        || CAST((doc_id // 3) % 10 AS VARCHAR)
+        || '"/></head><body>x</body></html>'
+    ELSE '<html><body>x</body></html>' END AS html
+  FROM documents),
+e AS (
+  SELECT doc_id, url,
+         NULLIF(regexp_extract(html,
+             '<link rel="canonical" href="([^"]*)"', 1), '')
+           AS canonical
+  FROM p)
+SELECT coalesce(canonical, url) AS dedup_key,
+       count(*) AS n_pages, min(doc_id) AS first_doc
+FROM e GROUP BY dedup_key
+"""
+
+
 def docs_segment_dedup(sf_dir: str):
     """Duplicated-span removal (the C4/RefinedWeb line-dedup shape):
     non-overlapping word-8 segments occurring in >1 DISTINCT doc are
@@ -4577,7 +4651,6 @@ QUERIES = {
     "docs_top_terms": docs_top_terms,
     "filter_parts": filter_parts,
     "template_render_customers": template_render_customers,
-    "template_render_conditional": template_render_conditional,
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -4633,6 +4706,7 @@ QUERIES = {
     "bm25_eval": bm25_eval,
     "docs_dataset_diff": docs_dataset_diff,
     "docs_robots_filter": docs_robots_filter,
+    "docs_canonical_dedup": docs_canonical_dedup,
     # ---- driver recording window (~50 entries) ends here ----
     # (events_rolling_mean / events_lag_delta / events_running_sum r03
     # driver-green; displaced by the LM / weighted-pagerank / drift /
@@ -4643,6 +4717,7 @@ QUERIES = {
     "anti_customers_inactive": anti_customers_inactive,
     "switch_route_orders": switch_route_orders,
     "distinct_segments": distinct_segments,
+    "template_render_conditional": template_render_conditional,
     "events_running_sum": events_running_sum,
     "events_lag_delta": events_lag_delta,
     "events_rolling_mean": events_rolling_mean,
@@ -4804,6 +4879,7 @@ ORACLES = {
     "bm25_eval": BM25_EVAL_SQL,
     "docs_dataset_diff": DOCS_DATASET_DIFF_SQL,
     "docs_robots_filter": DOCS_ROBOTS_FILTER_SQL,
+    "docs_canonical_dedup": DOCS_CANONICAL_DEDUP_SQL,
     "docs_segment_dedup": DOCS_SEGMENT_DEDUP_SQL,
     "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_train_split": DOCS_TRAIN_SPLIT_SQL,

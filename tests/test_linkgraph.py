@@ -407,3 +407,28 @@ class TestLocalFastPath:
                      local_edges=0).take_all()
         assert sorted((r["node"], r["rank"]) for r in a) == \
             sorted((r["node"], r["rank"]) for r in b)
+
+
+class TestCanonical:
+    def test_extract_canonical_variants(self):
+        from raydoc.ops.linkgraph import extract_canonical_batch
+
+        b = pa.table({"html": [
+            b'<head><link rel="canonical" href="https://a.com/c"/></head>',
+            b"<head><LINK HREF='https://b.org/c' REL='canonical'></head>",
+            b'<link rel="stylesheet" href="x.css">none here',
+            b'<link rel="canonical" href="bad\xffbytes">',
+            b'',
+        ]})
+        got = extract_canonical_batch(b).column("canonical").to_pylist()
+        assert got == ["https://a.com/c", "https://b.org/c",
+                       None, None, None]
+
+    def test_first_match_wins(self):
+        from raydoc.ops.linkgraph import extract_canonical_batch
+
+        b = pa.table({"html": [
+            b'<link rel="canonical" href="https://a.com/1">'
+            b'<link rel="canonical" href="https://a.com/2">']})
+        got = extract_canonical_batch(b).column("canonical").to_pylist()
+        assert got == ["https://a.com/1"]

@@ -58,6 +58,7 @@ NEW_QUERIES = [
     "bm25_eval",
     "docs_dataset_diff",
     "docs_robots_filter",
+    "docs_canonical_dedup",
 ]
 
 
