@@ -42,7 +42,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["token_drift", "dataset_diff"]
+__all__ = ["token_drift", "dataset_diff", "numeric_drift"]
 
 
 def _tok_rows(batch: pa.Table, text_col: str, a: int) -> pa.Table:
@@ -219,3 +219,121 @@ def dataset_diff(ds_a, ds_b, key_col: str, compare_cols: list[str],
             tot[k] = int(pc.sum(t.column(k)).as_py() or 0)
     return rd.from_arrow(pa.Table.from_pydict(
         {k: pa.array([v], pa.int64()) for k, v in tot.items()}))
+
+
+def numeric_drift(ds_a, ds_b, col: str,
+                  num_range_parts: int = 32,
+                  num_partitions: int | None = None):
+    """Two-sample Kolmogorov-Smirnov distance between a numeric
+    column's distributions — the numeric sibling of ``token_drift``
+    (value drift: a schema-valid upstream change that shifts a score
+    or length distribution). EXACT integers end to end: the statistic
+    is returned as the fraction ``ks_num / ks_den`` with
+
+        ks_num = max over distinct values v of
+                 | cum_a(v) * n_b  -  cum_b(v) * n_a |,
+        ks_den = n_a * n_b
+
+    (the right-continuous empirical CDFs evaluated at every distinct
+    value — exactly the two-sample KS sup). Nulls are excluded on
+    both sides. Output: one row (n_a, n_b, ks_num, ks_den).
+    Overflow bound: n_a * n_b < 2**63 (sample past ~3e9 rows a side).
+
+    Physical plan: ONE tag-union count shuffle builds the per-distinct-
+    value (v, c1, c2) table (indicator partial sums, the token_drift
+    plan); the global cumulative sums run on the range-partitioned
+    carry kernel (``window.running_agg_carry`` under a constant key —
+    the distinct-value table is corpus-sized in general, so the
+    one-key-fits-a-worker shortcut is NOT assumed); the max reduces
+    per block to one scalar row each."""
+    import ray
+    import ray.data as rd
+
+    from raydoc.ops.relational import grouped_agg, nonempty_batches
+    from raydoc.ops.window import running_agg_carry
+
+    def _rows(side: int):
+        def _fn(b: pa.Table) -> pa.Table:
+            c = b.column(col)
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            t = pa.Table.from_pydict({"v": c})
+            t = t.filter(pc.is_valid(t.column("v")))
+            if pa.types.is_floating(t.column("v").type):
+                # NaNs have no place in a CDF
+                t = t.filter(pc.equal(t.column("v"), t.column("v")))
+            n = t.num_rows
+            return t.append_column(
+                "a", pa.array(np.full(n, 1 - side, dtype=np.int64))
+            ).append_column(
+                "b", pa.array(np.full(n, side, dtype=np.int64)))
+
+        return _fn
+
+    msgs = ds_a.map_batches(nonempty_batches(_rows(0)),
+                            batch_format="pyarrow").union(
+        ds_b.map_batches(nonempty_batches(_rows(1)),
+                         batch_format="pyarrow"))
+    def _stamp(t: pa.Table) -> pa.Table:
+        # the carry kernel range-partitions an int64-orderable order
+        # column; floats get the IEEE order-preserving int64 view
+        # (sign-flip trick) as the ordering KEY — the cumulative sums
+        # are over counts, so v itself never needs to survive the sort
+        v = t.column("v")
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        if pa.types.is_floating(v.type):
+            bits = v.cast(pa.float64()).view(pa.int64()) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            key = bits ^ ((bits >> 63) & 0x7FFFFFFFFFFFFFFF)
+        else:
+            key = v.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "vkey", pa.array(key, pa.int64())).append_column(
+            "k", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+
+    vals = grouped_agg(msgs, ["v"],
+                       {"c1": ("sum", "a"), "c2": ("sum", "b")},
+                       num_partitions=num_partitions).map_batches(
+        _stamp, batch_format="pyarrow").materialize()
+
+    def _totals(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "t1": pa.array([int(pc.sum(b.column("c1")).as_py() or 0)]),
+            "t2": pa.array([int(pc.sum(b.column("c2")).as_py() or 0)])})
+
+    parts = [t for t in ray.get(
+        vals.map_batches(_totals, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return rd.from_arrow(pa.Table.from_pydict({
+            "n_a": pa.array([0], pa.int64()),
+            "n_b": pa.array([0], pa.int64()),
+            "ks_num": pa.array([0], pa.int64()),
+            "ks_den": pa.array([0], pa.int64())}))
+    tot = pa.concat_tables(parts, promote_options="permissive")
+    n_a = int(pc.sum(tot.column("t1")).as_py())
+    n_b = int(pc.sum(tot.column("t2")).as_py())
+
+    cum = running_agg_carry(vals, "k", ["vkey"], "c1", out_col="cum1",
+                            num_range_parts=num_range_parts)
+    cum = running_agg_carry(cum, "k", ["vkey"], "c2", out_col="cum2",
+                            num_range_parts=num_range_parts)
+
+    def _maxd(b: pa.Table) -> pa.Table:
+        c1 = b.column("cum1").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        c2 = b.column("cum2").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = np.abs(c1 * n_b - c2 * n_a)
+        return pa.Table.from_pydict({
+            "m": pa.array([int(d.max()) if len(d) else 0], pa.int64())})
+
+    parts = [t for t in ray.get(
+        cum.map_batches(_maxd, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    ks = max((int(pc.max(t.column("m")).as_py() or 0) for t in parts),
+             default=0)
+    return rd.from_arrow(pa.Table.from_pydict({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "ks_num": pa.array([ks], pa.int64()),
+        "ks_den": pa.array([n_a * n_b], pa.int64())}))

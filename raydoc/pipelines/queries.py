@@ -3072,6 +3072,49 @@ FROM e GROUP BY dedup_key
 """
 
 
+def events_value_ks(sf_dir: str):
+    """Numeric distribution drift (ops/drift.numeric_drift): exact
+    two-sample Kolmogorov-Smirnov distance between the value columns
+    of the even- and odd-event_id halves of events, as the integer
+    fraction ks_num/ks_den (cum-count cross-products — no floats
+    anywhere, so the oracle replays it bit-exactly with window
+    cumsums). The global CDF scan runs on the range-partitioned carry
+    kernel, never assuming the distinct-value table fits one
+    worker."""
+    from raydoc.ops.drift import numeric_drift
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    a = ds.map_batches(
+        lambda b: b.filter(pc.equal(_mod(b.column("event_id"), 2), 0)),
+        batch_format="pyarrow")
+    b = ds.map_batches(
+        lambda t: t.filter(pc.equal(_mod(t.column("event_id"), 2), 1)),
+        batch_format="pyarrow")
+    return numeric_drift(a, b, "value")
+
+
+EVENTS_VALUE_KS_SQL = """
+WITH ea AS (SELECT value AS v FROM events
+            WHERE event_id % 2 = 0 AND value IS NOT NULL),
+eb AS (SELECT value AS v FROM events
+       WHERE event_id % 2 = 1 AND value IS NOT NULL),
+ca AS (SELECT v, count(*) AS c1 FROM ea GROUP BY v),
+cb AS (SELECT v, count(*) AS c2 FROM eb GROUP BY v),
+m AS (SELECT coalesce(ca.v, cb.v) AS v, coalesce(c1, 0) AS c1,
+             coalesce(c2, 0) AS c2
+      FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+st AS (SELECT sum(c1) AS na, sum(c2) AS nb FROM m),
+c AS (SELECT v,
+             sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+             sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM m)
+SELECT CAST(st.na AS BIGINT) AS n_a, CAST(st.nb AS BIGINT) AS n_b,
+       CAST(max(abs(cum1 * st.nb - cum2 * st.na)) AS BIGINT) AS ks_num,
+       CAST(st.na * st.nb AS BIGINT) AS ks_den
+FROM c CROSS JOIN st GROUP BY st.na, st.nb
+"""
+
+
 def docs_segment_dedup(sf_dir: str):
     """Duplicated-span removal (the C4/RefinedWeb line-dedup shape):
     non-overlapping word-8 segments occurring in >1 DISTINCT doc are
@@ -4658,7 +4701,6 @@ QUERIES = {
     "cust_priority_concat": cust_priority_concat,
     "top_orders": top_orders,
     "nation_region_join": nation_region_join,
-    "union_nation_keys": union_nation_keys,
     "events_by_type": events_by_type,
     "events_user_topk": events_user_topk,
     "events_extract_k": events_extract_k,
@@ -4707,6 +4749,7 @@ QUERIES = {
     "docs_dataset_diff": docs_dataset_diff,
     "docs_robots_filter": docs_robots_filter,
     "docs_canonical_dedup": docs_canonical_dedup,
+    "events_value_ks": events_value_ks,
     # ---- driver recording window (~50 entries) ends here ----
     # (events_rolling_mean / events_lag_delta / events_running_sum r03
     # driver-green; displaced by the LM / weighted-pagerank / drift /
@@ -4718,6 +4761,7 @@ QUERIES = {
     "switch_route_orders": switch_route_orders,
     "distinct_segments": distinct_segments,
     "template_render_conditional": template_render_conditional,
+    "union_nation_keys": union_nation_keys,
     "events_running_sum": events_running_sum,
     "events_lag_delta": events_lag_delta,
     "events_rolling_mean": events_rolling_mean,
@@ -4880,6 +4924,7 @@ ORACLES = {
     "docs_dataset_diff": DOCS_DATASET_DIFF_SQL,
     "docs_robots_filter": DOCS_ROBOTS_FILTER_SQL,
     "docs_canonical_dedup": DOCS_CANONICAL_DEDUP_SQL,
+    "events_value_ks": EVENTS_VALUE_KS_SQL,
     "docs_segment_dedup": DOCS_SEGMENT_DEDUP_SQL,
     "docs_host_cap": DOCS_HOST_CAP_SQL,
     "docs_train_split": DOCS_TRAIN_SPLIT_SQL,

@@ -106,3 +106,56 @@ class TestDatasetDiff:
             "k": [1, 2], "x": ["p", "q"], "y": [10, 99]}))
         out = dataset_diff(a, b, "k", ["x", "y"]).take_all()
         assert out[0]["n_changed"] == 1 and out[0]["n_same"] == 1
+
+
+class TestNumericDrift:
+    def test_matches_numpy_reference(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from raydoc.ops.drift import numeric_drift
+
+        rng = np.random.RandomState(7)
+        a = rng.normal(0, 1, 400).round(2)
+        b = rng.normal(0.4, 1.2, 250).round(2)
+        out = numeric_drift(
+            rd.from_arrow(pa.table({"x": a})).repartition(3),
+            rd.from_arrow(pa.table({"x": b})).repartition(2),
+            "x").take_all()[0]
+        allv = np.sort(np.unique(np.concatenate([a, b])))
+        Fa = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+        Fb = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+        assert out["n_a"] == 400 and out["n_b"] == 250
+        assert abs(out["ks_num"] / out["ks_den"]
+                   - np.abs(Fa - Fb).max()) < 1e-12
+
+    def test_identical_distributions_zero(self, ray_session):
+        import ray.data as rd
+
+        from raydoc.ops.drift import numeric_drift
+
+        t = pa.table({"x": [1.0, 2.0, 3.0, 2.0]})
+        out = numeric_drift(rd.from_arrow(t), rd.from_arrow(t),
+                            "x").take_all()[0]
+        assert out["ks_num"] == 0
+
+    def test_disjoint_supports_ks_one(self, ray_session):
+        import ray.data as rd
+
+        from raydoc.ops.drift import numeric_drift
+
+        a = rd.from_arrow(pa.table({"x": [1, 2, 3]}))
+        b = rd.from_arrow(pa.table({"x": [10, 11]}))
+        out = numeric_drift(a, b, "x").take_all()[0]
+        assert out["ks_num"] == out["ks_den"] == 6
+
+    def test_negative_floats_and_nan_null_excluded(self, ray_session):
+        import ray.data as rd
+
+        from raydoc.ops.drift import numeric_drift
+
+        a = rd.from_arrow(pa.table(
+            {"x": [-2.5, -0.5, 0.5, None, float("nan")]}))
+        b = rd.from_arrow(pa.table({"x": [-2.5, -0.5, 0.5]}))
+        out = numeric_drift(a, b, "x").take_all()[0]
+        assert out["n_a"] == 3 and out["ks_num"] == 0

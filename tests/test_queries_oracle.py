@@ -59,6 +59,7 @@ NEW_QUERIES = [
     "docs_dataset_diff",
     "docs_robots_filter",
     "docs_canonical_dedup",
+    "events_value_ks",
 ]
 
 
