@@ -56,7 +56,12 @@ def parse_sitemap_bytes(buf: bytes):
     sitemapindex). Either may be empty; both may be non-empty in a
     malformed-but-salvageable document."""
     if buf[:2] == b"\x1f\x8b":
-        buf = gzip.decompress(buf)
+        try:
+            buf = gzip.decompress(buf)
+        except (OSError, EOFError):
+            return (pa.Table.from_pydict({
+                "url": pa.array([], pa.string()),
+                "lastmod": pa.array([], pa.timestamp("us"))}), [])
     urls: list = []
     mods: list = []
     for block in _URL_RE.findall(buf):

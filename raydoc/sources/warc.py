@@ -128,7 +128,10 @@ def read_warc(paths, parallelism: int = -1):
             # extension, so double-decompressing would throw — and a
             # mislabeled plain file parses either way
             if data[:2] == b"\x1f\x8b":
-                data = gzip.decompress(data)
+                try:
+                    data = gzip.decompress(data)
+                except (OSError, EOFError):
+                    continue  # corrupt member: fail soft, skip file
             out.append(parse_warc_bytes(data))
         out = [t for t in out if t.num_rows]
         if not out:
@@ -160,7 +163,10 @@ def read_wet(paths, parallelism: int = -1):
         out = []
         for data in b.column("bytes").to_pylist():
             if data[:2] == b"\x1f\x8b":
-                data = gzip.decompress(data)
+                try:
+                    data = gzip.decompress(data)
+                except (OSError, EOFError):
+                    continue  # corrupt member: fail soft, skip file
             out.append(parse_warc_bytes(
                 data, record_type="conversion", strip_http=False,
                 body_col="text"))

@@ -426,3 +426,53 @@ class TestLMKernelProperties:
             ref.extend((i, a, bb) for a, bb in zip(tk, tk[1:]))
         assert got == ref
         assert w1.to_pylist() == [a for _, a, _ in ref]
+
+
+class TestFrontDoorParserProperties:
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=400))
+    def test_warc_parser_total_on_arbitrary_bytes(self, buf):
+        """parse_warc_bytes never throws and never fabricates rows
+        from non-WARC bytes (a row requires a real record header)."""
+        from raydoc.sources.warc import parse_warc_bytes
+
+        t = parse_warc_bytes(buf)
+        assert t.column_names == ["url", "warc_ts", "html"]
+        if not buf.startswith(b"WARC/"):
+            assert t.num_rows == 0
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=400),
+           st.booleans())
+    def test_sitemap_parser_total_on_arbitrary_bytes(self, buf,
+                                                     gz_prefix):
+        from raydoc.sources.sitemap import parse_sitemap_bytes
+
+        if gz_prefix:  # corrupt gzip magic must fail soft, not throw
+            buf = b"\x1f\x8b" + buf
+        t, children = parse_sitemap_bytes(buf)
+        assert t.column_names == ["url", "lastmod"]
+        assert isinstance(children, list)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.binary(max_size=300), min_size=0, max_size=6))
+    def test_canonical_kernel_total_and_deterministic(self, pages):
+        import pyarrow as pa
+
+        from raydoc.ops.linkgraph import extract_canonical_batch
+
+        b = pa.table({"html": pa.array(pages, pa.binary())})
+        t1 = extract_canonical_batch(b)
+        t2 = extract_canonical_batch(b)
+        assert t1.equals(t2)
+        for v in t1.column("canonical").to_pylist():
+            assert v is None or v.isascii()
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(max_size=300))
+    def test_robots_parser_total(self, txt):
+        from raydoc.ops.url import parse_robots
+
+        rules = parse_robots(txt)
+        assert all(isinstance(p, str) and isinstance(a, bool)
+                   for p, a in rules)
