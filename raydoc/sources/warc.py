@@ -91,6 +91,8 @@ def parse_warc_bytes(buf: bytes, record_type: str = "response",
             clen = int(fields.get("content-length", ""))
         except ValueError:
             break
+        if clen < 0:  # a negative length would walk pos backwards
+            break
         body_start = hdr_end + 4
         body_end = body_start + clen
         if body_end > n:  # truncated capture: stop with what we have

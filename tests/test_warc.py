@@ -118,3 +118,21 @@ class TestWet:
             lambda b: token_count_batch(b, "text"),
             batch_format="pyarrow").take_all()
         assert out[0]["n_tokens"] == 5
+
+
+class TestMalformed:
+    def test_negative_content_length_terminates(self):
+        raw = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://x.io/\r\n"
+               b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+               b"Content-Length: -5\r\n\r\nbody\r\n\r\n")
+        t = parse_warc_bytes(raw)  # must return, not loop forever
+        assert t.num_rows == 0
+
+    def test_zero_content_length_response(self):
+        raw = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://x.io/\r\n"
+               b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+               b"Content-Length: 0\r\n\r\n\r\n\r\n")
+        t = parse_warc_bytes(raw)
+        assert t.num_rows == 1 and t.column("html").to_pylist() == [b""]
