@@ -491,6 +491,15 @@ STAGE_REGISTRY: dict[str, tuple[Callable[[dict], None], Callable]] = {
             text_col=p.get("text_col", "text"),
             top_k=p.get("top_k", 20),
             frac_bits=p.get("frac_bits", 16))),
+    "numeric_drift": (
+        lambda p: _require(p, "ref_path", "column"),
+        lambda ds, p: __import__(
+            "raydoc.ops.drift", fromlist=["numeric_drift"]
+        ).numeric_drift(
+            ds,
+            __import__("ray.data", fromlist=["read_parquet"]).
+            read_parquet(p["ref_path"], columns=[p["column"]]),
+            p["column"])),
     # late r05: CCNet-style corpus-fit LM perplexity (ops/lm.py)
     "lm_perplexity": (
         lambda p: None,

@@ -159,3 +159,19 @@ class TestNumericDrift:
         b = rd.from_arrow(pa.table({"x": [-2.5, -0.5, 0.5]}))
         out = numeric_drift(a, b, "x").take_all()[0]
         assert out["n_a"] == 3 and out["ks_num"] == 0
+
+    def test_spec_op(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from raydoc.pipelines.spec import run_spec
+
+        src = str(tmp_path / "a.parquet")
+        ref = str(tmp_path / "b.parquet")
+        pq.write_table(pa.table({"x": [1.0, 2.0, 3.0]}), src)
+        pq.write_table(pa.table({"x": [1.0, 2.0, 3.0]}), ref)
+        out = run_spec({
+            "source": {"op": "read_parquet", "path": src},
+            "stages": [{"op": "numeric_drift", "ref_path": ref,
+                        "column": "x"}],
+            "sink": {"op": "collect"}}).to_pandas()
+        assert int(out["ks_num"][0]) == 0
