@@ -75,6 +75,26 @@ def _consume(res) -> int:
     return 0
 
 
+def _noise_probe(reps: int = 3) -> list[float]:
+    """Calibrated single-core probe: wall seconds for a fixed numpy
+    matmul, best-effort evidence of HOST contention invisible to guest
+    loadavg (observed repeatedly in r04/r05: flat 2x headline walls at
+    guest loadavg < 1). Interpret RELATIVELY across runs of this
+    script: during the r05 contended windows (headline 4-8k docs/s)
+    the probe measured 1.2-2.0 s/rep; treat small probe values as a
+    quiet window whose headline walls are comparable to the committed
+    quiet records."""
+    import numpy as _np
+
+    a = _np.ones((2000, 2000), dtype=_np.float64) * 1.0001
+    out = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        (a @ a).sum()
+        out.append(round(time.perf_counter() - t0, 3))
+    return out
+
+
 def run_headline(sf: float, num_cpus: int, runs: int = 4) -> dict:
     """Full checkpointed extraction pipeline over the pages corpus for
     this sf: read -> extract task pool -> url-hash shuffle -> atomic
@@ -151,7 +171,10 @@ def main() -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
+    probe_before = _noise_probe()
     head = run_headline(sf, num_cpus)
+    head["noise_probe_s"] = {"before": probe_before,
+                             "after": _noise_probe()}
 
     queries: dict[str, float] = {}
     if not args.headline_only:
