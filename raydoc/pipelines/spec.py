@@ -37,8 +37,9 @@ trio semantic_dedup / cluster_sample / incremental_semantic_dedup
 persisted-semantic-index probe; ops/cluster.py + ops/incremental.py)
 — the whole curation flow is spec-expressible; late r05 adds the
 link-graph chain (blocklist_filter, host_edges, pagerank), the quality
-pair (lm_perplexity, token_drift vs a reference parquet), and `expect`
-(declarative data-expectation gates -> violation report).
+trio (lm_perplexity, token_drift / numeric_drift vs a reference
+parquet), and `expect` (declarative data-expectation gates ->
+violation report).
 Sinks: collect, count, write_parquet, side_effect (idempotent per-key
 ledger, stages/sink_stage.py).
 """
