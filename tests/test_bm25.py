@@ -139,3 +139,18 @@ class TestRetrievalEval:
             pa.table({"query_id": pa.array([], pa.int64()),
                       "doc_id": pa.array([], pa.int64())})).take_all()
         assert out == [{"n_queries": 0, "n_hit": 0, "mrr_fp": 0}]
+
+
+class TestUnicode:
+    def test_unicode_terms_and_case_fold(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": [1, 2, 3],
+            "text": ["danke schön für alles", "中文 文档 内容 here",
+                     "plain english text"]}))
+        out = bm25_topk(ds, ["SCHÖN danke", "中文 内容"], top_n=2).take_all()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+        assert by_q[0] == [1] and by_q[1] == [2]

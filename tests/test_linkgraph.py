@@ -432,3 +432,14 @@ class TestCanonical:
             b'<link rel="canonical" href="https://a.com/2">']})
         got = extract_canonical_batch(b).column("canonical").to_pylist()
         assert got == ["https://a.com/1"]
+
+
+class TestNonStringKeys:
+    def test_integer_node_ids_cast(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({
+            "src_host": [1, 2, 3], "dst_host": [2, 3, 1]}))
+        out = pagerank(ds, iterations=2).take_all()
+        assert {r["node"] for r in out} == {"1", "2", "3"}
+        assert len({r["rank"] for r in out}) == 1  # symmetric cycle
