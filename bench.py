@@ -79,11 +79,11 @@ def _noise_probe(reps: int = 3) -> list[float]:
     """Calibrated single-core probe: wall seconds for a fixed numpy
     matmul, best-effort evidence of HOST contention invisible to guest
     loadavg (observed repeatedly in r04/r05: flat 2x headline walls at
-    guest loadavg < 1). Interpret RELATIVELY across runs of this
-    script: during the r05 contended windows (headline 4-8k docs/s)
-    the probe measured 1.2-2.0 s/rep; treat small probe values as a
-    quiet window whose headline walls are comparable to the committed
-    quiet records."""
+    guest loadavg < 1). Calibration (r05 close, measured): quiet
+    windows probe ~0.93-1.0 s/rep (headline 11.6k docs/s measured at
+    exactly that level); contended windows probe 1.2-3.4 s/rep
+    (headline 4-8k). Steady probe values well above ~1.1 mean the
+    headline walls are not comparable to the quiet records."""
     import numpy as _np
 
     a = _np.ones((2000, 2000), dtype=_np.float64) * 1.0001
